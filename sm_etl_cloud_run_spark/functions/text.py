@@ -1,0 +1,78 @@
+"""Text-analysis column functions for the large-scale pipeline layer.
+
+These back the documents-table operators (token counting, quality
+scoring, language ID, fingerprinting, shingling for MinHash/Jaccard
+dedup). All JVM-side expressions — at 100 TB the text columns never
+cross into Python.
+
+Determinism note: shingle/fingerprint hashing uses ``md5`` (not
+``xxhash64``) so the DuckDB oracle can compute byte-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column, sep: str = " ") -> Column:
+    """Whitespace tokenization → array<string> (empty text → empty array)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(F.split(trimmed, sep))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, strip non-alphanumerics — canonical form for fingerprints."""
+    return F.regexp_replace(F.lower(col), r"[^a-z0-9]", "")
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(col))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not [a-zA-Z0-9 ] (quality signal)."""
+    n = F.length(col)
+    alnum = F.length(F.regexp_replace(col, r"[a-zA-Z0-9 ]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(alnum.cast("double") / n.cast("double"))
+
+
+def stopword_hits(col: Column, stopwords: list[str]) -> Column:
+    """How many tokens of `col` are in `stopwords` (array_intersect-free:
+    counts every occurrence, not distinct)."""
+    toks = tokens(F.lower(col))
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles as array<string> (space-joined windows).
+
+    Built from `sequence` + `transform` over the token array — stays in
+    codegen, no explode needed until the caller wants one.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs.
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Character n-grams of the normalized text as array<string>."""
+    norm = normalized_text(col)
+    ln = F.length(norm)
+    idx = F.when(ln >= n, F.sequence(F.lit(1), ln - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: norm.substr(i, F.lit(n)))

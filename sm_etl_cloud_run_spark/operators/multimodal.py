@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+Scale-layer operators (not in the reference): media travel as
+`binary` payload + typed metadata struct; decode / feature-extract /
+resize / frame-sample run as Arrow-batched pandas transforms over
+`mapInPandas` — the payload never leaves the executors, and each batch
+is a bounded Arrow chunk, so 100 TB of media streams through without
+driver involvement.
+
+The actual codec work (PIL/librosa/ffmpeg) is NOT available in this
+container, so the decode kernels are stubbed: `decode_fn=None` raises
+NotImplementedError at the kernel boundary, while
+`deterministic_fake_decoder` provides a content-derived fake so the
+plumbing (schema, batching, partitioning, UDF signatures) is fully
+testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = "media_id long, kind string, feature array<float>, n_bytes long"
+
+
+def deterministic_fake_decoder(payload: bytes, dim: int = 8) -> list[float]:
+    """Content-derived fake feature vector (sha256-seeded), so tests are
+    deterministic without codec libraries."""
+    h = hashlib.sha256(payload or b"").digest()
+    return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
+
+
+def extract_features(
+    media: DataFrame,
+    *,
+    decode_fn: Callable[[bytes], list[float]] | None = None,
+    batch_limit: int = 256,
+) -> DataFrame:
+    """Decode payloads → fixed-width feature vectors via mapInPandas.
+
+    `decode_fn=None` marks the real-codec path: raises
+    NotImplementedError (codec libs absent here). Pass
+    `deterministic_fake_decoder` for tests.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # Bound per-yield batch size: media payloads are large, so
+            # re-chunk instead of emitting one huge Arrow batch.
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                if decode_fn is None:
+                    raise NotImplementedError(
+                        "media decode requires codec libraries (PIL/librosa/ffmpeg) "
+                        "not present in this container; pass decode_fn explicitly"
+                    )
+                feats = [decode_fn(bytes(p) if p is not None else b"") for p in chunk["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "kind": chunk["kind"].values,
+                        "feature": feats,
+                        "n_bytes": [len(p) if p is not None else 0 for p in chunk["payload"]],
+                    }
+                )
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: explode timestamps derived from
+    metadata duration — the decode of each frame is the stubbed kernel.
+
+    Pure plan logic (sequence + explode), fully testable without codecs.
+    """
+    frames = media.where(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+    return frames

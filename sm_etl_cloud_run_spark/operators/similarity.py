@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Scale layer (not in the reference): brute-force cosine top-k as the
+correctness baseline, plus an LSH-bucketed variant as the scale path —
+at 100 TB you never do all-pairs; you bucket by hyperplane signs and
+search only colliding buckets.
+
+Determinism for oracle parity: dot products are computed in fixed-point
+(each elementwise product rounded to 1e-12 and summed as longs), so the
+result is exact, order-independent, and byte-identical to the DuckDB
+oracle — summing IEEE doubles in different orders would not be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1e9
+
+
+def _fixed_point_dot(a: Column, b: Column) -> Column:
+    """Σ round(aᵢ·bᵢ·1e9) as long — exact + order-independent."""
+    prods = F.zip_with(
+        a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * F.lit(_SCALE), 0).cast("long")
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _fixed_point_sq_norm(a: Column) -> Column:
+    return _fixed_point_dot(a, a)
+
+
+def cosine_similarity(a: Column, b: Column, *, round_to: int = 6) -> Column:
+    """Cosine from fixed-point dot/norms, rounded for stable comparison."""
+    dot = _fixed_point_dot(a, b).cast("double")
+    na = F.sqrt(_fixed_point_sq_norm(a).cast("double"))
+    nb = F.sqrt(_fixed_point_sq_norm(b).cast("double"))
+    return F.round(dot / (na * nb), round_to)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k against a constant query vector.
+
+    One scan + one TakeOrdered (no shuffle of the full table). Ties
+    broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), q).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hyperplane_lsh_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
+    """Sign-of-dot-product LSH bucket id (long) for a vector column."""
+    bits = []
+    for i, h in enumerate(hyperplanes):
+        hcol = F.array(*[F.lit(float(v)) for v in h])
+        bits.append(F.when(_fixed_point_dot(vec, hcol) >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long")))
+    return sum(bits[1:], bits[0])
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    hyperplanes: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    At scale the bucket column is a partition/cluster key, so the scan
+    prunes to ~1/2^h of the data; here it is computed on the fly.
+    """
+    qvec_col = F.array(*[F.lit(float(v)) for v in query_vec])
+    bucketed = embeddings.withColumn("__bucket", hyperplane_lsh_bucket(F.col(vec_col), hyperplanes))
+    qbucket = hyperplane_lsh_bucket(qvec_col, hyperplanes)
+    candidates = bucketed.where(F.col("__bucket") == qbucket)
+    return (
+        candidates.select(F.col(id_col), cosine_similarity(F.col(vec_col), qvec_col).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_cosine_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    hyperplanes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold).
+
+    With `hyperplanes`, candidate pairs come from LSH bucket collisions
+    (scale path); without, a full self-join (small inputs only).
+    """
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    if hyperplanes is not None:
+        bucketed = embeddings.withColumn("__bucket", hyperplane_lsh_bucket(F.col(vec_col), hyperplanes))
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (F.col("a.__bucket") == F.col("b.__bucket"))
+    else:
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold)

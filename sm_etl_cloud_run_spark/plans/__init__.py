@@ -1,0 +1,10 @@
+"""Query plans: the driver-facing registry of operator queries.
+
+Each query is (a) a Spark callable `(spark, sf_dir) -> DataFrame` built
+from the engine's operator modules and (b) — when SQL-expressible — an
+ANSI oracle string DuckDB runs over the same parquet tables. Importing
+this package populates the registry.
+"""
+
+from . import events_queries, pipeline, relational, textops, vector  # noqa: F401
+from .registry import all_queries, bench_queries, get  # noqa: F401

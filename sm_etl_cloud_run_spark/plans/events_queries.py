@@ -1,0 +1,157 @@
+"""Event-stream queries: windowed rollups, sessionization, JSON props,
+top-k per group, and the incremental watermark gate (F4).
+
+The rollup shares its expression with the Structured Streaming twin
+(streaming/stream_ops.windowed_counts) — same logic, batch or stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.filters import watermark_gate
+from ..operators.windows import sessionize, topk_per_group
+from ..streaming.stream_ops import windowed_counts
+from ..tables import load_tables
+from .registry import register
+
+_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_hourly_rollup", oracle=_HOURLY_ORACLE, bench=True,
+          description="tumbling-window rollup (batch twin of the streaming op)")
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "ts", "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("value")
+    )
+    out = windowed_counts(ev, ts_col="ts", key_col="event_type", window="1 hour")
+    return out.select(
+        "window_start", "event_type", "n",
+        (F.col("total_value").cast("double") / 100.0).alias("total_value"),
+    )
+
+
+_SESSION_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                OR LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id,
+       CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id
+"""
+
+
+@register("events_sessionize", oracle=_SESSION_ORACLE,
+          description="gap-based sessionization (lag + cumulative sum)")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sessions = sessionize(t["events"], user_col="user_id", ts_col="ts", gap_minutes=30)
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_json_extract", oracle=_JSON_ORACLE,
+          description="semi-structured props: JSON field extraction + agg")
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return t["events"].groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_k"),
+    )
+
+
+_TOPK_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register("topk_per_group", oracle=_TOPK_ORACLE,
+          description="top-k per group via row_number window")
+def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    out = topk_per_group(
+        t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        ["o_orderstatus"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return out.withColumn("rn", F.col("rn").cast("long"))
+
+
+_GATE_ORACLE = """
+WITH control AS (
+  SELECT event_type AS tipo,
+         MAX(ts) AS timestamp_modificacao_ftp,
+         CASE event_type
+           WHEN 'click' THEN NULL
+           WHEN 'view' THEN MAX(ts) - INTERVAL 2 HOUR
+           WHEN 'purchase' THEN MAX(ts) + INTERVAL 1 HOUR
+           WHEN 'error' THEN MAX(ts)
+           WHEN 'signup' THEN MAX(ts) - INTERVAL 1 MINUTE
+         END AS timestamp_etl_gcs
+  FROM events GROUP BY event_type
+)
+SELECT tipo, timestamp_modificacao_ftp, timestamp_etl_gcs
+FROM control
+WHERE timestamp_etl_gcs IS NULL OR timestamp_modificacao_ftp > timestamp_etl_gcs
+"""
+
+
+@register("f4_watermark_gate", oracle=_GATE_ORACLE,
+          description="F4: watermark freshness gate over a control table")
+def f4_watermark_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    mod = F.col("timestamp_modificacao_ftp")
+    control = (
+        t["events"].groupBy(F.col("event_type").alias("tipo"))
+        .agg(F.max("ts").alias("timestamp_modificacao_ftp"))
+        .withColumn(
+            "timestamp_etl_gcs",
+            F.when(F.col("tipo") == "click", F.lit(None).cast("timestamp"))
+            .when(F.col("tipo") == "view", mod - F.expr("INTERVAL 2 HOURS"))
+            .when(F.col("tipo") == "purchase", mod + F.expr("INTERVAL 1 HOURS"))
+            .when(F.col("tipo") == "error", mod)
+            .when(F.col("tipo") == "signup", mod - F.expr("INTERVAL 1 MINUTES")),
+        )
+    )
+    return watermark_gate(
+        control, source_ts="timestamp_modificacao_ftp", sink_ts="timestamp_etl_gcs"
+    )

@@ -1,0 +1,331 @@
+"""Text-analysis + dedup queries over the `documents` table.
+
+The scale-layer operators (BASELINE.json north star): token counting,
+quality scoring, language-ID heuristic, fingerprinting, and the dedup
+family (exact, MinHash signature, LSH candidate pairs, exact n-gram
+Jaccard, SimHash). All hashing is md5 so DuckDB reproduces every byte;
+MinHash minimums are lexicographic mins over hex digests (a valid
+uniform min-hash needing no hex→int conversion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, token_count, tokens
+from ..operators.dedup import (
+    exact_dedup_by_fingerprint,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..tables import load_tables
+from .registry import register
+
+NUM_HASHES = 8
+SHINGLE_K = 3
+LSH_BANDS = 4
+
+# ---------------------------------------------------------------------------
+# token stats / quality / language heuristics
+# ---------------------------------------------------------------------------
+
+_TOKEN_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS avg_token_len
+FROM documents
+"""
+
+
+@register("text_token_stats", oracle=_TOKEN_ORACLE, bench=True,
+          description="token counting over documents (whitespace tokenizer)")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    text = F.col("text")
+    n_tokens = token_count(text)
+    n_chars = F.length(text).cast("long")
+    n_spaces = (F.length(text) - F.length(F.regexp_replace(text, " ", ""))).cast("long")
+    return t["documents"].select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        n_spaces.alias("n_spaces"),
+        ((n_chars - n_spaces).cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+    )
+
+
+_QUALITY_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_distinct, n_stop, n_chars,
+       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       round(0.5 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             + 0.2 * (CASE WHEN n_tokens >= 20 THEN 1.0 ELSE CAST(n_tokens AS DOUBLE) / 20.0 END),
+             6) AS quality_score
+FROM f
+"""
+
+_STOPWORDS = ("the", "a", "of", "and")
+
+
+@register("text_quality_score", oracle=_QUALITY_ORACLE,
+          description="quality scoring: type-token ratio, stopword ratio, length")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    f = t["documents"].select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).cast("long").alias("n_stop"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
+    len_term = F.when(F.col("n_tokens") >= 20, F.lit(1.0)).otherwise(
+        F.col("n_tokens").cast("double") / 20.0
+    )
+    return f.select(
+        "doc_id", "n_tokens", "n_distinct", "n_stop", "n_chars",
+        ttr.alias("ttr"),
+        stop_ratio.alias("stop_ratio"),
+        F.round(0.5 * ttr + 0.3 * (1.0 - stop_ratio) + 0.2 * len_term, 6).alias("quality_score"),
+    )
+
+
+# Fixed per-language marker profiles (n-gram/stopword heuristic). On real
+# corpora these discriminate scripts/languages; scores are deterministic.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "de", "et"),
+    "de": ("der", "die", "und", "das"),
+    "pt": ("o", "a", "de", "e"),
+}
+
+
+def _lang_score_sql(lang: str, markers: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"SELECT doc_id, '{lang}' AS lang_cand, "
+        f"CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ({in_list}))) AS BIGINT) AS score "
+        f"FROM documents"
+    )
+
+
+_LANG_ORACLE = (
+    "WITH scores AS (\n"
+    + "\nUNION ALL\n".join(_lang_score_sql(lang, m) for lang, m in _LANG_MARKERS.items())
+    + "\n), ranked AS (\n"
+    "  SELECT doc_id, lang_cand, score,\n"
+    "         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_cand ASC) AS rn\n"
+    "  FROM scores\n"
+    ")\n"
+    "SELECT doc_id, lang_cand AS pred_lang, score FROM ranked WHERE rn = 1"
+)
+
+
+@register("text_lang_id", oracle=_LANG_ORACLE,
+          description="language-ID heuristic: stopword-profile argmax per doc")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    scores = None
+    for lang, markers in _LANG_MARKERS.items():
+        sw = F.array(*[F.lit(w) for w in markers])
+        s = t["documents"].select(
+            "doc_id",
+            F.lit(lang).alias("lang_cand"),
+            F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).cast("long").alias("score"),
+        )
+        scores = s if scores is None else scores.unionByName(s)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang_cand").asc())
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang_cand").alias("pred_lang"), "score")
+    )
+
+
+_FP_ORACLE = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+@register("doc_fingerprints", oracle=_FP_ORACLE,
+          description="content fingerprint: md5 of normalized text")
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE,
+          description="exact dedup: hash-groupBy on content fingerprint")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return exact_dedup_by_fingerprint(t["documents"], "text", "doc_id").select(
+        "fingerprint", "doc_id", "n_dups"
+    )
+
+
+def _shingle_cte() -> str:
+    return f"""
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+  FROM toks
+)"""
+
+
+def _sig_select() -> str:
+    cols = ",\n       ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min') AS sig_{i}"
+        for i in range(NUM_HASHES)
+    )
+    # docs with no shingles (< k tokens) drop out, matching the engine
+    return f"SELECT doc_id,\n       {cols}\nFROM sh WHERE len(shingles) > 0"
+
+
+_MINHASH_ORACLE = f"""
+WITH {_shingle_cte()},
+sig AS ({_sig_select()})
+SELECT * FROM sig
+"""
+
+
+@register("dedup_minhash_signatures", oracle=_MINHASH_ORACLE, bench=True,
+          description="MinHash signatures (8 seeds × 3-word shingles), array-native")
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return minhash_signatures(
+        t["documents"], text_col="text", id_col="doc_id",
+        num_hashes=NUM_HASHES, shingle_k=SHINGLE_K,
+    )
+
+
+def _bands_cte() -> str:
+    rows_per_band = NUM_HASHES // LSH_BANDS
+    selects = []
+    for b in range(LSH_BANDS):
+        parts = " || '|' || ".join(f"sig_{b * rows_per_band + r}" for r in range(rows_per_band))
+        selects.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sig")
+    return "\nUNION ALL\n".join(selects)
+
+
+_LSH_ORACLE = f"""
+WITH {_shingle_cte()},
+sig AS ({_sig_select()}),
+bands AS (
+{_bands_cte()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST({" + ".join(f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES))} AS DOUBLE)
+         / {NUM_HASHES}.0 AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = cand.id_a
+JOIN sig sb ON sb.doc_id = cand.id_b
+"""
+
+
+@register("dedup_lsh_pairs", oracle=_LSH_ORACLE, bench=True,
+          description="MinHash-LSH banded candidate pairs (the scale near-dup path)")
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sigs = minhash_signatures(
+        t["documents"], text_col="text", id_col="doc_id",
+        num_hashes=NUM_HASHES, shingle_k=SHINGLE_K,
+    )
+    return lsh_candidate_pairs(sigs, id_col="doc_id", num_hashes=NUM_HASHES, bands=LSH_BANDS)
+
+
+_JACCARD_THRESHOLD = 0.18
+
+_JACCARD_ORACLE = f"""
+WITH {_shingle_cte()},
+ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE,
+          description="exact n-gram Jaccard near-dup pairs via inverted-index join")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        t["documents"], text_col="text", id_col="doc_id",
+        shingle_k=SHINGLE_K, threshold=_JACCARD_THRESHOLD,
+    )
+
+
+def _simhash_bits_sql(num_bits: int = 32) -> str:
+    terms = []
+    for b in range(num_bits):
+        terms.append(
+            f"(CASE WHEN SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+            f"THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hv FROM tok)
+SELECT doc_id, {_simhash_bits_sql()} AS simhash
+FROM h GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE,
+          description="SimHash 32-bit fingerprint (per-bit majority of token hashes)")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return simhash(t["documents"], text_col="text", id_col="doc_id", num_bits=32)

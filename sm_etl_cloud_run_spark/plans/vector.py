@@ -1,0 +1,136 @@
+"""Similarity-search queries over the `embeddings` table + multimodal plumbing.
+
+Cosine scoring uses the engine's fixed-point dot products (see
+operators/similarity.py) so Spark and DuckDB produce bit-identical
+doubles — a straight float sum would be partition-order-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import deterministic_fake_decoder, extract_features
+from ..operators.similarity import (
+    brute_force_topk,
+    cosine_similarity,
+    embedding_cosine_dup_pairs,
+    lsh_topk,
+)
+from ..tables import load_tables
+from .registry import register
+
+_QUERY_VEC_ID = 0
+_TOPK = 10
+
+# fixed-point scale must match operators/similarity._SCALE
+_S = "1000000000"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST(round(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * {_S}) AS BIGINT)))"
+    )
+
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+scored AS (
+  SELECT e.vec_id,
+         {_dot_sql('e.embedding', 'q.qv')} AS dot_s,
+         {_dot_sql('e.embedding', 'e.embedding')} AS na_s,
+         {_dot_sql('q.qv', 'q.qv')} AS nb_s
+  FROM embeddings e, q
+  WHERE e.vec_id <> {_QUERY_VEC_ID}
+)
+SELECT vec_id,
+       round(CAST(dot_s AS DOUBLE) / (sqrt(CAST(na_s AS DOUBLE)) * sqrt(CAST(nb_s AS DOUBLE))), 6) AS cosine
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {_TOPK}
+"""
+
+
+@register("knn_brute_force", oracle=_KNN_ORACLE, bench=True,
+          description="exact cosine top-k against a query vector (ANN baseline)")
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    q = emb.where(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.where(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("qv")).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(_TOPK)
+
+
+_DUP_THRESHOLD = 0.40
+
+_DUP_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_dot_sql('a.embedding', 'b.embedding')} AS dot_s,
+         {_dot_sql('a.embedding', 'a.embedding')} AS na_s,
+         {_dot_sql('b.embedding', 'b.embedding')} AS nb_s
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       round(CAST(dot_s AS DOUBLE) / (sqrt(CAST(na_s AS DOUBLE)) * sqrt(CAST(nb_s AS DOUBLE))), 6) AS cosine
+FROM pairs
+WHERE round(CAST(dot_s AS DOUBLE) / (sqrt(CAST(na_s AS DOUBLE)) * sqrt(CAST(nb_s AS DOUBLE))), 6) >= {_DUP_THRESHOLD}
+"""
+
+
+@register("embedding_dup_pairs", oracle=_DUP_ORACLE,
+          description="embedding-cosine near-duplicate pairs (threshold 0.40)")
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return embedding_cosine_dup_pairs(
+        t["embeddings"], id_col="vec_id", vec_col="embedding", threshold=_DUP_THRESHOLD
+    )
+
+
+@register("knn_lsh_bucketed",
+          description="LSH-bucketed approximate top-k (scale path; rows-only check)")
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    # Hyperplanes = a few data vectors (deterministic, parameter-sized collect).
+    planes = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id").isin([1, 2, 3])).orderBy("vec_id").collect()
+    ]
+    qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["embedding"]
+    return lsh_topk(
+        emb.where(F.col("vec_id") != _QUERY_VEC_ID),
+        [float(x) for x in qv],
+        [[float(x) for x in p] for p in planes],
+        id_col="vec_id",
+        vec_col="embedding",
+        k=_TOPK,
+    )
+
+
+@register("multimodal_feature_extract",
+          description="multimodal plumbing: binary payload → feature vector via "
+                      "mapInPandas (decode stubbed; rows-only check)")
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, decode_fn=deterministic_fake_decoder)
+    return feats.select("media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1) * 1e6).cast("long").alias("f0_scaled"))

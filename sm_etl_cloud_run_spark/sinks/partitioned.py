@@ -1,0 +1,51 @@
+"""Partitioned writes with delete-then-insert idempotency (K1, K3, K4).
+
+Reference semantics: re-processing a source file first deletes all rows
+previously loaded from it (`DELETE WHERE ftp_arquivo_nome = :f`,
+utilitarios/bd_utilitarios.py:262-283) then appends — file-grain
+idempotency. The period-grain variant (K4) deletes by
+`periodo_data_inicio` (load_bd/sisab_*_load_bd.py:125-159).
+
+Spark-native: partition the table by the idempotency key and write with
+`partitionOverwriteMode=dynamic` — only partitions present in the
+incoming batch are replaced; the write is atomic per partition directory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_partition_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    *,
+    fmt: str = "parquet",
+) -> None:
+    """K3/K4: overwrite exactly the partitions present in `df`.
+
+    Requires `spark.sql.sources.partitionOverwriteMode=dynamic` (set by
+    the session factory). Running the same batch twice yields identical
+    table state — the idempotency property the reference enforces with
+    DELETE-then-INSERT.
+    """
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .format(fmt)
+        .option("partitionOverwriteMode", "dynamic")
+        .save(path)
+    )
+
+
+def write_bronze_csv(df: DataFrame, path: str, *, encoding: str = "UTF-8", coalesce: int | None = None) -> None:
+    """K1: bronze CSV landing (header, explicit encoding).
+
+    `coalesce` caps output files for small batches; leave None at scale
+    so every task writes its own file.
+    """
+    out = df.coalesce(coalesce) if coalesce else df
+    out.write.mode("overwrite").option("header", True).option("encoding", encoding).csv(path)

@@ -1,0 +1,71 @@
+"""Testdata catalog: load the driver's parquet tables and register views.
+
+The driver provides TPC-H-ish synthetic tables (see /root/repo/TESTDATA.md):
+facts ``lineitem``/``orders``/``events`` stand in for the reference's
+PA/AIH/RAAS fact files, the small dims for its `unidades_geograficas`/`ufs`/
+panel config tables, and ``documents``/``embeddings`` back the LLM-pipeline
+operators.
+
+Reads are plain ``spark.read.parquet`` — Catalyst gets predicate pushdown
+and column pruning on every scan; nothing is cached or collected here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import apply_session_conventions
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every testdata table as a DataFrame and register temp views.
+
+    Also (re-)applies the engine's session conventions, because query
+    callables may be invoked on a driver-owned session.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    apply_session_conventions(spark)
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        # TIMESTAMP(NANOS) columns arrive as nano-longs (see session
+        # conventions); convert back to timestamps (sub-μs truncated,
+        # matching DuckDB's ns→µs behavior).
+        for col_name in _NANO_TS_COLUMNS.get(name, ()):
+            if isinstance(df.schema[col_name].dataType, T.LongType):
+                df = df.withColumn(
+                    col_name, F.timestamp_micros(F.expr(f"`{col_name}` div 1000"))
+                )
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+# Tables whose timestamp columns are TIMESTAMP(NANOS) in the driver parquet.
+_NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}

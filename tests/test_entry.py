@@ -1,0 +1,36 @@
+"""Driver-contract tests: entry smoke, queries/oracle registry shape."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_SPEC = importlib.util.spec_from_file_location(
+    "__spark_entry__",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"),
+)
+entry_mod = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(entry_mod)
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "revenue" in df.columns and "criacao_data" in df.columns
+
+
+def test_registry_shapes():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 35
+    assert set(oracles) <= set(qs)
+    # every oracle-less query is an intentional rows-only op
+    rows_only = set(qs) - set(oracles)
+    assert rows_only <= {"knn_lsh_bucketed", "multimodal_feature_extract"}
+
+
+def test_queries_run_at_smallest_sf(spark, sf_dir):
+    qs = entry_mod.queries()
+    for name in ("q1_pricing_summary", "dedup_lsh_pairs", "knn_brute_force"):
+        assert qs[name](spark, sf_dir).count() >= 0

@@ -1,0 +1,195 @@
+"""Operator-level tests: filters, joins, dedup, similarity, windows, text."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sm_etl_cloud_run_spark.functions.text import token_count, word_shingles
+from sm_etl_cloud_run_spark.operators import filters, joins
+from sm_etl_cloud_run_spark.operators.aggregates import assert_no_nulls, null_counts
+from sm_etl_cloud_run_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from sm_etl_cloud_run_spark.operators.reshape import harmonize_columns, union_harmonized
+from sm_etl_cloud_run_spark.operators.similarity import brute_force_topk, lsh_topk
+from sm_etl_cloud_run_spark.operators.windows import sessionize
+
+
+def test_panel_semi_join_no_duplication(spark):
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    panel = spark.createDataFrame([(1,), (1,), (3,)], "pk int")  # repeated key
+    out = filters.panel_semi_join(fact, panel, "k", "pk").collect()
+    assert sorted(r["k"] for r in out) == [1, 3]
+
+
+def test_composite_condition_or_semantics(spark):
+    df = spark.createDataFrame(
+        [("70", "X", "Z"), ("00", "F20", "Z"), ("00", "X", "2515"), ("00", "X", "Z")],
+        "tp string, cid string, cbo string",
+    )
+    cond = filters.composite_condition(
+        equals=[(F.col("tp"), "70")],
+        prefixes=[(F.col("cid"), ["F"])],
+        isin=[(F.col("cbo"), ["2515"])],
+    )
+    assert df.where(cond).count() == 3
+
+
+def test_null_when(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    out = filters.null_when(df, F.col("a") == 1, "b").orderBy("a").collect()
+    assert [r["b"] for r in out] == [None, "y"]
+
+
+def test_retention_window(spark):
+    rows = [
+        ("A", dt.date(2024, 8, 1)),
+        ("A", dt.date(2022, 1, 1)),  # older than 13 months from group max
+        ("B", dt.date(2020, 1, 1)),  # its own group max → kept
+    ]
+    df = spark.createDataFrame(rows, "g string, d date")
+    out = filters.retention_window(df, ["g"], "d", months=13).collect()
+    assert sorted((r["g"], r["d"]) for r in out) == [
+        ("A", dt.date(2024, 8, 1)),
+        ("B", dt.date(2020, 1, 1)),
+    ]
+
+
+def test_range_join_attaches_period(spark):
+    fact = spark.createDataFrame([(dt.date(2024, 8, 15),), (dt.date(2024, 9, 2),)], "d date")
+    periods = spark.createDataFrame(
+        [
+            (dt.date(2024, 8, 1), dt.date(2024, 8, 31), "2024.M8"),
+            (dt.date(2024, 9, 1), dt.date(2024, 9, 30), "2024.M9"),
+        ],
+        "data_inicio date, data_fim date, codigo string",
+    )
+    out = joins.range_join(
+        fact, periods, F.col("d"), attach={"codigo": "periodo"}
+    ).orderBy("d").collect()
+    assert [r["periodo"] for r in out] == ["2024.M8", "2024.M9"]
+
+
+def test_broadcast_lookup(spark):
+    fact = spark.createDataFrame([(355030,), (999999,)], "id_sus int")
+    dim = spark.createDataFrame([(355030, "m-sp")], "id_sus_dim int, id string")
+    out = joins.broadcast_lookup(
+        fact, dim, F.col("id_sus") == F.col("id_sus_dim"), select={"id": "geo_id"}
+    ).orderBy("id_sus").collect()
+    assert [r["geo_id"] for r in out] == ["m-sp", None]
+
+
+def test_null_counts_and_validator(spark):
+    df = spark.createDataFrame([(1, None), (None, "x")], "a int, b string")
+    row = null_counts(df).collect()[0]
+    assert row["n_rows"] == 2 and row["nulls_a"] == 1 and row["nulls_b"] == 1
+    try:
+        assert_no_nulls(df, ["a"])
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as exc:
+        assert "a" in str(exc)
+
+
+def test_harmonize_and_union(spark):
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([(2,)], "k int")
+    b2 = harmonize_columns(b, ["k", "v"])
+    out = union_harmonized(a, b2).orderBy("k").collect()
+    assert [r["v"] for r in out] == ["x", None]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id int, t string")
+    assert exact_dedup(df, ["t"]).count() == 2
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(1, text), (2, text), (3, "completely different words here baby")],
+                               "doc_id int, text string")
+    sigs = minhash_signatures(df, num_hashes=4).collect()
+    by_id = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(4)) for r in sigs}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_lsh_finds_identical_pair(spark):
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "nothing in common with the others at all whatsoever")],
+        "doc_id int, text string",
+    )
+    sigs = minhash_signatures(df, num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 2 and r["est_jaccard"] == 1.0 for r in pairs)
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c}: jaccard = 1/2
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], "doc_id int, text string")
+    out = ngram_jaccard_pairs(df, shingle_k=3, threshold=0.0).collect()
+    assert len(out) == 1 and abs(out[0]["jaccard"] - 0.5) < 1e-12
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "spark query engine fast"), (2, "spark query engine fast"), (3, "zz yy xx ww vv uu")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash(df, num_bits=16).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("one two",), ("",)], "text string")
+    out = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()
+    assert out[0]["s"] == [] and out[1]["s"] == []
+
+
+def test_token_count_empty(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("a b",)], "text string")
+    out = [r["n"] for r in df.select(token_count(F.col("text")).alias("n")).collect()]
+    assert out == [0, 0, 2]
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = brute_force_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+
+
+def test_lsh_topk_same_bucket_returns_query_neighbors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [-1.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = lsh_topk(df, [1.0, 0.05], [[1.0, 0.0]], k=5).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 3 not in ids and 1 in ids
+
+
+def test_sessionize_gap(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=10)),
+        (1, base + dt.timedelta(minutes=90)),  # new session
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = sessionize(df, gap_minutes=30).collect()
+    sess = {(r["user_id"], r["ts"]): r["session_id"] for r in out}
+    assert sess[(1, base)] == 1
+    assert sess[(1, base + dt.timedelta(minutes=10))] == 1
+    assert sess[(1, base + dt.timedelta(minutes=90))] == 2
+    assert sess[(2, base)] == 1

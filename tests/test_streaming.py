@@ -1,0 +1,92 @@
+"""Incremental-gate + Structured Streaming tests (SURVEY §2.9)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sm_etl_cloud_run_spark.streaming.incremental import IncrementalJob, JobRunner, gate_pending_runs
+from sm_etl_cloud_run_spark.streaming.stream_ops import (
+    read_events_stream,
+    run_stream_to_memory,
+    streaming_sessions,
+    windowed_counts,
+)
+
+
+def _control(spark):
+    t = dt.datetime(2024, 8, 1, 12, 0)
+    rows = [
+        # (tipo, mod_ftp, etl_gcs, load_bd)
+        ("PA", t, None, None),                         # never landed → baixar pending
+        ("PA", t, t + dt.timedelta(hours=1), None),    # fresh in gcs → inserir pending
+        ("BI", t, t - dt.timedelta(hours=1), None),    # ftp newer → baixar pending
+        ("BI", t, t + dt.timedelta(hours=1), t + dt.timedelta(hours=2)),  # all fresh
+    ]
+    return spark.createDataFrame(
+        rows,
+        "tipo string, timestamp_modificacao_ftp timestamp, "
+        "timestamp_etl_gcs timestamp, timestamp_load_bd timestamp",
+    )
+
+
+def test_gate_pending_runs(spark):
+    c = _control(spark)
+    assert gate_pending_runs(c, "baixar").count() == 2
+    assert gate_pending_runs(c, "baixar", tipo="BI").count() == 1
+    # inserir: etl_gcs newer than load_bd (or load null, but etl must exist to compare)
+    pend = gate_pending_runs(c, "inserir").where(F.col("timestamp_etl_gcs").isNotNull())
+    assert pend.count() == 2
+
+
+def test_job_runner_dispatch(spark):
+    seen = []
+    runner = JobRunner([IncrementalJob("PA", "baixar", lambda s, row: seen.append(row["tipo"]))])
+    # only the PA row with NULL etl_gcs is stale for 'baixar'
+    n = runner.run_pending(spark, _control(spark), "PA", "baixar")
+    assert n == 1 and seen == ["PA"]
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1, 10, 15)
+    rows = [
+        (base, "click", 1.0),
+        (base + dt.timedelta(minutes=20), "click", 2.0),
+        (base + dt.timedelta(hours=2), "view", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    path = str(tmp_path / "events")
+    df.repartition(2).write.parquet(path)
+
+    batch = windowed_counts(spark.read.parquet(path), window="1 hour")
+    stream = windowed_counts(read_events_stream(spark, path, df.schema), window="1 hour")
+    # 'complete' mode: with a finite file source the watermark never
+    # advances past the last window, so 'append' would emit nothing
+    q = run_stream_to_memory(stream, "win_out", output_mode="complete")
+    try:
+        got = spark.sql("SELECT * FROM win_out")
+        b = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"]) for r in batch.collect()}
+        s = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"]) for r in got.collect()}
+        assert b == s and len(b) == 2
+    finally:
+        q.stop()
+
+
+def test_streaming_sessions(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (base, 1, "click", 0.0),
+        (base + dt.timedelta(minutes=5), 1, "click", 0.0),
+        (base + dt.timedelta(hours=3), 1, "click", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, event_type string, value double")
+    path = str(tmp_path / "sess")
+    df.write.parquet(path)
+    stream = streaming_sessions(read_events_stream(spark, path, df.schema), gap="30 minutes")
+    q = run_stream_to_memory(stream, "sess_out", output_mode="complete")
+    try:
+        got = spark.sql("SELECT * FROM sess_out ORDER BY session_start").collect()
+        assert [r["n_events"] for r in got] == [2, 1]
+    finally:
+        q.stop()
