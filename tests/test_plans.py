@@ -1,0 +1,71 @@
+"""Physical-plan assertions — the 100 TB design contract.
+
+These pin the plan shapes that make the engine scale:
+- filters reach the parquet scan (PushedFilters),
+- scans prune to referenced columns only (ReadSchema),
+- dimension joins broadcast (no fact-side shuffle),
+- hot paths stay JVM-side (no BatchEvalPython / row-wise Python).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from sm_etl_cloud_run_spark.plans import get
+
+
+def _plan(spark, name, sf_dir, mode="formatted") -> str:
+    df = get(name).fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, "q1_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched columns must not be read
+    assert "l_partkey" not in plan
+    assert "l_suppkey" not in plan
+
+
+def test_flagship_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, "flagship_panel_enrichment", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # panel + part-flag semi-joins should be broadcast, not shuffle
+    assert "LeftSemi BuildRight" in plan
+
+
+def test_period_equi_join_is_hash_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, "j1_period_equi_join", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_period_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    # the general interval form: acceptable ONLY because the dim is tiny
+    plan = _plan(spark, "j1_period_range_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_no_python_udf_in_hot_paths(spark, sf_dir):
+    for q in (
+        "q1_pricing_summary",
+        "flagship_panel_enrichment",
+        "dedup_minhash_signatures",
+        "dedup_lsh_pairs",
+        "knn_brute_force",
+        "text_token_stats",
+        "events_hourly_rollup",
+    ):
+        plan = _plan(spark, q, sf_dir)
+        assert "BatchEvalPython" not in plan, q
+        assert "ArrowEvalPython" not in plan, q
+
+
+def test_semi_join_used_for_panel_filter(spark, sf_dir):
+    plan = _plan(spark, "f1_panel_semi_join", sf_dir)
+    assert "LeftSemi" in plan

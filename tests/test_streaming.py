@@ -56,8 +56,11 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
         (base + dt.timedelta(hours=2), "view", 5.0),
     ]
     df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    # single file: with maxFilesPerTrigger=1, multi-file order is
+    # nondeterministic and a later file can advance the watermark past
+    # earlier events (they'd be dropped as late)
     path = str(tmp_path / "events")
-    df.repartition(2).write.parquet(path)
+    df.coalesce(1).write.parquet(path)
 
     batch = windowed_counts(spark.read.parquet(path), window="1 hour")
     stream = windowed_counts(read_events_stream(spark, path, df.schema), window="1 hour")
@@ -82,7 +85,7 @@ def test_streaming_sessions(spark, tmp_path):
     ]
     df = spark.createDataFrame(rows, "ts timestamp, user_id long, event_type string, value double")
     path = str(tmp_path / "sess")
-    df.write.parquet(path)
+    df.coalesce(1).write.parquet(path)
     stream = streaming_sessions(read_events_stream(spark, path, df.schema), gap="30 minutes")
     q = run_stream_to_memory(stream, "sess_out", output_mode="complete")
     try:
