@@ -65,11 +65,14 @@ def minhash_signatures(
     """MinHash signature per document: `sig_0 … sig_{n-1}` hex columns.
 
     Plan: explode shingles once, then ONE hash aggregate with
-    `num_hashes` min(md5) columns. Each shingle string is built exactly
-    once and the mins combine map-side, so the doc_id shuffle carries
-    ~one row per doc per partition. (The array-native alternative —
-    transform + array_min per seed — recomputes the shingle array per
-    seed and runs interpreted, ~10× slower at bench scale.)
+    `num_hashes` min() columns. Each md5 digest yields FOUR independent
+    8-hex-chunk hashes (a 128-bit digest is 4 uniform 32-bit values),
+    so `num_hashes` signatures cost only ceil(n/4) salted digests per
+    shingle — md5 is the dominant cost at corpus scale. Mins combine
+    map-side, so the doc_id shuffle carries ~one row per doc per
+    partition. (The array-native alternative — transform + array_min
+    per seed — recomputes the shingle array per seed and runs
+    interpreted, ~10× slower at bench scale.)
 
     Docs shorter than `shingle_k` words produce no shingles and drop out
     (they can't near-dup match anyway).
@@ -77,9 +80,16 @@ def minhash_signatures(
     exploded = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__sh")
     )
-    return exploded.groupBy(id_col).agg(
+    n_digests = (num_hashes + 3) // 4
+    digests = {
+        d: F.md5(F.concat(F.lit(f"{d}:"), F.col("__sh"))) for d in range(n_digests)
+    }
+    with_digests = exploded.select(
+        id_col, *[digests[d].alias(f"__h{d}") for d in range(n_digests)]
+    )
+    return with_digests.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh")))).alias(f"sig_{i}")
+            F.min(F.substring(F.col(f"__h{i // 4}"), 8 * (i % 4) + 1, 8)).alias(f"sig_{i}")
             for i in range(num_hashes)
         ]
     )
@@ -103,10 +113,10 @@ def lsh_candidate_pairs(
     matching signature components.
     """
     # Signatures feed four plan branches (two band sides + two sig
-    # re-joins); cache them — the cluster-scale analog is persisting the
-    # signature table before the bucket join.
-    signatures = signatures.cache()
-
+    # re-joins). No explicit cache: the branches share an identical
+    # aggregate subplan, so Spark's ReusedExchange computes it once —
+    # measured faster than InMemoryRelation here. At warehouse scale the
+    # signature table would be persisted as its own artifact instead.
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):

@@ -211,8 +211,10 @@ sh AS (
 
 
 def _sig_select() -> str:
+    # mirror the engine's chunked-digest scheme: digest d = md5('d:'||s),
+    # sig_i = min over shingles of digest[i//4] hex chunk [8*(i%4)+1, 8]
     cols = ",\n       ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min') AS sig_{i}"
+        f"list_aggregate(list_transform(shingles, s -> substr(md5('{i // 4}:' || s), {8 * (i % 4) + 1}, 8)), 'min') AS sig_{i}"
         for i in range(NUM_HASHES)
     )
     # docs with no shingles (< k tokens) drop out, matching the engine
