@@ -1,0 +1,100 @@
+"""SISAB production-report pipelines (melt-shaped, SURVEY §3 fourth family).
+
+Reference behavior (utilitarios/sisab_relatorio_producao_utilitarios.py:280-354,
+etl/sisab_tipo_equipe_por_tipo_producao.py:40-255,
+etl/sisab_resolutividade_por_condicao.py): scraped wide report →
+unpivot to long (R1) → NULL→0 int measures (C18) → panel filter (F1) →
+period/geo enrichment (J1/J2) → audit columns → fixed column order (P6).
+
+The scrape itself is driver-side (sources/sisab.py parses the report
+text); this module owns the distributed transform.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import fill_zero_long
+from ..functions.dates import now_gmt_minus3
+from ..functions.ids import deterministic_row_id, uuid7_column
+from ..operators import joins
+from ..operators.reshape import melt
+
+
+def transform_sisab_producao(
+    report: DataFrame,
+    *,
+    variavel_coluna: str,
+    variavel_saida: str,
+    competencia,  # datetime.date of the report request
+    panel_ids: Sequence[str] | None = None,
+    periods: DataFrame | None = None,
+    geo: DataFrame | None = None,
+    measure_name: str = "quantidade_registrada",
+    deterministic_ids: bool = False,
+) -> DataFrame:
+    """Wide municipality report → long, typed, enriched fact."""
+    id_vars = ["Uf", "Ibge", "Municipio"]
+    value_vars = [c for c in report.columns if c not in id_vars]
+
+    # R1 — verticalize: one row per (municipality, category)
+    long = melt(report, id_vars, value_vars, variavel_saida, "quantidade_aprovada")
+
+    # C18 — measures: NULL→0, decimal-string → long
+    long = long.withColumn(
+        measure_name,
+        fill_zero_long(F.col("quantidade_aprovada").cast("double").cast("long")),
+    ).drop("quantidade_aprovada")
+
+    # P1 — canonical names; record the request competência (P3)
+    long = (
+        long.withColumnRenamed("Ibge", "unidade_geografica_id_sus")
+        .withColumnRenamed("Uf", "uf_sigla")
+        .withColumnRenamed("Municipio", "municipio_nome")
+        .withColumn("periodo_data_inicio", F.lit(competencia).cast("date"))
+    )
+
+    # F1 — active-panel municipalities
+    if panel_ids is not None:
+        long = long.where(F.col("unidade_geografica_id_sus").isin(list(panel_ids)))
+
+    # P9 — row id
+    if deterministic_ids:
+        long = long.withColumn(
+            "id",
+            deterministic_row_id(
+                F.col("unidade_geografica_id_sus"), F.col(variavel_saida), F.lit(str(competencia))
+            ),
+        )
+    else:
+        long = long.withColumn("id", uuid7_column())
+
+    # J1/J2 — period + geography enrichment
+    if periods is not None:
+        long = joins.period_equi_join(
+            long, periods.select("data_inicio", "id"),
+            F.col("periodo_data_inicio"), attach={"id": "periodo_id"},
+        )
+    if geo is not None:
+        long = joins.broadcast_lookup(
+            long, geo.select("id_sus", "id"),
+            F.col("unidade_geografica_id_sus") == geo["id_sus"],
+            select={"id": "unidade_geografica_id"},
+        )
+
+    # P3/P5/P6 — audit stamp, drop helper columns, fixed order
+    long = long.withColumn("atualizacao_data", now_gmt_minus3()).drop("uf_sigla", "municipio_nome")
+    ordered = [
+        "id",
+        "unidade_geografica_id",
+        "unidade_geografica_id_sus",
+        "periodo_id",
+        "periodo_data_inicio",
+        variavel_saida,
+        measure_name,
+        "atualizacao_data",
+    ]
+    return long.select(*[c for c in ordered if c in long.columns])

@@ -1,0 +1,232 @@
+"""Pipeline tests for BPA-i, RAAS, AIH-RD (vintages), SCNES (surgery),
+SISAB (melt shape) and the EP3 metadata refresh."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sm_etl_cloud_run_spark.pipelines import (
+    AIH_RD_SPEC,
+    BPA_I_SPEC,
+    HABILITACOES_SPEC,
+    RAAS_PS_SPEC,
+    VINCULOS_SPEC,
+    atualizar_controle,
+    condicao_saude_mental_bpa_i,
+    transform_fact,
+    transform_sisab_producao,
+)
+from sm_etl_cloud_run_spark.sources import parse_sisab_report
+
+
+def _row_df(spark, spec, overrides, default="X"):
+    cols = spec.raw_columns
+    row = {c: default for c in cols}
+    row.update(overrides)
+    present = [c for c in cols if row.get(c, "__absent__") != "__absent__"]
+    data = [tuple(row[c] for c in present)]
+    return spark.createDataFrame(data, ", ".join(f"`{c}` string" for c in present))
+
+
+def test_bpa_i_flags_and_condition(spark):
+    raw = _row_df(
+        spark,
+        BPA_I_SPEC,
+        {
+            "UFMUN": "355030", "MUNPAC": "355030",
+            "TPUPS": "05", "CBOPROF": "251510",  # passes via CBO prefix 2515
+            "CIDPRI": "A00", "PROC_ID": "1", "CATEND": "01",
+            "DT_PROCESS": "202408", "DT_ATEND": "202408", "DTNASC": "1990 101",
+            "MN_IND": "I", "UFDIF": "1", "MNDIF": "0",
+            "CNPJMNT": "00000000000000",
+        },
+    )
+    out = transform_fact(
+        raw, BPA_I_SPEC,
+        panel_ids=["355030"], panel_raw_cols=("UFMUN", "MUNPAC"),
+        condition=condicao_saude_mental_bpa_i(),
+        ftp_arquivo_nome="BISP2408.dbc", deterministic_ids=True,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["usuario_nascimento_data"] == dt.date(1990, 1, 1)  # space-padded C10
+    assert r["atendimento_residencia_ufs_distintas"] is True  # '1' flag (not tri-state)
+    assert r["atendimento_residencia_municipios_distintos"] is False
+    assert r["mantenedora_id_cnpj"] is None
+
+
+def test_raas_substance_flags_and_interval(spark):
+    raw = _row_df(
+        spark,
+        RAAS_PS_SPEC,
+        {
+            "UFMUN": "355030", "DT_PROCESS": "202408", "DT_ATEND": "202408",
+            "MN_IND": "M", "SIT_RUA": "S", "COB_ESF": "N",
+            "TP_DROGA": "AC", "PERMANEN": "45",
+            "DTNASC": "19900101", "DT_MOTCOB": "", "DT_INICIO": "20240801",
+            "DT_FIM": "20240815", "INICIO": "20240801", "FIM": "20240815",
+        },
+    )
+    out = transform_fact(raw, RAAS_PS_SPEC, ftp_arquivo_nome="PSSP2408.dbc", deterministic_ids=True).collect()
+    r = out[0]
+    assert r["usuario_abuso_substancias"] is True          # len>0
+    assert r["usuario_abuso_substancias_alcool"] is True   # contains A
+    assert r["usuario_abuso_substancias_crack"] is True    # contains C
+    assert r["usuario_abuso_substancias_outras"] is False
+    assert r["usuario_situacao_rua"] is True and r["esf_cobertura"] is False
+    assert r["permanencia_duracao"] == "45 days"           # C16
+    assert r["desfecho_data"] is None                      # '' date → NULL
+
+
+def test_raas_empty_substance_is_false(spark):
+    raw = _row_df(
+        spark, RAAS_PS_SPEC,
+        {"DT_PROCESS": "202408", "DT_ATEND": "202408", "TP_DROGA": "", "PERMANEN": "",
+         "MN_IND": "I", "SIT_RUA": "N", "COB_ESF": "N",
+         "DTNASC": "19900101", "DT_MOTCOB": "20240801", "DT_INICIO": "20240801",
+         "DT_FIM": "20240815", "INICIO": "20240801", "FIM": "20240815"},
+    )
+    r = transform_fact(raw, RAAS_PS_SPEC, deterministic_ids=True).collect()[0]
+    assert r["usuario_abuso_substancias"] is False
+    assert r["usuario_abuso_substancias_alcool"] is False
+    assert r["permanencia_duracao"] is None
+
+
+def test_aih_rd_vintage_harmonization(spark):
+    # OLD vintage: no "adicionais" raw columns at all (P4 adds them)
+    base_only = {c: "1" for c in AIH_RD_SPEC.rename if c not in AIH_RD_SPEC.optional_raw}
+    base_only.update({
+        "ANO_CMPT": "2024", "MES_CMPT": "8",
+        "NASC": "19900101", "DT_INTER": "20240801", "DT_SAIDA": "20240815",
+        "GESTOR_DT": "20240810", "MORTE": "1", "IND_VDRL": "0",
+        "HOMONIMO": "", "GESTRISCO": "1", "TPDISEC1": "00",
+    })
+    cols = list(base_only)
+    raw = spark.createDataFrame(
+        [tuple(base_only[c] for c in cols)], ", ".join(f"`{c}` string" for c in cols)
+    )
+    out = transform_fact(raw, AIH_RD_SPEC, ftp_arquivo_nome="RDSP2408.dbc", deterministic_ids=True)
+    r = out.collect()[0]
+    assert r["periodo_data_inicio"] == dt.date(2024, 8, 1)       # C12 from ano+mes
+    assert "processamento_periodo_ano_inicio" not in out.columns  # sources dropped
+    assert r["obito"] is True and r["exame_vdrl"] is False and r["usuario_homonimo"] is None
+    assert r["estabelecimento_natureza_id_scnes"] is None         # adicionais added as '' → NULL
+    assert r["condicao_secundaria_1_id_cid10"] is None
+    assert r["aih_data_inicio"] == dt.date(2024, 8, 1)
+
+
+def test_scnes_vinculos_string_surgery(spark):
+    raw = _row_df(
+        spark, VINCULOS_SPEC,
+        {
+            "COMPETEN": "202408",
+            "REGSAUDE": "XII",          # roman → '12' → zfill4 '0012'
+            "DISTRSAN": "7",            # zfill4 '0007'
+            "MICR_REG": "35001",        # zfill6 '035001'
+            "DISTRADM": "ABC",          # roman-invalid kept, strip? no: only REGSAUDE stripped → 'ABC'
+            "REGISTRO": "CRM-12.345",   # strip non-digits → '12345'
+            "NIV_DEP": "1",             # mantido flag '1'
+            "TERCEIRO": "0", "VINCUL_C": "1", "VINCUL_A": "", "VINCUL_N": "0",
+            "PROF_SUS": "1", "PROFNSUS": "0",
+            "CODUFMUN": "355030",
+        },
+    )
+    r = transform_fact(raw, VINCULOS_SPEC, ftp_arquivo_nome="PFSP2408.dbc", deterministic_ids=True).collect()[0]
+    assert r["estabelecimento_regiao_saude_id_sus"] == "0012"
+    assert r["estabelecimento_distrito_sanitario_id_sus"] == "0007"
+    assert r["estabelecimento_microrregiao_saude_id_sus"] == "035001"
+    assert r["profissional_id_conselho"] == "12345"
+    assert r["estabelecimento_mantido"] is True
+    assert r["contratado"] is True and r["autonomo"] is None and r["sem_vinculo_definido"] is False
+    assert r["periodo_data_inicio"] == dt.date(2024, 8, 1)
+
+
+def test_scnes_vinculos_invalid_roman_all_zero_path(spark):
+    # 'ABC' roman-invalid → passthrough → strip → '' → zfill '0000' → NULL (C3)
+    raw = _row_df(
+        spark, VINCULOS_SPEC,
+        {"COMPETEN": "202408", "REGSAUDE": "ABC", "NIV_DEP": "0",
+         "TERCEIRO": "0", "VINCUL_C": "0", "VINCUL_A": "0", "VINCUL_N": "0",
+         "PROF_SUS": "0", "PROFNSUS": "0", "REGISTRO": "1", "CODUFMUN": "355030"},
+    )
+    r = transform_fact(raw, VINCULOS_SPEC, deterministic_ids=True).collect()[0]
+    assert r["estabelecimento_regiao_saude_id_sus"] is None
+
+
+def test_scnes_habilitacoes_dates(spark):
+    raw = _row_df(
+        spark, HABILITACOES_SPEC,
+        {
+            "COMPETEN": "202408", "CMPT_INI": "202401", "CMPT_FIM": "202412",
+            "MAPORTAR": "202312", "DTPORTAR": "15/03/2023",
+            "NIV_DEP": "1", "TERCEIRO": "1", "VINC_SUS": "1",
+            "REGSAUDE": "IV", "NULEITOS": "12", "CODUFMUN": "355030",
+        },
+    )
+    r = transform_fact(raw, HABILITACOES_SPEC, deterministic_ids=True).collect()[0]
+    assert r["portaria_data"] == dt.date(2023, 3, 15)        # C11 dd/MM/yyyy
+    assert r["vigencia_data_inicio"] == dt.date(2024, 1, 1)
+    assert r["estabelecimento_regiao_saude_id_sus"] == "0004"  # roman IV → 4 → zfill
+    assert r["atendimento_sus"] is True
+
+
+_REPORT = (
+    "header junk\n\n\n"
+    "Uf;Ibge;Municipio;eAP;eSF;Unnamed: 5\n"
+    "SP;0355030;São Paulo;1.234;7;\n"
+    "SP;0355031;Outro;;3;\n"
+    "RJ;330455;Rio;5;0;\n"
+    "\n\n\nFonte: SISAB"
+)
+
+
+def test_sisab_pipeline_end_to_end(spark):
+    wide = parse_sisab_report(spark, _REPORT)
+    periods = spark.createDataFrame([(dt.date(2024, 8, 1), "p-2024-08-M")], "data_inicio date, id string")
+    geo = spark.createDataFrame([("0355030", "m-sp"), ("330455", "m-rj")], "id_sus string, id string")
+    out = transform_sisab_producao(
+        wide,
+        variavel_coluna="Tipo de Equipe",
+        variavel_saida="tipo_equipe",
+        competencia=dt.date(2024, 8, 1),
+        panel_ids=["0355030", "330455"],
+        periods=periods,
+        geo=geo,
+        deterministic_ids=True,
+    )
+    rows = {(r["unidade_geografica_id_sus"], r["tipo_equipe"]): r for r in out.collect()}
+    assert len(rows) == 4  # 2 panel municipalities × 2 team types
+    # C19-adjacent: '1.234' thousands-dot parses via double cast? value kept textual here:
+    assert rows[("0355030", "eSF")]["quantidade_registrada"] == 7
+    assert rows[("330455", "eAP")]["quantidade_registrada"] == 5
+    assert rows[("0355030", "eAP")]["periodo_id"] == "p-2024-08-M"
+    assert rows[("0355030", "eAP")]["unidade_geografica_id"] == "m-sp"
+    assert out.columns[0] == "id" and out.columns[-1] == "atualizacao_data"  # P6 order
+
+
+def test_ftp_metadados_refresh_ep3(spark, tmp_path):
+    control = str(tmp_path / "sm_metadados_ftp")
+    lines_v1 = [
+        "09-03-24  03:45PM       100 PASP2408_1.dbc",
+        "09-03-24  03:46PM       200 PASP2408_2.dbc",
+        "08-01-24  01:00PM       300 PASP2407.dbc",
+        "01-01-20  01:00PM       400 PASP2001.dbc",  # older than 13 months → dropped (F6)
+    ]
+    atualizar_controle(spark, lines_v1, control, prefixes=("PA",))
+    rows = {r["nome"]: r for r in spark.read.parquet(control).collect()}
+    assert set(rows) == {"PASP2408", "PASP2407"}
+    assert rows["PASP2408"]["tamanho"] == 300            # A1 shard rollup
+    assert rows["PASP2408"]["particoes"] == "_1.dbc,_2.dbc"
+
+    # second refresh: one file re-uploaded with new mtime (K5 update path)
+    lines_v2 = [
+        "09-04-24  09:00AM       150 PASP2408_1.dbc",
+        "09-03-24  03:46PM       200 PASP2408_2.dbc",
+        "08-01-24  01:00PM       300 PASP2407.dbc",
+    ]
+    atualizar_controle(spark, lines_v2, control, prefixes=("PA",))
+    rows2 = {r["nome"]: r for r in spark.read.parquet(control).collect()}
+    assert rows2["PASP2408"]["tamanho"] == 350           # updated (mtime changed)
+    assert rows2["PASP2407"]["tamanho"] == 300           # untouched
