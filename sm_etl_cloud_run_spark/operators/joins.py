@@ -86,6 +86,66 @@ def period_equi_join(
     return fact2.join(F.broadcast(p), "__month", "left").select(*keep)
 
 
+def bucketed_range_join(
+    fact: DataFrame,
+    periods: DataFrame,
+    date_col: Column,
+    *,
+    start_col: str = "data_inicio",
+    end_col: str = "data_fim",
+    attach: dict[str, str],
+) -> DataFrame:
+    """J1 scale path for ARBITRARY intervals: explode each interval into
+    the calendar months it covers, equi-join on the fact date's month,
+    then post-filter the exact range.
+
+    Turns the O(facts × intervals) nested loop into a hash join on month
+    buckets + a cheap residual filter — the strategy that survives when
+    the interval dim grows past nested-loop practicality. Intervals may
+    overlap; facts matching several intervals produce several rows (same
+    as the general range join).
+    """
+    p = periods.withColumn(
+        "__month",
+        F.explode(
+            F.sequence(
+                F.trunc(F.col(start_col), "MM"), F.trunc(F.col(end_col), "MM"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ),
+    )
+    f = fact.withColumn("__month", F.trunc(date_col, "MM")).withColumn("__d", date_col)
+    joined = f.join(F.broadcast(p), "__month", "left").where(
+        F.col("__d").isNull()
+        | (F.col(start_col).isNull())
+        | ((F.col("__d") >= F.col(start_col)) & (F.col("__d") <= F.col(end_col)))
+    )
+    keep = [f[c] for c in fact.columns] + [p[src].alias(dst) for src, dst in attach.items()]
+    return joined.select(*keep)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (skewed) left side's key into
+    `salt` sub-keys and replicate the right side across all salts.
+
+    AQE's skew-join handles most cases at runtime; explicit salting is
+    for the pathological hot key (one key ≫ a partition) where even
+    split partitions serialize on a single joiner. Right side is
+    replicated `salt`× — use when right is the smaller input.
+    """
+    lt = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    rt = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = lt.join(rt, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def with_next_period(periods: DataFrame, *, order_col: str = "data_inicio", partition_cols: tuple[str, ...] = ()) -> DataFrame:
     """J4: successor period via `lead` (reference walks `data_fim + 1 day`
     back through the lookup, utilitarios/datas.py:114-128)."""

@@ -94,6 +94,64 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+) -> DataFrame:
+    """IVF coarse quantization: attach the nearest-centroid index.
+
+    At warehouse scale the cluster id becomes the partition key of the
+    stored index, so probes scan ~1/k of the data; here it's computed on
+    the fly. Ties break toward the lower centroid index.
+    """
+    best = None
+    for i, c in enumerate(centroids):
+        sim = cosine_similarity(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c]))
+        pair = F.struct(sim.alias("sim"), F.lit(-i).alias("neg_idx"))
+        best = pair if best is None else F.when(
+            (pair["sim"] > best["sim"])
+            | ((pair["sim"] == best["sim"]) & (pair["neg_idx"] > best["neg_idx"])),
+            pair,
+        ).otherwise(best)
+    assert best is not None
+    return embeddings.withColumn(cluster_col, (-best["neg_idx"]).cast("int"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: score only vectors in the `nprobe` centroids nearest
+    to the query (approximate; recall grows with nprobe)."""
+    import math
+
+    def fp_dot(a: list[float], b: list[float]) -> int:
+        return sum(int(round(x * y * _SCALE)) for x, y in zip(a, b))
+
+    def cos(a: list[float], b: list[float]) -> float:
+        return fp_dot(a, b) / math.sqrt(float(fp_dot(a, a)) * float(fp_dot(b, b)))
+
+    ranked = sorted(range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i))
+    probe = ranked[:nprobe]
+    assigned = ivf_assign(embeddings, centroids, vec_col=vec_col)
+    candidates = assigned.where(F.col("ivf_cluster").isin(probe))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        candidates.select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def embedding_cosine_dup_pairs(
     embeddings: DataFrame,
     *,

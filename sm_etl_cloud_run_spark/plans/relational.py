@@ -379,6 +379,24 @@ def j1_period_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("periodo_data_inicio", F.col("periodo_data_inicio").cast("timestamp"))
 
 
+@register("j1_period_bucketed_range_join", oracle=_J1_ORACLE, bench=True,
+          description="J1 scale path: interval→month-bucket explode + hash join + residual filter")
+def j1_period_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    periods = _month_periods(t["orders"])
+    enriched = joins.bucketed_range_join(
+        t["orders"],
+        periods,
+        F.to_date(F.col("o_orderdate")),
+        attach={"codigo": "periodo_codigo", "data_inicio": "periodo_data_inicio"},
+    )
+    return enriched.groupBy("periodo_codigo", "periodo_data_inicio").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        (F.sum(_cents("o_totalprice")).cast("double") / 100.0).alias("total_price"),
+    ).withColumn("periodo_data_inicio", F.col("periodo_data_inicio").cast("timestamp"))
+
+
 _J4_ORACLE = """
 WITH periodos AS (
   SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS data_inicio FROM orders

@@ -116,6 +116,24 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_ivf",
+          description="IVF coarse-quantized approximate top-k (nprobe=2; rows-only check)")
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id").isin([5, 6, 7, 8])).orderBy("vec_id").collect()
+    ]
+    qv = [float(x) for x in emb.where(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["embedding"]]
+    return ivf_topk(
+        emb.where(F.col("vec_id") != _QUERY_VEC_ID), qv, centroids,
+        id_col="vec_id", vec_col="embedding", k=_TOPK, nprobe=2,
+    )
+
+
 @register("multimodal_feature_extract",
           description="multimodal plumbing: binary payload → feature vector via "
                       "mapInPandas (decode stubbed; rows-only check)")

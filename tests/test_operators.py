@@ -178,6 +178,47 @@ def test_lsh_topk_same_bucket_returns_query_neighbors(spark):
     assert 3 not in ids and 1 in ids
 
 
+def test_bucketed_range_join_matches_general(spark):
+    fact = spark.createDataFrame(
+        [(dt.date(2024, 8, 15),), (dt.date(2024, 9, 2),), (dt.date(2024, 10, 1),)], "d date"
+    )
+    periods = spark.createDataFrame(
+        [
+            # multi-month interval (exercises the bucket explode)
+            (dt.date(2024, 8, 1), dt.date(2024, 9, 30), "Q3a"),
+            (dt.date(2024, 10, 1), dt.date(2024, 10, 31), "M10"),
+        ],
+        "data_inicio date, data_fim date, codigo string",
+    )
+    general = joins.range_join(fact, periods, F.col("d"), attach={"codigo": "periodo"})
+    bucketed = joins.bucketed_range_join(fact, periods, F.col("d"), attach={"codigo": "periodo"})
+    assert sorted((r["d"], r["periodo"]) for r in general.collect()) == sorted(
+        (r["d"], r["periodo"]) for r in bucketed.collect()
+    )
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    right = spark.createDataFrame([(1, "X"), (2, "Y")], "k int, w string")
+    plain = sorted((r["k"], r["v"], r["w"]) for r in left.join(right, "k").collect())
+    salted = sorted((r["k"], r["v"], r["w"]) for r in joins.salted_join(left, right, "k", salt=4).collect())
+    assert plain == salted
+
+
+def test_ivf_topk_probe_recall(spark):
+    from sm_etl_cloud_run_spark.operators.similarity import ivf_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.95, 0.05]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    # centroids: x-axis and y-axis; query near x-axis, probe only 1 cluster
+    out = ivf_topk(df, [1.0, 0.01], [[1.0, 0.0], [0.0, 1.0]], k=3, nprobe=1)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert ids[:2] == [1, 2]
+    assert 3 not in ids  # y-cluster not probed
+
+
 def test_sessionize_gap(spark):
     base = dt.datetime(2024, 1, 1, 0, 0, 0)
     rows = [
