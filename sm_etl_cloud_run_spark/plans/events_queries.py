@@ -116,6 +116,33 @@ def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rn", F.col("rn").cast("long"))
 
 
+_F5_ORACLE = """
+WITH months AS (
+  SELECT date_trunc('month', current_date) - to_months(CAST(n AS INTEGER)) AS periodo_data_inicio
+  FROM (SELECT unnest(range(0, 9)) AS n)
+)
+SELECT CAST(periodo_data_inicio AS TIMESTAMP) AS periodo_data_inicio
+FROM months
+WHERE periodo_data_inicio >= date_trunc('month', current_date) - to_months(5)
+  AND periodo_data_inicio <= date_trunc('month', current_date) - to_months(2)
+"""
+
+
+@register("f5_sliding_month_gate", oracle=_F5_ORACLE,
+          description="F5: SISAB sliding window (months −5…−2 from today)")
+def f5_sliding_month_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.filters import sliding_month_gate
+
+    load_tables(spark, sf_dir)
+    months = spark.range(0, 9).select(
+        F.add_months(F.trunc(F.current_date(), "MM"), -F.col("id").cast("int")).alias(
+            "periodo_data_inicio"
+        )
+    )
+    gated = sliding_month_gate(months, "periodo_data_inicio")
+    return gated.select(F.col("periodo_data_inicio").cast("timestamp").alias("periodo_data_inicio"))
+
+
 _GATE_ORACLE = """
 WITH control AS (
   SELECT event_type AS tipo,

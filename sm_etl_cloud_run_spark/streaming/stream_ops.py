@@ -66,6 +66,40 @@ def streaming_sessions(
     )
 
 
+def running_totals_stateful(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator: per-key running (count, sum) maintained
+    across micro-batches via `applyInPandasWithState`.
+
+    The reference has no continuous state; this is the engine's
+    scale-path primitive for accumulating per-entity aggregates over an
+    unbounded stream (Arrow-batched, state stored per key in the state
+    store — no driver involvement).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [round(total, 2)]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="key string, n long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(df: DataFrame, query_name: str, *, output_mode: str = "append"):
     """Drive a streaming DataFrame to completion against the memory sink
     (local smoke testing; production uses foreachBatch → idempotent

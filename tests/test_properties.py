@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for the scalar layer and dedup
+estimates. Each property evaluates ONE Spark job over a generated batch
+(row-per-example would be prohibitively slow)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sm_etl_cloud_run_spark.functions import cleaning
+from sm_etl_cloud_run_spark.functions.cleaning import _int_to_roman
+from sm_etl_cloud_run_spark.operators.dedup import minhash_signatures
+
+_SETTINGS = dict(max_examples=5, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet="0123456789", min_size=0, max_size=12), min_size=1, max_size=50))
+def test_zfill_properties(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "x string")
+    out = [r["y"] for r in df.select(cleaning.zfill(F.col("x"), 6).alias("y")).collect()]
+    for orig, padded in zip(values, out):
+        assert len(padded) >= 6 or len(orig) < 6
+        assert padded.endswith(orig)
+        assert padded == orig.zfill(6)  # pandas-semantics parity
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=50))
+def test_decimal_comma_roundtrip(spark, cents_list):
+    rows = [(f"{c // 100}", f"{c % 100:02d}") for c in cents_list]
+    df = spark.createDataFrame(rows, "i string, f string")
+    ptbr = F.concat(
+        F.translate(F.format_number(F.col("i").cast("long"), 0), ",", "."),
+        F.lit(","), F.col("f"),
+    )
+    out = df.select(cleaning.parse_decimal_comma(ptbr).alias("v")).collect()
+    for c, r in zip(cents_list, out):
+        assert abs(r["v"] - c / 100.0) < 1e-6
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=50))
+def test_roman_roundtrip(spark, numbers):
+    df = spark.createDataFrame([(_int_to_roman(n),) for n in numbers], "r string")
+    out = [r["y"] for r in df.select(cleaning.roman_to_int_string(F.col("r"), 50).alias("y")).collect()]
+    assert out == [str(n) for n in numbers]
+
+
+def _true_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_minhash_estimates_jaccard(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    base = [rng.choice(vocab) for _ in range(60)]
+    # mutate 15% of tokens → expect high (not exact) jaccard
+    other = [w if rng.random() > 0.15 else rng.choice(vocab) for w in base]
+    a, b = " ".join(base), " ".join(other)
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id int, text string")
+    sigs = {r["doc_id"]: [r[f"sig_{i}"] for i in range(8)] for r in minhash_signatures(df).collect()}
+    est = sum(x == y for x, y in zip(sigs[1], sigs[2])) / 8.0
+    true = _true_jaccard(a, b)
+    # 8 hashes → coarse estimate; verify it's in the right ballpark
+    assert abs(est - true) <= 0.5
+    if true == 1.0:
+        assert est == 1.0

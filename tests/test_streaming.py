@@ -10,6 +10,7 @@ from sm_etl_cloud_run_spark.streaming.incremental import IncrementalJob, JobRunn
 from sm_etl_cloud_run_spark.streaming.stream_ops import (
     read_events_stream,
     run_stream_to_memory,
+    running_totals_stateful,
     streaming_sessions,
     windowed_counts,
 )
@@ -72,6 +73,25 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
         b = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"]) for r in batch.collect()}
         s = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"]) for r in got.collect()}
         assert b == s and len(b) == 2
+    finally:
+        q.stop()
+
+
+def test_running_totals_stateful(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (base, 1, "click", 1.5),
+        (base, 2, "click", 2.5),
+        (base, 3, "view", 10.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, event_type string, value double")
+    path = str(tmp_path / "stateful")
+    df.coalesce(1).write.parquet(path)
+    stream = running_totals_stateful(read_events_stream(spark, path, df.schema))
+    q = run_stream_to_memory(stream, "totals_out", output_mode="update")
+    try:
+        got = {r["key"]: (r["n"], r["total"]) for r in spark.sql("SELECT * FROM totals_out").collect()}
+        assert got == {"click": (2, 4.0), "view": (1, 10.0)}
     finally:
         q.stop()
 
