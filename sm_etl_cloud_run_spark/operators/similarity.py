@@ -174,9 +174,30 @@ def embedding_cosine_dup_pairs(
         cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (F.col("a.__bucket") == F.col("b.__bucket"))
     else:
         cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    pairs = a.join(b, cond).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+    # Hoist the squared norms: computed once per VECTOR (n rows), not
+    # once per PAIR (n²/2) — cuts the fixed-point arithmetic ~3×.
+    norms = embeddings.select(
+        F.col(id_col).alias("__nid"), _fixed_point_sq_norm(F.col(vec_col)).alias("__sq"),
+    )
+    na = norms.select(F.col("__nid").alias("id_a"), F.col("__sq").alias("__sq_a"))
+    nb = norms.select(F.col("__nid").alias("id_b"), F.col("__sq").alias("__sq_b"))
+    dot = _fixed_point_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).cast("double")
+    pairs = (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            dot.alias("__dot"),
+        )
+        .join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__dot") / (F.sqrt(F.col("__sq_a").cast("double")) * F.sqrt(F.col("__sq_b").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
     )
     return pairs.where(F.col("cosine") >= threshold)

@@ -145,6 +145,9 @@ def test_pa_two_stage_roundtrip(spark, tmp_path):
 
     rows = {r["unidade_geografica_id_sus"]: r for r in typed.collect()}
     assert rows["355030"]["quantidade_apresentada"] == 5
+    # True booleans must survive the bronze round-trip ('True' text)
+    assert rows["355030"]["obito"] is True
+    assert rows["355030"]["estabelecimento_mantido"] is True
     # stage-2 semantics: tri-state NULLs collapse to False (SURVEY §7.3)
     assert rows["999998"]["obito"] is False
 

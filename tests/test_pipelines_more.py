@@ -172,6 +172,32 @@ def test_scnes_habilitacoes_dates(spark):
     assert r["atendimento_sus"] is True
 
 
+def test_raas_two_stage_roundtrip(spark, tmp_path):
+    from sm_etl_cloud_run_spark.pipelines import load_typed
+    from sm_etl_cloud_run_spark.sinks.partitioned import write_bronze_csv
+
+    raw = _row_df(
+        spark, RAAS_PS_SPEC,
+        {"UFMUN": "355030", "DT_PROCESS": "202408", "DT_ATEND": "202408",
+         "MN_IND": "M", "SIT_RUA": "S", "COB_ESF": "N", "TP_DROGA": "AC",
+         "PERMANEN": "45", "PA_QTDPRO": "3", "PA_QTDAPR": "2",
+         "DTNASC": "19900101", "DT_MOTCOB": "20240810", "DT_INICIO": "20240801",
+         "DT_FIM": "20240815", "INICIO": "20240801", "FIM": "20240815",
+         "QTDATE": "7", "QTDPCN": "2"},
+    )
+    out = transform_fact(raw, RAAS_PS_SPEC, ftp_arquivo_nome="PSSP2408.dbc", deterministic_ids=True)
+    bronze = str(tmp_path / "bronze")
+    write_bronze_csv(out, bronze, coalesce=1)
+    typed = load_typed(spark, bronze, RAAS_PS_SPEC, str(tmp_path / "typed"))
+    r = typed.collect()[0]
+    sch = {f.name: f.dataType.simpleString() for f in typed.schema.fields}
+    assert sch["quantidade_apresentada"] == "bigint" and r["quantidade_apresentada"] == 3
+    assert sch["usuario_abuso_substancias_alcool"] == "boolean" and r["usuario_abuso_substancias_alcool"] is True
+    assert sch["permanencia_duracao"] == "string" and r["permanencia_duracao"] == "45 days"
+    assert sch["raas_data_inicio"] == "timestamp"
+    assert r["quantidade_atendimentos"] == 7
+
+
 _REPORT = (
     "header junk\n\n\n"
     "Uf;Ibge;Municipio;eAP;eSF;Unnamed: 5\n"

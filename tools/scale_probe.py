@@ -1,0 +1,96 @@
+"""Scale probe: multiply the sf0.1 testdata N× (key-offset unions) and
+measure headline-query scaling — the local evidence that plans survive
+growth (linear-ish time, no OOM, no plan degradation).
+
+Usage: python tools/scale_probe.py [multipliers...]   (default: 1 4 16)
+Writes probe data under .scale_probe/ (gitignored), prints one JSON line
+per multiplier.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sm_etl_cloud_run_spark import plans
+from sm_etl_cloud_run_spark.session import get_spark
+from sm_etl_cloud_run_spark.tables import load_tables
+
+BASE_SF = "/root/testdata/sf0.1"
+PROBE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_probe")
+
+QUERIES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "flagship_panel_enrichment",
+    "j1_period_bucketed_range_join",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "events_hourly_rollup",
+    "text_vocab_topk",
+)
+
+# key columns to offset per copy so multiplied fact rows stay distinct
+_OFFSETS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def build_scaled(spark, mult: int) -> str:
+    out_dir = os.path.join(PROBE_DIR, f"x{mult}")
+    if os.path.exists(out_dir):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = load_tables(spark, BASE_SF)
+    for name in _DIMS:
+        t[name].write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+    for name, keys in _OFFSETS.items():
+        df = t[name]
+        maxes = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        copies = []
+        for i in range(mult):
+            c = df
+            for k in keys:
+                if k in ("o_custkey", "user_id"):
+                    continue  # keep FK domains intact (customers/users shared)
+                c = c.withColumn(k, F.col(k) + F.lit(i * maxes[k]))
+            copies.append(c)
+        scaled = copies[0]
+        for c in copies[1:]:
+            scaled = scaled.unionByName(c)
+        scaled.repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+    return out_dir
+
+
+def main() -> None:
+    mults = [int(m) for m in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark("scale-probe")
+    # warm codegen so multipliers are comparable
+    for q in QUERIES:
+        plans.get(q).fn(spark, BASE_SF.replace("sf0.1", "sf0.001")).collect()
+    for mult in mults:
+        sf_dir = build_scaled(spark, mult)
+        n_li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        timings = {}
+        for q in QUERIES:
+            t0 = time.perf_counter()
+            plans.get(q).fn(spark, sf_dir).collect()
+            timings[q] = round(time.perf_counter() - t0, 2)
+        print(json.dumps({"mult": mult, "lineitem_rows": n_li,
+                          "total_sec": round(sum(timings.values()), 2), "queries": timings}))
+
+
+if __name__ == "__main__":
+    main()
