@@ -39,6 +39,108 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SLIDING_ORACLE = """
+WITH contrib AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM contrib
+GROUP BY 1, 2
+"""
+
+
+@register("events_sliding_window", oracle=_SLIDING_ORACLE,
+          description="sliding-window agg (2h window, 1h slide): each event in 2 windows")
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100.0).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+_PCT_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT event_type,
+       CAST(quantile_cont(cents, 0.5) AS DOUBLE) / 100.0 AS median_value,
+       CAST(quantile_cont(cents, 0.9) AS DOUBLE) / 100.0 AS p90_value,
+       CAST(MAX(cents) AS DOUBLE) / 100.0 AS max_value
+FROM base
+GROUP BY event_type
+"""
+
+
+@register("percentile_metrics", oracle=_PCT_ORACLE,
+          description="exact percentiles (median/p90) over integer cents")
+def percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return t["events"].select("event_type", cents.alias("cents")).groupBy("event_type").agg(
+        (F.percentile("cents", F.lit(0.5)).cast("double") / 100.0).alias("median_value"),
+        (F.percentile("cents", F.lit(0.9)).cast("double") / 100.0).alias("p90_value"),
+        (F.max("cents").cast("double") / 100.0).alias("max_value"),
+    )
+
+
+_CORR_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d
+  FROM lineitem
+), sums AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(d) AS BIGINT) AS sd,
+         CAST(SUM(q * q) AS BIGINT) AS sqq, CAST(SUM(d * d) AS BIGINT) AS sdd,
+         CAST(SUM(q * d) AS BIGINT) AS sqd
+  FROM base GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(CAST(n * sqd - sq * sd AS DOUBLE)
+             / sqrt(CAST(n * sqq - sq * sq AS DOUBLE) * CAST(n * sdd - sd * sd AS DOUBLE)), 8) AS corr_qty_disc
+FROM sums
+"""
+
+
+@register("corr_qty_discount", oracle=_CORR_ORACLE,
+          description="Pearson correlation from exact integer moment sums")
+def corr_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    base = t["lineitem"].select(
+        "l_returnflag",
+        F.round(F.col("l_quantity"), 0).cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+    )
+    sums = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"), F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+    )
+    corr = F.round(
+        (F.col("n") * F.col("sqd") - F.col("sq") * F.col("sd")).cast("double")
+        / F.sqrt(
+            (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+            * (F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")).cast("double")
+        ),
+        8,
+    )
+    return sums.select("l_returnflag", "n", corr.alias("corr_qty_disc"))
+
+
 _SESSION_ORACLE = """
 WITH g AS (
   SELECT user_id, ts,

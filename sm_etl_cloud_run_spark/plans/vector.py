@@ -95,8 +95,44 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_lsh_bucketed",
-          description="LSH-bucketed approximate top-k (scale path; rows-only check)")
+def _bucket_sql(vec: str) -> str:
+    bits = []
+    for i, hid in enumerate((1, 2, 3)):
+        bits.append(
+            f"(CASE WHEN {_dot_sql(vec, f'h{hid}.hv')} >= 0 THEN {2**i} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+_LSH_KNN_ORACLE = f"""
+WITH h1 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id = 1),
+h2 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id = 2),
+h3 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id = 3),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+qb AS (SELECT {_bucket_sql('q.qv')} AS bucket FROM q, h1, h2, h3),
+cand AS (
+  SELECT e.vec_id, e.embedding, q.qv
+  FROM embeddings e, q, h1, h2, h3, qb
+  WHERE e.vec_id <> {_QUERY_VEC_ID}
+    AND {_bucket_sql('e.embedding')} = qb.bucket
+),
+scored AS (
+  SELECT vec_id,
+         {_dot_sql('embedding', 'qv')} AS dot_s,
+         {_dot_sql('embedding', 'embedding')} AS na_s,
+         {_dot_sql('qv', 'qv')} AS nb_s
+  FROM cand
+)
+SELECT vec_id,
+       round(CAST(dot_s AS DOUBLE) / (sqrt(CAST(na_s AS DOUBLE)) * sqrt(CAST(nb_s AS DOUBLE))), 6) AS cosine
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {_TOPK}
+"""
+
+
+@register("knn_lsh_bucketed", oracle=_LSH_KNN_ORACLE,
+          description="LSH-bucketed approximate top-k (hyperplane-sign pruning)")
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]

@@ -27,7 +27,7 @@ def test_registry_shapes():
     assert set(oracles) <= set(qs)
     # every oracle-less query is an intentional rows-only op
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {"knn_lsh_bucketed", "knn_ivf", "multimodal_feature_extract"}
+    assert rows_only <= {"knn_ivf", "multimodal_feature_extract"}
 
 
 def test_queries_run_at_smallest_sf(spark, sf_dir):

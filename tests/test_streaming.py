@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import functions as F
 
@@ -47,6 +48,32 @@ def test_job_runner_dispatch(spark):
     # only the PA row with NULL etl_gcs is stale for 'baixar'
     n = runner.run_pending(spark, _control(spark), "PA", "baixar")
     assert n == 1 and seen == ["PA"]
+
+
+_RUNNER_LOG = os.environ.get("RUNNER_LOG_PATH", "/tmp/runner_calls.log")
+
+
+def _recording_job(spark, row):
+    # the runner imports this module by path (fresh instance), so record
+    # through the filesystem rather than module state
+    with open(_RUNNER_LOG, "a") as f:
+        f.write(row["tipo"] + "\n")
+
+
+def test_runner_cli(spark, tmp_path):
+    from sm_etl_cloud_run_spark import runner
+
+    path = str(tmp_path / "control")
+    _control(spark).write.parquet(path)
+    open(_RUNNER_LOG, "w").close()
+    rc = runner.main(["--control", path, "--tipo", "PA", "--acao", "baixar",
+                      "--job", "tests.test_streaming:_recording_job"])
+    assert rc == 0 and open(_RUNNER_LOG).read().split() == ["PA"]
+    # dry-run gates but never executes
+    open(_RUNNER_LOG, "w").close()
+    rc = runner.main(["--control", path, "--tipo", "BI", "--acao", "baixar", "--dry-run",
+                      "--job", "tests.test_streaming:_recording_job"])
+    assert rc == 0 and open(_RUNNER_LOG).read() == ""
 
 
 def test_windowed_counts_stream_matches_batch(spark, tmp_path):
