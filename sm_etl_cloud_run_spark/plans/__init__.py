@@ -6,5 +6,5 @@ ANSI oracle string DuckDB runs over the same parquet tables. Importing
 this package populates the registry.
 """
 
-from . import events_queries, pipeline, relational, relational2, textops, vector  # noqa: F401
+from . import events_queries, pipeline, pipeline_fact, relational, relational2, textops, vector  # noqa: F401
 from .registry import all_queries, bench_queries, get  # noqa: F401

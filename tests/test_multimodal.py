@@ -1,0 +1,44 @@
+"""Multimodal plumbing tests: schema, batching, stubbed decode, frame plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sm_etl_cloud_run_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    deterministic_fake_decoder,
+    extract_features,
+    sample_frames,
+)
+
+
+def _media(spark):
+    rows = [
+        (1, "image", b"imgbytes", ("image/png", 64, 64, None)),
+        (2, "video", b"vidbytes", ("video/mp4", 320, 240, 3500)),
+        (3, "audio", None, ("audio/wav", None, None, 2000)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_fake_decoder(spark):
+    out = extract_features(_media(spark), decode_fn=deterministic_fake_decoder).collect()
+    rows = {r["media_id"]: r for r in out}
+    assert len(rows[1]["feature"]) == 8
+    assert rows[1]["n_bytes"] == 8 and rows[3]["n_bytes"] == 0
+    # deterministic: same payload → same features
+    again = {r["media_id"]: r for r in extract_features(_media(spark), decode_fn=deterministic_fake_decoder).collect()}
+    assert rows[1]["feature"] == again[1]["feature"]
+
+
+def test_extract_features_real_path_is_stubbed(spark):
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(_media(spark), decode_fn=None).collect()
+
+
+def test_sample_frames_plan(spark):
+    frames = sample_frames(_media(spark), every_ms=1000).collect()
+    # only the video row explodes; 3500ms at 1s cadence → ts 0,1000,2000,3000
+    assert [r["media_id"] for r in frames] == [2, 2, 2, 2]
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
