@@ -155,6 +155,41 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_dedup_groups(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH dedup by CLUSTER ASSIGNMENT — the path that survives massive
+    duplicate clusters.
+
+    `lsh_candidate_pairs` enumerates O(c²) pairs per c-clone cluster
+    (measured: 64 clones of a 5k-doc corpus → 10M pairs, 330 s). This
+    variant assigns each doc the minimum doc-id among everything sharing
+    any of its band buckets — linear in docs × bands, independent of
+    cluster sizes. One min-propagation round groups exact/high-sim
+    duplicates; iterate for full transitive components.
+
+    Returns (id, group_rep); rows with id == group_rep are the keepers.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket")))
+    bands_df = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    reps = bands_df.groupBy("band", "bucket").agg(F.min(id_col).alias("bucket_rep"))
+    return (
+        bands_df.join(reps, ["band", "bucket"])
+        .groupBy(id_col)
+        .agg(F.min("bucket_rep").alias("group_rep"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,

@@ -138,7 +138,9 @@ def ivf_topk(
         return sum(int(round(x * y * _SCALE)) for x, y in zip(a, b))
 
     def cos(a: list[float], b: list[float]) -> float:
-        return fp_dot(a, b) / math.sqrt(float(fp_dot(a, a)) * float(fp_dot(b, b)))
+        # round like cosine_similarity so probe ranking ties match the
+        # SQL oracle's rounded ordering
+        return round(fp_dot(a, b) / math.sqrt(float(fp_dot(a, a)) * float(fp_dot(b, b))), 6)
 
     ranked = sorted(range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i))
     probe = ranked[:nprobe]

@@ -278,6 +278,35 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, id_col="doc_id", num_hashes=NUM_HASHES, bands=LSH_BANDS)
 
 
+_GROUPS_ORACLE = f"""
+WITH {_shingle_cte()},
+sig AS ({_sig_select()}),
+bands AS (
+{_bands_cte()}
+),
+reps AS (
+  SELECT band, bucket, CAST(MIN(doc_id) AS BIGINT) AS bucket_rep
+  FROM bands GROUP BY band, bucket
+)
+SELECT b.doc_id, CAST(MIN(r.bucket_rep) AS BIGINT) AS group_rep
+FROM bands b JOIN reps r ON b.band = r.band AND b.bucket = r.bucket
+GROUP BY b.doc_id
+"""
+
+
+@register("dedup_lsh_groups", oracle=_GROUPS_ORACLE, bench=True,
+          description="LSH dedup via cluster assignment (linear in cluster size)")
+def dedup_lsh_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import lsh_dedup_groups
+
+    t = load_tables(spark, sf_dir)
+    sigs = minhash_signatures(
+        t["documents"], text_col="text", id_col="doc_id",
+        num_hashes=NUM_HASHES, shingle_k=SHINGLE_K,
+    )
+    return lsh_dedup_groups(sigs, id_col="doc_id", num_hashes=NUM_HASHES, bands=LSH_BANDS)
+
+
 _JACCARD_THRESHOLD = 0.18
 
 _JACCARD_ORACLE = f"""

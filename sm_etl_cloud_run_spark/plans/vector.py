@@ -152,8 +152,51 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_ivf",
-          description="IVF coarse-quantized approximate top-k (nprobe=2; rows-only check)")
+_IVF_CENTROID_IDS = (5, 6, 7, 8)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(CAST({_dot_sql(a, b)} AS DOUBLE) / "
+        f"(sqrt(CAST({_dot_sql(a, a)} AS DOUBLE)) * sqrt(CAST({_dot_sql(b, b)} AS DOUBLE))), 6)"
+    )
+
+
+_IVF_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id IN {_IVF_CENTROID_IDS}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+qrank AS (
+  SELECT cid, ROW_NUMBER() OVER (ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC, cid ASC) AS rn
+  FROM c, q
+),
+probe AS (SELECT cid FROM qrank WHERE rn <= 2),
+scored_c AS (
+  SELECT e.vec_id, e.embedding, c.cid, {_cos_sql('e.embedding', 'c.cv')} AS s
+  FROM embeddings e CROSS JOIN c
+  WHERE e.vec_id <> {_QUERY_VEC_ID}
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scored_c
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT a.vec_id, a.embedding, q.qv FROM assigned a, q
+  WHERE a.cid IN (SELECT cid FROM probe)
+)
+SELECT vec_id, {_cos_sql('cand.embedding', 'cand.qv')} AS cosine
+FROM cand
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {_TOPK}
+"""
+
+
+@register("knn_ivf", oracle=_IVF_ORACLE,
+          description="IVF coarse-quantized approximate top-k (nprobe=2)")
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 

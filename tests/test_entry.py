@@ -27,7 +27,8 @@ def test_registry_shapes():
     assert set(oracles) <= set(qs)
     # every oracle-less query is an intentional rows-only op
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {"knn_ivf", "multimodal_feature_extract"}
+    # only the Python-kernel multimodal op is legitimately non-SQL-expressible
+    assert rows_only <= {"multimodal_feature_extract"}
 
 
 def test_queries_run_at_smallest_sf(spark, sf_dir):

@@ -130,6 +130,20 @@ def test_lsh_finds_identical_pair(spark):
     assert any(r["id_a"] == 1 and r["id_b"] == 2 and r["est_jaccard"] == 1.0 for r in pairs)
 
 
+def test_lsh_dedup_groups_clusters_clones(spark):
+    from sm_etl_cloud_run_spark.operators.dedup import lsh_dedup_groups
+
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(5, text), (2, text), (9, text), (7, "nothing shared with any of the others here")],
+        "doc_id int, text string",
+    )
+    sigs = minhash_signatures(df, num_hashes=8)
+    groups = {r["doc_id"]: r["group_rep"] for r in lsh_dedup_groups(sigs).collect()}
+    assert groups[5] == 2 and groups[2] == 2 and groups[9] == 2  # clones → min id
+    assert groups[7] == 7  # singleton keeps itself
+
+
 def test_ngram_jaccard_exact_value(spark):
     # doc1: shingles {a b c, b c d}; doc2: {a b c}: jaccard = 1/2
     df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], "doc_id int, text string")

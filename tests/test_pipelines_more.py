@@ -198,6 +198,61 @@ def test_raas_two_stage_roundtrip(spark, tmp_path):
     assert r["quantidade_atendimentos"] == 7
 
 
+def _minimal_overrides(spec):
+    """Valid-string defaults for every date/flag column of a spec so the
+    generic roundtrip works for any source."""
+    ov = {}
+    for c in spec.rename:
+        canon = spec.rename[c]
+        if canon in spec.yyyymm_dates:
+            ov[c] = "202408"
+        elif canon in spec.yyyymmdd_dates:
+            ov[c] = "20240815"
+        elif canon in spec.ddmmyyyy_dates:
+            ov[c] = "15/08/2024"
+        elif canon in spec.bool01:
+            ov[c] = "1"
+        elif canon in spec.flag_true:
+            ov[c] = spec.flag_true[canon]
+        elif canon in spec.interval_text_cols:
+            ov[c] = "3"
+    if spec.make_date_from:
+        for raw, canon in spec.rename.items():
+            if canon == spec.make_date_from[0]:
+                ov[raw] = "2024"
+            if canon == spec.make_date_from[1]:
+                ov[raw] = "8"
+    return ov
+
+
+def test_all_specs_two_stage_roundtrip(spark, tmp_path):
+    """Every fact spec survives transform → bronze CSV → typed load with
+    its declared schema, and True booleans round-trip."""
+    from sm_etl_cloud_run_spark.pipelines import ALL_FACT_SPECS, load_typed
+    from sm_etl_cloud_run_spark.sinks.partitioned import write_bronze_csv
+
+    for spec in ALL_FACT_SPECS:
+        raw = _row_df(spark, spec, _minimal_overrides(spec), default="7")
+        out = transform_fact(raw, spec, ftp_arquivo_nome=f"{spec.name}.dbc", deterministic_ids=True)
+        bronze = str(tmp_path / spec.name / "bronze")
+        write_bronze_csv(out, bronze, coalesce=1)
+        typed = load_typed(spark, bronze, spec, str(tmp_path / spec.name / "typed"))
+        assert typed.count() == 1, spec.name
+        sch = {f.name: f.dataType.simpleString() for f in typed.schema.fields}
+        r = typed.collect()[0]
+        for canon, pdtype in spec.type_map.items():
+            if canon not in sch:
+                # enrichment columns only exist when dims were provided
+                assert canon in ("periodo_id", "unidade_geografica_id"), (spec.name, canon)
+                continue
+            expected = {"object": "string", "Int64": "bigint", "int64": "bigint",
+                        "Float64": "double", "float64": "double", "bool": "boolean",
+                        "datetime64[ns]": "timestamp"}[pdtype]
+            assert sch.get(canon) == expected, (spec.name, canon)
+        for canon in spec.bool01:
+            assert r[canon] is True, (spec.name, canon)  # '1' → True survives bronze
+
+
 _REPORT = (
     "header junk\n\n\n"
     "Uf;Ibge;Municipio;eAP;eSF;Unnamed: 5\n"

@@ -123,6 +123,32 @@ def test_running_totals_stateful(spark, tmp_path):
         q.stop()
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics: an event older than watermark − threshold is
+    dropped once the watermark has advanced past its window."""
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    path = str(tmp_path / "late")
+    schema = "ts timestamp, event_type string, value double"
+    # file 1: advances the watermark far ahead
+    spark.createDataFrame([(base + dt.timedelta(hours=10), "click", 1.0)], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    stream = windowed_counts(
+        read_events_stream(spark, path, spark.read.parquet(path).schema),
+        window="1 hour", watermark="1 hour",
+    )
+    q = stream.writeStream.outputMode("update").format("memory").queryName("late_out").start()
+    try:
+        q.processAllAvailable()
+        # file 2: an event 10h older than anything seen → beyond watermark
+        spark.createDataFrame([(base, "view", 5.0)], schema) \
+            .coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        types = {r["event_type"] for r in spark.sql("SELECT * FROM late_out").collect()}
+        assert "click" in types and "view" not in types
+    finally:
+        q.stop()
+
+
 def test_streaming_sessions(spark, tmp_path):
     base = dt.datetime(2024, 1, 1, 10, 0)
     rows = [

@@ -32,7 +32,7 @@ QUERIES = (
     "flagship_panel_enrichment",
     "j1_period_bucketed_range_join",
     "dedup_minhash_signatures",
-    "dedup_lsh_pairs",
+    "dedup_lsh_groups",
     "events_hourly_rollup",
     "text_vocab_topk",
 )
