@@ -6,5 +6,14 @@ ANSI oracle string DuckDB runs over the same parquet tables. Importing
 this package populates the registry.
 """
 
-from . import events_queries, pipeline, pipeline_fact, relational, relational2, textops, vector  # noqa: F401
+from . import (  # noqa: F401
+    events_queries,
+    pipeline,
+    pipeline_fact,
+    relational,
+    relational2,
+    textops,
+    tpch_extra,
+    vector,
+)
 from .registry import all_queries, bench_queries, get  # noqa: F401

@@ -1,0 +1,135 @@
+"""Additional TPC-H-shaped analytics queries (Q6, Q14, Q18 shapes) and a
+GROUPING SETS aggregate — widening the engine's verified OLAP surface.
+All money math in exact cents-longs (see plans/registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_tables
+from .registry import register
+from .relational import _bp, _cents
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_ORACLE, bench=True,
+          description="TPC-H Q6 shape: pure scan-filter-agg (pushdown showcase)")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & _bp("l_discount").between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.select(
+        (F.sum(_cents("l_extendedprice") * _bp("l_discount")).cast("double") / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_Q14_ORACLE = """
+SELECT round(
+         100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                               ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE),
+         6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+"""
+
+
+@register("q14_promo_effect", oracle=_Q14_ORACLE,
+          description="TPC-H Q14 shape: conditional aggregate ratio over a join")
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    joined = li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+    rev = _cents("l_extendedprice") * (100 - _bp("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast("double")
+    total = F.sum(rev).cast("double")
+    return joined.select(F.round(100.0 * promo / total, 6).alias("promo_revenue_pct"))
+
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 250
+)
+SELECT c_name, o_orderkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY totalprice_cents DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+@register("q18_large_orders", oracle=_Q18_ORACLE,
+          description="TPC-H Q18 shape: agg-filter (HAVING) + join + top-k")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    out = (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "o_orderkey", "o_orderdate",
+            _cents("o_totalprice").alias("totalprice_cents"),
+            "total_qty",
+        )
+    )
+    return out.orderBy(F.col("totalprice_cents").desc(), F.col("o_orderkey").asc()).limit(20)
+
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("grouping_sets_marked", oracle=_GSETS_ORACLE,
+          description="GROUPING SETS with GROUPING() markers (SQL API path)")
+def grouping_sets_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+               SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
