@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     relational2,
     textops,
     tpch_extra,
+    tpch_joins,
     vector,
 )
 from .registry import all_queries, bench_queries, get  # noqa: F401

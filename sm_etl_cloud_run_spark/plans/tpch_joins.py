@@ -1,0 +1,299 @@
+"""Join-shape coverage: EXISTS / NOT EXISTS (semi & anti joins), outer
+joins, NOT IN, per-group scalar comparisons, and INTERSECT/EXCEPT.
+
+The reference performs only broadcast-style lookups (SURVEY §2.5) plus
+semi/anti existence checks inside its upsert (J5,
+etl/datasus_ftp_metadados.py:307-350); a complete engine must also
+express the classic decision-support join shapes, phrased here as
+TPC-H Q4/Q13/Q16/Q17/Q21/Q22 analogs over the driver's tables.
+
+Scale notes: every anti/semi join below keys on the fact's join column
+(shuffle hash / SMJ picked by Catalyst + AQE); dimension-sized sides
+(supplier, scalar aggregates) broadcast, so the 100 TB fact side never
+shuffles for them. Money math in exact cents-longs (plans/registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_tables
+from .registry import register
+from .relational import _bp, _cents  # noqa: F401  (shared scaled-int helpers)
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_priority_exists", oracle=_Q4_ORACLE,
+          description="TPC-H Q4 shape: EXISTS correlated predicate as a LEFT SEMI join")
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    late = orders.join(
+        t["lineitem"],
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+_Q13_ORACLE = """
+WITH c_orders AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+@register("q13_custdist_outer", oracle=_Q13_ORACLE,
+          description="TPC-H Q13 shape: LEFT OUTER join with join-time filter + two-level agg")
+def q13_custdist_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c_orders = (
+        t["customer"].join(
+            t["orders"],
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        # COUNT(col) semantics: unmatched customers count 0, not 1
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_size BETWEEN 20 AND 35
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+"""
+
+
+@register("q16_supplier_anti", oracle=_Q16_ORACLE,
+          description="TPC-H Q16 shape: NOT IN as broadcast LEFT ANTI join + COUNT DISTINCT")
+def q16_supplier_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    bad_suppliers = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = t["lineitem"].join(
+        F.broadcast(bad_suppliers),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    parts = t["part"].where(F.col("p_size").between(20, 35))
+    return (
+        li.join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# Integer-exact Q17 predicate: qty < 0.2 * avg(qty per part) rewritten as
+# qty * 5 * cnt < sum — no float division inside the comparison.
+_Q17_ORACLE = """
+WITH pa AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 700.0
+         AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pk = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND CAST(round(l_quantity) AS BIGINT) * 5 * cnt < sq
+"""
+
+
+@register("q17_small_qty_revenue", oracle=_Q17_ORACLE,
+          description="TPC-H Q17 shape: per-group scalar threshold (avg per part) joined back")
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    per_part = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(qty).alias("sq"), F.count(F.lit(1)).alias("cnt"))
+    )
+    li = (
+        t["lineitem"]
+        .join(t["part"].where(F.col("p_brand") == "Brand#4"),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("pk") == F.col("l_partkey"))
+        .where(qty * 5 * F.col("cnt") < F.col("sq"))
+    )
+    return li.select(
+        (F.sum(_cents("l_extendedprice")).cast("double") / 700.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# Q21 shape. The oracle states the semantics with correlated
+# EXISTS/NOT EXISTS; the Spark plan computes the same thing with ONE
+# pass of per-(order, supplier) aggregation + a per-order rollup —
+# no repeated correlated scans, which is the shape that scales.
+_Q21_ORACLE = """
+SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
+@register("q21_sole_late_supplier", oracle=_Q21_ORACLE,
+          description="TPC-H Q21 shape: EXISTS + NOT EXISTS via per-order supplier rollup")
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    # NB: EXISTS l2 / NOT EXISTS l3 range over ALL lineitems of the
+    # order (unfiltered), so the per-order rollup must too; only the
+    # o_orderstatus filter restricts which orders are considered.
+    lo = (
+        t["lineitem"]
+        .join(t["orders"].where(F.col("o_orderstatus") == "F"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+                .cast("int")
+            ).alias("is_late")
+        )
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("is_late").alias("n_late"),
+    )
+    waiters = (
+        lo.join(per_order, F.col("ok") == F.col("l_orderkey"))
+        .where((F.col("is_late") == 1) & (F.col("n_supps") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        waiters.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(25)
+    )
+
+
+_Q22_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+), pos AS (
+  SELECT CAST(SUM(bal_cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cust WHERE bal_cents > 0
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal_cents) AS DOUBLE) / 100.0 AS totacctbal
+FROM cust, pos
+WHERE bal_cents * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey
+                    AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+@register("q22_dormant_customers", oracle=_Q22_ORACLE,
+          description="TPC-H Q22 shape: global-scalar threshold + NOT EXISTS anti join")
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(
+        "c_custkey", "c_mktsegment", _cents("c_acctbal").alias("bal_cents")
+    )
+    # scalar aggregate broadcast to every row (integer cross-multiply,
+    # no float division in the predicate)
+    pos = cust.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    early_orders = t["orders"].where(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    rich_dormant = (
+        cust.crossJoin(F.broadcast(pos))
+        .where(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .join(early_orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    )
+    return rich_dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.sum("bal_cents").cast("double") / 100.0).alias("totacctbal"),
+    )
+
+
+_SETOPS_ORACLE = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+               AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+SELECT
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)) AS BIGINT)
+    AS both_years,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)) AS BIGINT)
+    AS only_1995,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)) AS BIGINT)
+    AS only_1996
+"""
+
+
+@register("set_intersect_except", oracle=_SETOPS_ORACLE,
+          description="INTERSECT / EXCEPT set operators (distinct semantics) over year cohorts")
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    def cohort(year: int) -> DataFrame:
+        return (
+            t["orders"]
+            .where(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = cohort(1995), cohort(1996)
+    both = y95.intersect(y96).agg(F.count(F.lit(1)).alias("both_years"))
+    only95 = y95.exceptAll(y96).agg(F.count(F.lit(1)).alias("only_1995"))
+    only96 = y96.exceptAll(y95).agg(F.count(F.lit(1)).alias("only_1996"))
+    return both.crossJoin(only95).crossJoin(only96)
