@@ -1,41 +1,90 @@
-"""DBC/DBF ingestion (SURVEY §2.1 S1) — distributed-parse scaffold.
+"""DBC/DBF ingestion (SURVEY §2.1 S1) — distributed, dependency-free.
 
 The reference FTP-downloads DATASUS `.dbc` files, decompresses to `.dbf`
 (`dbc2dbf`) and iterates records in chunks
 (utilitarios/datasus_ftp.py:142-255), reading date fields as raw strings
-(:41-46).
+(:41-46) and every value as text.
 
 Spark-native shape: `spark.read.format("binaryFile")` lists the files as
 (path, content) rows — one task per file — and `mapInPandas` parses each
-DBF payload into all-string record batches. The chunked-generator loop
-of the reference disappears into partition parallelism.
+payload into all-string record batches. The chunked-generator loop of
+the reference disappears into partition parallelism; per-file decode
+cost lands on executors, not the driver.
 
-The `dbfread`/`dbc2dbf` libraries are not in this container, so the
-per-record decode is gated behind an import-try; the Spark-side plumbing
-(schema, batching, file-level parallelism) is real and tested with a
-fake decoder.
+Both decode stages are implemented here from the public formats, no
+external libraries: PKWARE-DCL decompression in `sources/dbc.py`, and a
+dBase III/IV record reader below (fixed-width fields described by
+32-byte descriptors; values returned as stripped latin-1 strings, dates
+kept raw — parity with the reference's string-typed extraction).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from .dbc import dbc_to_dbf
 
-def _default_decoder(content: bytes) -> Iterator[dict]:
-    try:
-        import io
 
-        from dbfread import DBF  # type: ignore[import-not-found]
-    except ImportError as exc:  # pragma: no cover - library absent in container
-        raise NotImplementedError(
-            "DBF decoding requires `dbfread` (and `dbc2dbf` for .dbc); "
-            "not available in this environment — pass a custom `decoder`."
-        ) from exc
-    raise NotImplementedError("wire dbfread over a temp file here")  # pragma: no cover
+def dbf_field_descriptors(content: bytes) -> list[tuple[str, str, int]]:
+    """Parse the 32-byte field descriptors: (name, type, length) each."""
+    (hsize,) = struct.unpack_from("<H", content, 8)
+    fields: list[tuple[str, str, int]] = []
+    off = 32
+    while off + 32 <= hsize and content[off] != 0x0D:
+        raw_name = content[off:off + 11].split(b"\x00", 1)[0]
+        ftype = chr(content[off + 11])
+        flen = content[off + 16]
+        fields.append((raw_name.decode("ascii", "replace"), ftype, flen))
+        off += 32
+    return fields
+
+
+def parse_dbf_bytes(content: bytes, *, encoding: str = "latin-1") -> Iterator[dict]:
+    """Iterate a `.dbf` payload as dicts of stripped strings.
+
+    All-string semantics mirror the reference (dates as raw 'YYYYMMDD'
+    text, numerics as text — typing happens later in the plan). Deleted
+    records (0x2A flag) are skipped; empty values become None.
+    """
+    nrec, hsize, rsize = struct.unpack_from("<IHH", content, 4)
+    fields = dbf_field_descriptors(content)
+    off = hsize
+    for _ in range(nrec):
+        if off + rsize > len(content):
+            break  # truncated tail — yield what we have
+        record = content[off:off + rsize]
+        off += rsize
+        if record[0] == 0x2A:  # deleted
+            continue
+        row: dict = {}
+        pos = 1
+        for name, _ftype, flen in fields:
+            val = record[pos:pos + flen].decode(encoding, "replace").strip()
+            row[name] = val if val else None
+            pos += flen
+        yield row
+
+
+def decode_datasus_bytes(content: bytes) -> Iterator[dict]:
+    """Default decoder: `.dbf` bytes, or `.dbc` (auto-detected and exploded).
+
+    A `.dbc` carries the same pre-header as the `.dbf` it compresses, so
+    extension is not needed: if the payload is exactly as long as the
+    header + declared records (+ optional 0x1A EOF byte), it is already a
+    plain DBF; otherwise treat it as compressed.
+    """
+    if len(content) < 12:
+        raise ValueError("payload too short for a DBF header")
+    nrec, hsize, rsize = struct.unpack_from("<IHH", content, 4)
+    expected = hsize + nrec * rsize
+    if expected <= len(content) <= expected + 1:
+        return parse_dbf_bytes(content)
+    return parse_dbf_bytes(dbc_to_dbf(content))
 
 
 def read_dbf_files(
@@ -46,14 +95,14 @@ def read_dbf_files(
     decoder: Callable[[bytes], Iterator[dict]] | None = None,
     batch_rows: int = 50_000,
 ) -> DataFrame:
-    """Distributed DBF scan: one task per file, all-string output schema.
+    """Distributed DBC/DBF scan: one task per file, all-string output schema.
 
     `decoder(content) -> iterator of row dicts` does the per-file parse
-    (production: dbc2dbf + dbfread; tests: a deterministic fake). Records
-    are emitted in `batch_rows` pandas batches — the Spark analog of the
+    (default: the pure-Python DATASUS decoder above). Records are
+    emitted in `batch_rows` pandas batches — the Spark analog of the
     reference's `passo` chunking, but per-task instead of global.
     """
-    decode = decoder or _default_decoder
+    decode = decoder or decode_datasus_bytes
     schema = T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
     binary = spark.read.format("binaryFile").load(path_glob).select("content")
 
