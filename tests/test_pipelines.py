@@ -154,3 +154,40 @@ def test_pa_two_stage_roundtrip(spark, tmp_path):
     # K3 idempotency: re-running the load yields identical state
     load_typed(spark, bronze, PA_SPEC, target)
     assert spark.read.parquet(target).count() == 2
+
+
+def test_pa_stage1_from_real_dbc_file(spark, tmp_path):
+    """EP1 parity from the wire format: the same raw chunk packed into a
+    real `.dbc` (PKWARE-compressed dBase) and scanned with
+    `read_dbf_files` yields the exact same transformed fact — including
+    deterministic row ids — as the in-memory path."""
+    from dbc_fixtures import make_dbc, make_dbf
+
+    from sm_etl_cloud_run_spark.sources import read_dbf_files
+
+    cols = PA_SPEC.raw_columns
+    data = [[r[c] or "" for c in cols] for r in _raw_pa(spark).collect()]
+    fields = [
+        (c, "C", max(1, *(len(row[i]) for row in data)))
+        for i, c in enumerate(cols)
+    ]
+    (tmp_path / "PASP2408.dbc").write_bytes(make_dbc(make_dbf(fields, data)))
+
+    # DBF strips to None; normalize to '' to match the in-memory fixture
+    raw_dbc = read_dbf_files(spark, str(tmp_path / "PASP2408.dbc"), cols).fillna("")
+
+    periods, geo = _dims(spark)
+    kw = dict(
+        panel_ids=_PANEL,
+        panel_raw_cols=("PA_UFMUN", "PA_MUNPCN"),
+        condition=condicao_saude_mental(),
+        periods=periods,
+        geo=geo,
+        ftp_arquivo_nome="PASP2408.dbc",
+        deterministic_ids=True,
+    )
+    audit = ["criacao_data", "atualizacao_data"]  # wall-clock timestamps
+    out_mem = transform_fact(_raw_pa(spark), PA_SPEC, **kw).drop(*audit)
+    out_dbc = transform_fact(raw_dbc, PA_SPEC, **kw).drop(*audit)
+    assert out_mem.columns == out_dbc.columns
+    assert sorted(map(tuple, out_mem.collect())) == sorted(map(tuple, out_dbc.collect()))
