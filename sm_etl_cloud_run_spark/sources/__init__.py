@@ -11,3 +11,4 @@ from .dbc import dbc_to_dbf, explode  # noqa: F401
 from .dbf import decode_datasus_bytes, parse_dbf_bytes, read_dbf_files  # noqa: F401
 from .ftp_list import parse_ftp_list_lines, prefer_partitioned  # noqa: F401
 from .sisab import parse_sisab_report  # noqa: F401
+from .sisab_client import FormPage, SisabReportRequest, SisabSession  # noqa: F401
