@@ -360,3 +360,38 @@ FROM h GROUP BY doc_id
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return simhash(t["documents"], text_col="text", id_col="doc_id", num_bits=32)
+
+
+# BPE-style pre-tokenization (the regex split step of GPT-2-family
+# tokenizers: contraction suffixes, letter runs, digit runs, punctuation
+# runs, whitespace) + a subword estimate of ceil(len/4) per pre-token.
+# The same RE2/Java-compatible pattern runs on both engines.
+_BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+         AS n_pretokens,
+       CAST(COALESCE(list_sum(list_transform(
+              regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}'),
+              t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0) AS BIGINT)
+         AS n_subwords_est
+FROM documents
+"""
+
+
+@register("text_bpe_token_estimate", oracle=_BPE_ORACLE,
+          description="token counting: BPE-ish regex pre-tokens + subword estimate")
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0))
+    n_sub = F.aggregate(
+        F.transform(toks, lambda tk: F.ceil(F.length(tk).cast("double") / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_pretokens"),
+        n_sub.alias("n_subwords_est"),
+    )

@@ -66,8 +66,14 @@ def get_spark(app_name: str = "sm_etl_cloud_run_spark", *, cpus: int | None = No
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE picks the real partition count per stage by coalescing down
+        # from this ceiling — so a 100×-bigger shuffle automatically gets
+        # more partitions instead of spilling 32 oversized ones.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs executors inside the driver JVM: size its heap
+        # for N concurrent tasks (container has 128 GiB).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -85,9 +85,15 @@ def main() -> None:
         n_li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
         timings = {}
         for q in QUERIES:
-            t0 = time.perf_counter()
-            plans.get(q).fn(spark, sf_dir).collect()
-            timings[q] = round(time.perf_counter() - t0, 2)
+            # min of two runs: the first pays cold page-cache I/O for the
+            # probe's just-written parquet (a cluster reads in parallel
+            # from many disks); the second is the steady-state compute.
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                plans.get(q).fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[q] = round(best, 2)
         print(json.dumps({"mult": mult, "lineitem_rows": n_li,
                           "total_sec": round(sum(timings.values()), 2), "queries": timings}))
 
