@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partition_overwrite(
@@ -24,6 +25,7 @@ def write_partition_overwrite(
     partition_by: Sequence[str],
     *,
     fmt: str = "parquet",
+    files_per_partition: int = 1,
 ) -> None:
     """K3/K4: overwrite exactly the partitions present in `df`.
 
@@ -31,9 +33,22 @@ def write_partition_overwrite(
     the session factory). Running the same batch twice yields identical
     table state — the idempotency property the reference enforces with
     DELETE-then-INSERT.
+
+    The input is clustered on the partition key first: without it every
+    task writes a file into every partition directory (tasks × partitions
+    small files — metadata death at scale); with it each directory gets
+    `files_per_partition` files. Raise `files_per_partition` when single
+    partitions are too large for one task (the salt is a deterministic
+    hash of the row, so re-runs stay idempotent).
     """
+    keys = [F.col(c) for c in partition_by]
+    if files_per_partition > 1:
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
+        clustered = df.repartition(*keys, salt)
+    else:
+        clustered = df.repartition(*keys)
     (
-        df.write.mode("overwrite")
+        clustered.write.mode("overwrite")
         .partitionBy(*partition_by)
         .format(fmt)
         .option("partitionOverwriteMode", "dynamic")
