@@ -124,6 +124,22 @@ def _types() -> dict[str, str]:
             "gestacao_risco": "bool",
             "infeccao_hospitalar": "bool",
             "usuario_filhos_quantidade": "Int64",
+            # numeric measures (load_bd/sihsus_aih_rd_load_bd.py:41-45,50-52,
+            # 64-65,100-104); VAL_SH/VAL_SP deliberately stay object there
+            "uti_diarias": "int64",
+            "unidade_intermediaria_diarias": "int64",
+            "acompanhante_diarias": "int64",
+            "diarias": "int64",
+            "usuario_idade": "int64",
+            "permanencia_duracao": "int64",
+            "valor_total": "float64",
+            "valor_uti": "float64",
+            "valor_total_dolar": "float64",
+            "valor_servicos_hospitalares_complemento_federal": "float64",
+            "valor_servicos_profissionais_complemento_federal": "float64",
+            "valor_servicos_hospitalares_complemento_local": "float64",
+            "valor_servicos_profissionais_complemento_local": "float64",
+            "valor_unidade_neonatal": "float64",
             "id": "object",
             "periodo_id": "object",
             "unidade_geografica_id": "object",

@@ -311,3 +311,80 @@ def test_ftp_metadados_refresh_ep3(spark, tmp_path):
     rows2 = {r["nome"]: r for r in spark.read.parquet(control).collect()}
     assert rows2["PASP2408"]["tamanho"] == 350           # updated (mtime changed)
     assert rows2["PASP2407"]["tamanho"] == 300           # untouched
+
+
+def test_bpa_i_two_stage_roundtrip(spark, tmp_path):
+    """EP1→EP2 for BPA-i: values, Int64/Float64 casts and `== '1'` flag
+    semantics survive the bronze CSV round-trip; re-load is idempotent
+    (reference: load_bd/siasus_bpa_individualizado_load_bd.py:28-73)."""
+    from sm_etl_cloud_run_spark.pipelines import load_typed
+    from sm_etl_cloud_run_spark.sinks.partitioned import write_bronze_csv
+
+    raw = _row_df(
+        spark, BPA_I_SPEC,
+        {"UFMUN": "355030", "MUNPAC": "355030", "CBOPROF": "251510",
+         "CIDPRI": "F200", "TPUPS": "05", "CATEND": "01", "PROC_ID": "1",
+         "DT_PROCESS": "202408", "DT_ATEND": "202408", "DTNASC": "19900101",
+         "MN_IND": "M", "UFDIF": "1", "MNDIF": "0",
+         "QT_APRES": "5", "QT_APROV": "4",
+         "VL_APRES": "123.45", "VL_APROV": "100.0",
+         "IDADEPAC": "34", "CNPJMNT": "00000000000000"},
+    )
+    out = transform_fact(
+        raw, BPA_I_SPEC,
+        condition=condicao_saude_mental_bpa_i(),
+        ftp_arquivo_nome="BISP2408.dbc", deterministic_ids=True,
+    )
+    bronze = str(tmp_path / "bronze")
+    target = str(tmp_path / "typed")
+    write_bronze_csv(out, bronze, coalesce=1)
+    typed = load_typed(spark, bronze, BPA_I_SPEC, target)
+    sch = {f.name: f.dataType.simpleString() for f in typed.schema.fields}
+    r = typed.collect()[0]
+    assert sch["quantidade_apresentada"] == "bigint" and r["quantidade_apresentada"] == 5
+    assert sch["valor_apresentado"] == "double" and r["valor_apresentado"] == 123.45
+    assert sch["usuario_idade"] == "bigint" and r["usuario_idade"] == 34
+    assert r["estabelecimento_mantido"] is True           # 'M' flag survives as 'True'
+    assert r["atendimento_residencia_ufs_distintas"] is True
+    assert r["atendimento_residencia_municipios_distintos"] is False
+    assert r["mantenedora_id_cnpj"] is None               # C3 NULL survives as empty
+    assert sch["realizacao_periodo_data_inicio"] == "timestamp"
+    load_typed(spark, bronze, BPA_I_SPEC, target)         # K3 idempotency
+    assert spark.read.parquet(target).count() == 1
+
+
+def test_aih_rd_two_stage_roundtrip(spark, tmp_path):
+    """EP1→EP2 for AIH-RD (new vintage, adicionais present): money stays
+    double, NUM_FILHOS Int64, and stage-2 collapses the tri-state NULL
+    boolean to False (SURVEY §7.3; load_bd/sihsus_aih_rd_load_bd.py)."""
+    from sm_etl_cloud_run_spark.pipelines import load_typed
+    from sm_etl_cloud_run_spark.sinks.partitioned import write_bronze_csv
+
+    raw = _row_df(
+        spark, AIH_RD_SPEC,
+        {"ANO_CMPT": "2024", "MES_CMPT": "8",
+         "NASC": "19900101", "DT_INTER": "20240801", "DT_SAIDA": "20240815",
+         "GESTOR_DT": "20240810",
+         "MORTE": "1", "IND_VDRL": "0", "HOMONIMO": "", "GESTRISCO": "1",
+         "NUM_FILHOS": "3", "VAL_TOT": "1234.56", "VAL_SH": "1000.5",
+         "NATUREZA": "61", "DIAGSEC1": "F20", "TPDISEC1": "1",
+         "MUNIC_MOV": "355030"},
+        default="1",
+    )
+    out = transform_fact(raw, AIH_RD_SPEC, ftp_arquivo_nome="RDSP2408.dbc", deterministic_ids=True)
+    bronze = str(tmp_path / "bronze")
+    target = str(tmp_path / "typed")
+    write_bronze_csv(out, bronze, coalesce=1)
+    typed = load_typed(spark, bronze, AIH_RD_SPEC, target)
+    sch = {f.name: f.dataType.simpleString() for f in typed.schema.fields}
+    r = typed.collect()[0]
+    assert sch["valor_total"] == "double" and r["valor_total"] == 1234.56
+    assert sch["valor_servicos_hospitalares"] == "string"  # reference keeps VAL_SH object
+    assert sch["diarias"] == "bigint" and r["diarias"] == 1
+    assert r["usuario_filhos_quantidade"] == 3 and sch["usuario_filhos_quantidade"] == "bigint"
+    assert r["obito"] is True and r["exame_vdrl"] is False
+    assert r["usuario_homonimo"] is False                 # NULL → False at stage 2
+    assert r["periodo_data_inicio"] == dt.datetime(2024, 8, 1)  # C12 date through bronze
+    assert r["condicao_secundaria_1_id_cid10"] == "F20"   # adicionais value kept
+    load_typed(spark, bronze, AIH_RD_SPEC, target)        # K3 idempotency
+    assert spark.read.parquet(target).count() == 1
