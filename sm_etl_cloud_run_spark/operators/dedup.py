@@ -61,6 +61,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash signature per document: `sig_0 … sig_{n-1}` hex columns.
 
@@ -74,12 +75,29 @@ def minhash_signatures(
     per seed — recomputes the shingle array per seed and runs
     interpreted, ~10× slower at bench scale.)
 
+    `hash_fn="xxhash64"` is the production fast path: seeded 64-bit
+    integer hashes, fully codegen'd, no digest strings materialized —
+    the signature columns become `sig_i: bigint`. md5 stays the default
+    because it is the only hash both engines (Spark, DuckDB) compute
+    identically, which the correctness oracle requires. Any uniform
+    hash family yields a valid MinHash, so both paths find the same
+    exact-dups and statistically equivalent near-dups.
+
     Docs shorter than `shingle_k` words produce no shingles and drop out
     (they can't near-dup match anyway).
     """
     exploded = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__sh")
     )
+    if hash_fn == "xxhash64":
+        return exploded.groupBy(id_col).agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"sig_{i}")
+                for i in range(num_hashes)
+            ]
+        )
+    if hash_fn != "md5":
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     n_digests = (num_hashes + 3) // 4
     digests = {
         d: F.md5(F.concat(F.lit(f"{d}:"), F.col("__sh"))) for d in range(n_digests)

@@ -144,6 +144,26 @@ def test_lsh_dedup_groups_clusters_clones(spark):
     assert groups[7] == 7  # singleton keeps itself
 
 
+def test_minhash_xxhash64_fast_path(spark):
+    """The production hash family finds the same dup structure: clone
+    signatures equal, LSH pipeline end-to-end agrees with the md5 path
+    on exact-dup pairs, and signature columns are codegen-friendly
+    bigints (no digest strings)."""
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "nothing in common with the others at all whatsoever")],
+        "doc_id int, text string",
+    )
+    sigs = minhash_signatures(df, num_hashes=8, hash_fn="xxhash64")
+    assert all(f.dataType.simpleString() == "bigint"
+               for f in sigs.schema.fields if f.name.startswith("sig_"))
+    by_id = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(8)) for r in sigs.collect()}
+    assert by_id[1] == by_id[2] and by_id[1] != by_id[3]
+    pairs = lsh_candidate_pairs(sigs, num_hashes=8, bands=4).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 2 and r["est_jaccard"] == 1.0 for r in pairs)
+    assert not any(3 in (r["id_a"], r["id_b"]) for r in pairs)
+
+
 def test_ngram_jaccard_exact_value(spark):
     # doc1: shingles {a b c, b c d}; doc2: {a b c}: jaccard = 1/2
     df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], "doc_id int, text string")
