@@ -208,6 +208,72 @@ def lsh_dedup_groups(
     )
 
 
+def lsh_dedup_components(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Full transitive near-dup components over the LSH bucket graph.
+
+    `lsh_dedup_groups` runs ONE min-propagation round: A~B and B~C land
+    in the same group only if a shared bucket links them directly. This
+    variant iterates doc→bucket→doc min-label propagation to a fixpoint
+    (Pregel-style; converges in O(component diameter) rounds, each round
+    two keyed shuffles), so chains of near-dups collapse into one
+    component — the semantics corpus-level "keep one representative"
+    dedup actually needs.
+
+    The driver-side loop is the standard shape for iterative graph
+    algorithms on DataFrames: per round `localCheckpoint(eager=True)`
+    truncates lineage (no exponential plan growth) and one tiny `agg`
+    action reads the convergence counter. Returns (id, group_rep).
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
+        )
+    edges = (
+        signatures.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
+        .select(
+            id_col,
+            F.concat_ws("#", F.col("bb.band").cast("string"), F.col("bb.bucket")).alias("__bucket"),
+        )
+        .localCheckpoint(eager=True)  # scanned twice per round
+    )
+    labels = edges.select(id_col).distinct().withColumn("__label", F.col(id_col))
+    for _ in range(max_iter):
+        bucket_min = (
+            edges.join(labels, id_col)
+            .groupBy("__bucket")
+            .agg(F.min("__label").alias("__bmin"))
+        )
+        prop = (
+            edges.join(bucket_min, "__bucket")
+            .groupBy(id_col)
+            .agg(F.min("__bmin").alias("__new"))
+        )
+        nxt = (
+            labels.join(prop, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("__label"), F.coalesce("__new", "__label")).alias("__label"),
+                (F.coalesce("__new", "__label") < F.col("__label")).cast("int").alias("__chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.agg(F.sum("__chg")).collect()[0][0]
+        labels = nxt.drop("__chg")
+        if not changed:
+            break
+    return labels.withColumnRenamed("__label", "group_rep")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,

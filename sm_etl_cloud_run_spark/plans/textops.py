@@ -307,6 +307,42 @@ def dedup_lsh_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_dedup_groups(sigs, id_col="doc_id", num_hashes=NUM_HASHES, bands=LSH_BANDS)
 
 
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_shingle_cte()},
+sig AS ({_sig_select()}),
+bands AS (
+{_bands_cte()}
+),
+adj AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+),
+reach AS (
+  SELECT src AS doc_id, dst AS label FROM adj
+  UNION
+  SELECT p.src, r.label FROM adj p JOIN reach r ON r.doc_id = p.dst
+)
+SELECT doc_id, CAST(MIN(label) AS BIGINT) AS group_rep
+FROM reach GROUP BY doc_id
+"""
+
+
+@register("dedup_lsh_components", oracle=_COMPONENTS_ORACLE,
+          description="Transitive near-dup components (iterative min-label propagation)")
+def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixpoint connected components over LSH buckets; the DuckDB oracle
+    computes the same components with a recursive CTE (min reachable
+    doc-id through the shared-bucket adjacency)."""
+    from ..operators.dedup import lsh_dedup_components
+
+    t = load_tables(spark, sf_dir)
+    sigs = minhash_signatures(
+        t["documents"], text_col="text", id_col="doc_id",
+        num_hashes=NUM_HASHES, shingle_k=SHINGLE_K,
+    )
+    return lsh_dedup_components(sigs, id_col="doc_id", num_hashes=NUM_HASHES, bands=LSH_BANDS)
+
+
 _JACCARD_THRESHOLD = 0.18
 
 _JACCARD_ORACLE = f"""

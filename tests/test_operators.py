@@ -164,6 +164,33 @@ def test_minhash_xxhash64_fast_path(spark):
     assert not any(3 in (r["id_a"], r["id_b"]) for r in pairs)
 
 
+def test_lsh_components_transitive_chain(spark):
+    """A~B via band0, B~C via band1, A!~C directly: one-round grouping
+    leaves C with B's id; the fixpoint components collapse the chain."""
+    from sm_etl_cloud_run_spark.operators.dedup import (
+        lsh_dedup_components,
+        lsh_dedup_groups,
+    )
+
+    def sig_row(doc_id, *bands8):
+        return (doc_id, *bands8)
+
+    # 8 sigs = 4 bands x 2 rows; equal adjacent pairs define a band bucket
+    rows = [
+        sig_row(1, "a", "a", "b", "b", "c", "c", "d", "d"),
+        sig_row(2, "a", "a", "e", "e", "f", "f", "g", "g"),  # shares band0 with 1
+        sig_row(3, "h", "h", "e", "e", "i", "i", "j", "j"),  # shares band1 with 2
+        sig_row(4, "k", "k", "l", "l", "m", "m", "n", "n"),  # isolated
+    ]
+    sigs = spark.createDataFrame(
+        rows, "doc_id int, " + ", ".join(f"sig_{i} string" for i in range(8))
+    )
+    one_round = {r["doc_id"]: r["group_rep"] for r in lsh_dedup_groups(sigs).collect()}
+    assert one_round[3] == 2                      # chain NOT collapsed in one round
+    comp = {r["doc_id"]: r["group_rep"] for r in lsh_dedup_components(sigs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4}       # transitive closure reached
+
+
 def test_ngram_jaccard_exact_value(spark):
     # doc1: shingles {a b c, b c d}; doc2: {a b c}: jaccard = 1/2
     df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], "doc_id int, text string")
