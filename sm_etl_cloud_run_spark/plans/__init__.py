@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     textops,
     tpch_extra,
     tpch_joins,
+    tpch_wide,
     vector,
 )
 from .registry import all_queries, bench_queries, get  # noqa: F401

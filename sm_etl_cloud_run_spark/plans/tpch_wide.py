@@ -1,0 +1,354 @@
+"""TPC-H shapes Q2/Q7/Q8/Q11/Q12/Q15/Q19/Q20 adapted to the driver
+testdata (no partsupp/shipmode columns — each query keeps its reference
+shape: correlated min, two-sided nation pairs, market-share ratio,
+global-threshold HAVING, conditional counts, agg-vs-max view,
+disjunctive brackets, nested semi-join chain).
+
+All money math in exact cents-longs (plans/registry.py convention);
+ratios divide two exact longs so the double result is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load_tables
+from .registry import register
+from .relational import _bp, _cents
+
+_REV = "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+
+def _rev_col() -> F.Column:
+    return _cents("l_extendedprice") * (F.lit(100) - _bp("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: cheapest supplier per part (correlated min → window min)
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c.l_partkey, c.l_suppkey, c.cost_cents,
+         MIN(c.cost_cents) OVER (PARTITION BY c.l_partkey) AS min_cost
+  FROM cost c
+),
+best AS (
+  SELECT l_partkey, MIN(l_suppkey) AS l_suppkey, MIN(cost_cents) AS cost_cents
+  FROM ranked WHERE cost_cents = min_cost GROUP BY 1
+)
+SELECT p.p_partkey, p.p_brand, b.l_suppkey AS s_suppkey, s.s_name, b.cost_cents
+FROM best b
+JOIN part p ON p.p_partkey = b.l_partkey
+JOIN supplier s ON s.s_suppkey = b.l_suppkey
+WHERE p.p_size = 50
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_ORACLE,
+          description="TPC-H Q2 shape: per-part cheapest supplier (window-min for the correlated subquery)")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cost = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("cost_cents"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        cost.withColumn("min_cost", F.min("cost_cents").over(w))
+        .where(F.col("cost_cents") == F.col("min_cost"))
+        .groupBy("l_partkey")
+        .agg(F.min("l_suppkey").alias("s_suppkey"), F.min("cost_cents").alias("cost_cents"))
+    )
+    parts = t["part"].where(F.col("p_size") == 50)
+    return (
+        best.join(F.broadcast(parts), best.l_partkey == parts.p_partkey)
+        .join(t["supplier"], "s_suppkey")
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "cost_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: volume shipping between two nations, both directions
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       SUM({_REV}) AS revenue_units
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q7_volume_shipping", oracle=_Q7_ORACLE,
+          description="TPC-H Q7 shape: two-sided nation-pair revenue by year")
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    df = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(sn), "s_nationkey")
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return df.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(F.sum(_rev_col()).alias("revenue_units"))
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: market share of one supplier nation within a customer region
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(SUM(CASE WHEN sn.n_name = 'NATION_1' THEN {_REV} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_REV}) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'EUROPE'
+GROUP BY 1
+"""
+
+
+@register("q8_market_share", oracle=_Q8_ORACLE,
+          description="TPC-H Q8 shape: conditional-aggregate ratio (nation share within region)")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_regionkey")
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    region = t["region"].where(F.col("r_name") == "EUROPE")
+    rev = _rev_col()
+    df = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), "s_nationkey")
+    )
+    return (
+        df.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0))).alias("__num"),
+            F.sum(rev).alias("__den"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("__num").cast("double") / F.col("__den").cast("double"), 6).alias("mkt_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: groups above a global-fraction threshold (scalar subquery)
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT)) AS value_cents
+  FROM lineitem GROUP BY 1
+),
+total AS (SELECT SUM(value_cents) AS total_cents FROM per_part)
+SELECT l_partkey, value_cents
+FROM per_part, total
+WHERE value_cents * 10000 > 5 * total_cents
+"""
+
+
+@register("q11_important_stock", oracle=_Q11_ORACLE,
+          description="TPC-H Q11 shape: HAVING against a global-total scalar subquery (integer-exact threshold)")
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_part = t["lineitem"].groupBy("l_partkey").agg(
+        F.sum(_cents("l_extendedprice") * F.round(F.col("l_quantity")).cast("long")).alias("value_cents")
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value_cents") * 10000 > F.lit(5) * F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: conditional priority counts over a join
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@register("q12_priority_counts", oracle=_Q12_ORACLE,
+          description="TPC-H Q12 shape: conditional counts by class over a fact join")
+def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    df = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: suppliers matching the max aggregate (view + equality)
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({_REV}) AS total_revenue_units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue_units
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue_units = (SELECT MAX(total_revenue_units) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE,
+          description="TPC-H Q15 shape: equality against the max of an aggregated view")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_col()).alias("total_revenue_units"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue_units").alias("__max"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .where(F.col("total_revenue_units") == F.col("__max"))
+        .join(t["supplier"], F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_units")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive bracketed predicates (join + OR-of-ANDs pushdown)
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = f"""
+SELECT SUM({_REV}) AS revenue_units, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_bracket_disjunction", oracle=_Q19_ORACLE,
+          description="TPC-H Q19 shape: OR-of-AND bracket predicates across a join")
+def q19_bracket_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    brackets = (
+        ((F.col("p_brand") == "Brand#1") & size.between(1, 15) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & size.between(10, 25) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & size.between(20, 50) & qty.between(20, 30))
+    )
+    df = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .where(brackets)
+    )
+    return df.agg(F.sum(_rev_col()).alias("revenue_units"), F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: nested semi-join chain with an aggregate threshold
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+WITH red_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+),
+qty AS (
+  SELECT l_suppkey, SUM(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+  FROM lineitem JOIN red_parts ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_qty
+FROM supplier JOIN qty ON s_suppkey = l_suppkey
+WHERE total_qty > 50
+"""
+
+
+@register("q20_nested_semijoin", oracle=_Q20_ORACLE,
+          description="TPC-H Q20 shape: semi-join chain gated by an aggregate threshold")
+def q20_nested_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    red_parts = t["part"].where(F.col("p_name").like("red%")).select("p_partkey")
+    qty = (
+        t["lineitem"]
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 50)
+    )
+    return (
+        t["supplier"]
+        .join(qty, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_qty")
+    )

@@ -69,3 +69,29 @@ def test_no_python_udf_in_hot_paths(spark, sf_dir):
 def test_semi_join_used_for_panel_filter(spark, sf_dir):
     plan = _plan(spark, "f1_panel_semi_join", sf_dir)
     assert "LeftSemi" in plan
+
+
+def test_q19_brackets_push_to_scans(spark, sf_dir):
+    """The OR-of-AND brackets must partially push down: brand/size terms
+    reach the part scan, quantity bounds the lineitem scan, and the part
+    side broadcasts (no fact shuffle for a dim join)."""
+    plan = _plan(spark, "q19_bracket_disjunction", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+    # the quantity disjunction's global bounds should reach lineitem
+    assert "l_quantity" in plan.split("lineitem.parquet")[0] or "Or(" in plan
+
+
+def test_q2_min_cost_single_fact_shuffle(spark, sf_dir):
+    """Per-(part,supplier) agg then window-min per part: the fact side
+    shuffles on the group keys once; part/supplier joins stay broadcast
+    or reuse the partitioning — no CartesianProduct, no nested loop."""
+    plan = _plan(spark, "q2_min_cost_supplier", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, "q8_market_share", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
