@@ -22,6 +22,8 @@ strategies:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -153,3 +155,37 @@ def with_next_period(periods: DataFrame, *, order_col: str = "data_inicio", part
     if partition_cols:
         w = Window.partitionBy(*partition_cols).orderBy(order_col)
     return periods.withColumn("next_" + order_col, F.lead(order_col).over(w))
+
+
+def asof_attach_last(
+    df: DataFrame,
+    *,
+    partition_col: str,
+    order_cols: Sequence[str],
+    source_cond: Column,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """As-of join expressed as ONE window pass — no join at all.
+
+    For every row, attach the `value_col` of the latest EARLIER row (in
+    `order_cols` order, strictly before) within the same `partition_col`
+    that satisfies `source_cond`. This is the "merge the two streams,
+    sort once, carry the last seen value" formulation of an as-of join:
+    on a cluster it costs a single shuffle on `partition_col` — no
+    range-bucketing, no broadcast, no skew beyond what the partition key
+    already has — where a join-based as-of needs an interval self-join.
+
+    Rows where nothing qualifies yet get NULL (the as-of "no match"
+    case). `order_cols` must be a deterministic total order within the
+    partition (pass a unique id as the tiebreaker).
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = F.last(
+        F.when(source_cond, F.col(value_col)), ignorenulls=True
+    ).over(w)
+    return df.withColumn(out_col, carried)

@@ -284,3 +284,42 @@ def f4_watermark_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return watermark_gate(
         control, source_ts="timestamp_modificacao_ftp", sink_ts="timestamp_etl_gcs"
     )
+
+
+_ASOF_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       last_value(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_cents
+FROM events
+QUALIFY event_type = 'purchase'
+"""
+
+
+@register("events_asof_last_click", oracle=_ASOF_ORACLE,
+          description="as-of join as one window pass: each purchase carries the user's latest prior click value")
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join without a join: single shuffle on user_id, carry the
+    last qualifying value forward (operators/joins.asof_attach_last).
+    The join-based equivalent would interval-self-join events — this
+    formulation is the one that scales."""
+    from ..operators.joins import asof_attach_last
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_id", "user_id", "ts", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+    )
+    out = asof_attach_last(
+        ev,
+        partition_col="user_id",
+        order_cols=("ts", "event_id"),
+        source_cond=F.col("event_type") == "click",
+        value_col="value_cents",
+        out_col="last_click_cents",
+    )
+    return out.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value_cents", "last_click_cents"
+    )

@@ -388,3 +388,67 @@ def test_aih_rd_two_stage_roundtrip(spark, tmp_path):
     assert r["condicao_secundaria_1_id_cid10"] == "F20"   # adicionais value kept
     load_typed(spark, bronze, AIH_RD_SPEC, target)        # K3 idempotency
     assert spark.read.parquet(target).count() == 1
+
+
+def test_scnes_vinculos_two_stage_roundtrip(spark, tmp_path):
+    """EP1→EP2 for SCNES vinculos: string-surgery outputs (roman→zfill,
+    strip-nondigits), Int64 workload hours and tri-state flag collapse
+    survive the bronze round-trip (load_bd/scnes_vinculos_load_bd.py)."""
+    from sm_etl_cloud_run_spark.pipelines import load_typed
+    from sm_etl_cloud_run_spark.sinks.partitioned import write_bronze_csv
+
+    raw = _row_df(
+        spark, VINCULOS_SPEC,
+        {"COMPETEN": "202408", "REGSAUDE": "XII", "DISTRSAN": "7",
+         "MICR_REG": "35001", "REGISTRO": "CRM-12.345",
+         "NIV_DEP": "1", "TERCEIRO": "0",
+         "VINCUL_C": "1", "VINCUL_A": "", "VINCUL_N": "0",
+         "PROF_SUS": "1", "PROFNSUS": "0",
+         "HORAOUTR": "4", "HORAHOSP": "20", "HORA_AMB": "16",
+         "CODUFMUN": "355030"},
+    )
+    out = transform_fact(raw, VINCULOS_SPEC, ftp_arquivo_nome="PFSP2408.dbc", deterministic_ids=True)
+    bronze = str(tmp_path / "bronze")
+    target = str(tmp_path / "typed")
+    write_bronze_csv(out, bronze, coalesce=1)
+    typed = load_typed(spark, bronze, VINCULOS_SPEC, target)
+    sch = {f.name: f.dataType.simpleString() for f in typed.schema.fields}
+    r = typed.collect()[0]
+    assert r["estabelecimento_regiao_saude_id_sus"] == "0012"      # roman+zfill kept text
+    assert r["profissional_id_conselho"] == "12345"
+    assert sch["atendimento_carga_hospitalar"] == "bigint" and r["atendimento_carga_hospitalar"] == 20
+    assert r["contratado"] is True and r["sem_vinculo_definido"] is False
+    assert r["autonomo"] is False                                  # NULL tri-state → False at stage 2
+    assert sch["periodo_data_inicio"] == "timestamp"
+    load_typed(spark, bronze, VINCULOS_SPEC, target)               # K3 idempotency
+    assert spark.read.parquet(target).count() == 1
+
+
+def test_scnes_habilitacoes_two_stage_roundtrip(spark, tmp_path):
+    """EP1→EP2 for SCNES habilitações: the three date dialects (yyyyMM
+    vigência, dd/MM/yyyy portaria) and Int64 leitos survive bronze."""
+    from sm_etl_cloud_run_spark.pipelines import load_typed
+    from sm_etl_cloud_run_spark.sinks.partitioned import write_bronze_csv
+
+    raw = _row_df(
+        spark, HABILITACOES_SPEC,
+        {"COMPETEN": "202408", "CMPT_INI": "202401", "CMPT_FIM": "202412",
+         "MAPORTAR": "202312", "DTPORTAR": "15/03/2023",
+         "NIV_DEP": "1", "TERCEIRO": "0", "VINC_SUS": "1",
+         "REGSAUDE": "IV", "NULEITOS": "12", "CODUFMUN": "355030"},
+    )
+    out = transform_fact(raw, HABILITACOES_SPEC, ftp_arquivo_nome="HBSP2408.dbc", deterministic_ids=True)
+    bronze = str(tmp_path / "bronze")
+    target = str(tmp_path / "typed")
+    write_bronze_csv(out, bronze, coalesce=1)
+    typed = load_typed(spark, bronze, HABILITACOES_SPEC, target)
+    sch = {f.name: f.dataType.simpleString() for f in typed.schema.fields}
+    r = typed.collect()[0]
+    assert sch["leitos_quantidade"] == "bigint" and r["leitos_quantidade"] == 12
+    assert r["portaria_data"] == dt.datetime(2023, 3, 15)          # C11 through bronze
+    assert r["vigencia_data_inicio"] == dt.datetime(2024, 1, 1)    # C9 yyyyMM
+    assert r["vigencia_data_fim"] == dt.datetime(2024, 12, 1)
+    assert r["atendimento_sus"] is True
+    assert r["estabelecimento_regiao_saude_id_sus"] == "0004"
+    load_typed(spark, bronze, HABILITACOES_SPEC, target)           # K3 idempotency
+    assert spark.read.parquet(target).count() == 1
