@@ -323,3 +323,45 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value_cents", "last_click_cents"
     )
+
+
+_SALTED_ORACLE = """
+WITH user_dim AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS user_purchase_cents
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(d.user_purchase_cents) AS total_user_purchase_cents
+FROM events e JOIN user_dim d ON e.user_id = d.user_id
+GROUP BY 1
+"""
+
+
+@register("skew_salted_user_join", oracle=_SALTED_ORACLE,
+          description="skew-resistant salted equi-join (same semantics as the plain join, skew-proof plan)")
+def skew_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key path: salt the fact side into `salt` sub-keys and
+    replicate the dim across salts (operators/joins.salted_join), so a
+    single pathological key spreads over `salt` tasks instead of
+    serializing on one. The oracle is the PLAIN join — salting must not
+    change semantics, only the physical distribution."""
+    from ..operators.joins import salted_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+    )
+    user_dim = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value_cents")).otherwise(F.lit(0))
+        ).alias("user_purchase_cents")
+    )
+    joined = salted_join(ev, user_dim, "user_id", salt=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_purchase_cents").alias("total_user_purchase_cents"),
+    )
