@@ -1,0 +1,82 @@
+"""Scale-physical-design tests: bucketing eliminates the fact-fact
+shuffle; partitioned layouts prune at the scan. These pin the two
+storage-level levers the 100 TB deployment depends on (beyond the
+per-query plan shapes in test_plans.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+
+def _explain(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """lineitem ⋈ orders on the order key: with both sides bucketed by
+    the join key into the same bucket count, the sort-merge join reads
+    bucket-aligned and the plan contains NO shuffle exchange — the
+    co-located fact-fact join a 100 TB layout is designed around."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketed LOCATION '{tmp_path}/wh'")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        (
+            li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable("bucketed.li")
+        )
+        (
+            orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("bucketed.ord")
+        )
+        joined = spark.table("bucketed.li").join(
+            spark.table("bucketed.ord"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _explain(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing co-located it
+        # same join on the raw (unbucketed) parquet MUST shuffle — the
+        # contrast that proves the bucketing is what removed it
+        raw = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert "Exchange" in _explain(raw)
+        n_bucketed = joined.count()
+        assert n_bucketed == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bucketed.li")
+        spark.sql("DROP TABLE IF EXISTS bucketed.ord")
+        spark.sql("DROP DATABASE IF EXISTS bucketed")
+
+
+def test_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
+    """A date-partitioned fact read with a partition predicate shows the
+    pruning in the scan node (PartitionFilters) and reads only the
+    matching directory — the property that makes K3/K4 re-processing
+    and day-scoped queries O(partition), not O(table)."""
+    from sm_etl_cloud_run_spark.sinks.partitioned import write_partition_overwrite
+    from sm_etl_cloud_run_spark.tables import load_tables
+
+    events = load_tables(spark, sf_dir)["events"].withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_part")
+    write_partition_overwrite(events, path, ["event_date"])
+    one_day = events.agg(F.min("event_date")).collect()[0][0]
+    scoped = spark.read.parquet(path).where(F.col("event_date") == F.lit(one_day))
+    plan = _explain(scoped)
+    assert "PartitionFilters" in plan and "event_date" in plan
+    expected = events.where(F.col("event_date") == F.lit(one_day)).count()
+    assert scoped.count() == expected
