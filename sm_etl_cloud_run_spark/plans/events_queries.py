@@ -365,3 +365,66 @@ def skew_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("user_purchase_cents").alias("total_user_purchase_cents"),
     )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click_n,
+       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view_n,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_n,
+       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup_n,
+       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error_n
+FROM events GROUP BY 1
+"""
+
+
+@register("events_pivot_type_counts", oracle=_PIVOT_ORACLE,
+          description="pivot (inverse of R1 melt): event_type rows to per-type count columns")
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`groupBy().pivot(values=...)` with the pivot domain passed
+    explicitly — at scale the implicit form runs an extra distinct job
+    over the fact table and yields an input-dependent schema; pinning
+    the values keeps the plan a single hash aggregate."""
+    t = load_tables(spark, sf_dir)
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"{k}_n") for k in kinds],
+    )
+
+
+_CUMSUM_ORACLE = """
+SELECT event_id, user_id,
+       SUM(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+@register("events_running_balance", oracle=_CUMSUM_ORACLE,
+          description="cumulative window frame: running purchase total per user")
+def events_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id",
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w).alias("cum_cents"),
+        )
+    )
