@@ -428,3 +428,38 @@ def events_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w).alias("cum_cents"),
         )
     )
+
+
+_DAILY_FROM_HOURLY_ORACLE = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("events_daily_from_hourly", oracle=_DAILY_FROM_HOURLY_ORACLE,
+          description="hypertable-style rollup: daily aggregates composed from hourly partials")
+def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern: the daily rollup is computed FROM
+    the hourly aggregate (sum of partials), not from raw events — the
+    hierarchy a hypertable materializes so each resolution reads the
+    one below it (hours/day rows instead of events/day). The oracle
+    aggregates raw directly; results must be identical because count
+    and sum compose."""
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("total_cents"),
+        )
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("hour")).alias("day"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("total_cents").alias("total_cents"))
+    )

@@ -231,3 +231,38 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_features(media, decode_fn=deterministic_fake_decoder)
     return feats.select("media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1) * 1e6).cast("long").alias("f0_scaled"))
+
+
+_CENTROID_ORACLE = f"""
+SELECT label, CAST(i AS INT) AS pos,
+       round(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * {_S}) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / {_S}, 6) AS centroid
+FROM embeddings, range(1, 65) t(i)
+GROUP BY 1, 2
+"""
+# (constant 64-dim range: DuckDB's range() can't lateral-reference the
+# embedding column; the Spark side posexplodes so any dim works there)
+
+
+@register("embedding_label_centroids", oracle=_CENTROID_ORACLE,
+          description="per-label centroid vector (posexplode + fixed-point mean, long format)")
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregate: mean embedding per label. posexplode + one hash
+    aggregate on (label, pos) — partial means combine map-side, so the
+    shuffle carries labels × dim rows regardless of corpus size. Sums in
+    1e9 fixed point so the mean is deterministic cross-engine."""
+    t = load_tables(spark, sf_dir)
+    exploded = t["embeddings"].select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            F.sum(F.round(F.col("v").cast("double") * 1e9).cast("long")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            "label", "pos",
+            F.round(F.col("__s").cast("double") / F.col("__n").cast("double") / 1e9, 6).alias("centroid"),
+        )
+    )
