@@ -52,7 +52,7 @@ WHERE p.p_size = 50
 """
 
 
-@register("q2_min_cost_supplier", oracle=_Q2_ORACLE,
+@register("q2_min_cost_supplier", oracle=_Q2_ORACLE, bench=True,
           description="TPC-H Q2 shape: per-part cheapest supplier (window-min for the correlated subquery)")
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
@@ -143,7 +143,7 @@ GROUP BY 1
 """
 
 
-@register("q8_market_share", oracle=_Q8_ORACLE,
+@register("q8_market_share", oracle=_Q8_ORACLE, bench=True,
           description="TPC-H Q8 shape: conditional-aggregate ratio (nation share within region)")
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
