@@ -281,18 +281,33 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity via inverted-index self-join.
 
     |A∩B| from the shingle-keyed join, |A|/|B| from per-doc distinct
-    counts; emits pairs with jaccard ≥ threshold. The join shuffles on
-    the shingle value — at 100 TB cap ubiquitous shingles (document
-    frequency cut) before joining; here the corpus-scale guard is the
-    threshold filter pushed below the aggregate.
+    counts; emits pairs with jaccard ≥ threshold.
+
+    `max_df` is the corpus-scale guard: a shingle appearing in df docs
+    contributes df² rows to the self-join, so boilerplate shingles
+    (headers, licenses) dominate cost while carrying no dedup signal.
+    With `max_df` set, shingles above that document frequency are
+    dropped BEFORE the join — both intersections and sizes are then
+    computed over the capped shingle universe, so the score stays a
+    well-defined Jaccard (of the informative shingles) rather than a
+    biased estimate of the raw one.
     """
     shingled = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("sh")
     )
+    if max_df is not None:
+        kept = (
+            shingled.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("sh")
+        )
+        shingled = shingled.join(kept, "sh")
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = shingled.alias("a")
     b = shingled.alias("b")

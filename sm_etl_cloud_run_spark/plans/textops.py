@@ -431,3 +431,41 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_pretokens"),
         n_sub.alias("n_subwords_est"),
     )
+
+
+_DFCAP = 16
+
+_JACCARD_DFCAP_ORACLE = f"""
+WITH {_shingle_cte()},
+ex0 AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+kept AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= {_DFCAP}),
+ex AS (SELECT doc_id, ex0.s FROM ex0 JOIN kept ON ex0.s = kept.s),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard_dfcap", oracle=_JACCARD_DFCAP_ORACLE,
+          description="Jaccard with document-frequency cap: boilerplate shingles dropped before the self-join")
+def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale guard for the inverted-index join: a shingle in df docs
+    costs df² join rows, so ubiquitous boilerplate dominates while
+    carrying no signal. df-capped (16 here); score is exact Jaccard
+    over the informative-shingle universe."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        t["documents"], text_col="text", id_col="doc_id",
+        shingle_k=SHINGLE_K, threshold=_JACCARD_THRESHOLD, max_df=_DFCAP,
+    )
