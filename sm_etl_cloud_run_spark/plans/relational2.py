@@ -307,3 +307,30 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(100)
     )
+
+
+_SQL_CTE = """
+WITH cust_rev AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(n_orders) AS n_orders,
+       SUM(total_cents) AS total_cents
+FROM customer JOIN cust_rev ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("sql_interface_cte", oracle=_SQL_CTE,
+          description="the spark.sql surface: CTE over registered views, ANSI SQL verbatim")
+def sql_interface_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path: `load_tables` registers the catalog views and
+    the exact oracle text runs through `spark.sql` — one string, two
+    engines. Catalyst plans it identically to the DataFrame form (CTE
+    inlined, aggregate pushed below the join)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_SQL_CTE)
