@@ -107,3 +107,25 @@ def run_stream_to_memory(df: DataFrame, query_name: str, *, output_mode: str = "
     q = df.writeStream.outputMode(output_mode).format("memory").queryName(query_name).start()
     q.processAllAvailable()
     return q
+
+
+def streaming_dedup(
+    events: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event dedup for streams: drop rows whose key was
+    already seen within the watermark horizon
+    (`dropDuplicatesWithinWatermark`), so at-least-once sources (replays,
+    retried producers) don't double-count downstream.
+
+    The streaming twin of the batch dedup family: state is bounded by
+    the watermark (keys older than the horizon are evicted), which is
+    what makes it runnable forever at corpus-firehose scale — a plain
+    `dropDuplicates` on a stream would accumulate state without bound.
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+    return events.dropDuplicates(list(keys))

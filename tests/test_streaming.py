@@ -166,3 +166,31 @@ def test_streaming_sessions(spark, tmp_path):
         assert [r["n_events"] for r in got] == [2, 1]
     finally:
         q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Replayed events (same event_id) collapse to one row on the stream;
+    the batch twin of the same call gives the identical result."""
+    from sm_etl_cloud_run_spark.streaming.stream_ops import streaming_dedup
+
+    base = dt.datetime(2024, 8, 1, 12, 0)
+    rows = [
+        (1, base, "click", 10.0),
+        (1, base, "click", 10.0),                          # exact replay
+        (2, base + dt.timedelta(minutes=5), "view", 1.0),
+        (2, base + dt.timedelta(minutes=6), "view", 1.0),  # retried producer, same key
+        (3, base + dt.timedelta(minutes=7), "purchase", 99.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    path = str(tmp_path / "events")
+    df.repartition(2).write.parquet(path)
+
+    stream = streaming_dedup(read_events_stream(spark, path, df.schema))
+    q = run_stream_to_memory(stream, "dedup_out")
+    try:
+        got = spark.table("dedup_out").groupBy("event_id").count().collect()
+        assert {r["event_id"]: r["count"] for r in got} == {1: 1, 2: 1, 3: 1}
+    finally:
+        q.stop()
+    # batch twin: same helper, same semantics
+    assert streaming_dedup(df).count() == 3
