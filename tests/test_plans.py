@@ -95,3 +95,46 @@ def test_q8_dims_broadcast(spark, sf_dir):
     plan = _plan(spark, "q8_market_share", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# Queries where a nested-loop/cartesian shape is the DESIGN, not a bug:
+# the general-form range join (broadcast NLJ), brute-force/LSH ANN and
+# embedding pair scoring (explicit small-side crossJoin), and scalar
+# broadcasts of 1-row aggregates (q11/q15/q22-style thresholds).
+_NESTED_LOOP_OK = {
+    "j1_period_range_join",
+    "knn_brute_force",
+    "knn_lsh_bucketed",
+    "knn_ivf",
+    "embedding_dup_pairs",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q22_dormant_customers",
+    "f5_sliding_month_gate",
+    "events_sliding_window",
+    "set_intersect_except",  # three 1-row aggs crossJoined into one output row
+}
+# Python appears only where the operator is Python by contract:
+# uuid7 ids and the stubbed multimodal decode kernels.
+_PYTHON_OK = {"multimodal_feature_extract"}
+
+
+def test_registry_wide_plan_hygiene(spark, sf_dir):
+    """Every registered query plan stays JVM-side and join-strategy
+    sane: no row-wise Python (BatchEvalPython) outside the declared
+    Python operators, and no nested-loop/cartesian join outside the
+    queries designed around one."""
+    from sm_etl_cloud_run_spark.plans import all_queries
+
+    offenders_py, offenders_nlj = [], []
+    for name, spec in sorted(all_queries().items()):
+        plan = _plan(spark, name, sf_dir, mode="simple")
+        if "BatchEvalPython" in plan and name not in _PYTHON_OK:
+            offenders_py.append(name)
+        if (
+            ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan)
+            and name not in _NESTED_LOOP_OK
+        ):
+            offenders_nlj.append(name)
+    assert not offenders_py, f"row-wise Python crept into: {offenders_py}"
+    assert not offenders_nlj, f"nested-loop joins crept into: {offenders_nlj}"
