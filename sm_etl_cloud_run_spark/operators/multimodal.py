@@ -105,3 +105,63 @@ def sample_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
         ).alias("frame_ts_ms"),
     )
     return frames
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "width int, height int, n_bytes long"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    *,
+    target: tuple[int, int] = (224, 224),
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+    batch_limit: int = 64,
+) -> DataFrame:
+    """Resize image payloads to `target` via mapInPandas.
+
+    Same kernel contract as `extract_features`: `resize_fn=None` is the
+    real-codec path and raises NotImplementedError at the kernel
+    boundary (PIL absent here); tests inject a fake. Non-image rows are
+    filtered Spark-side so the Python kernel only ever sees work it can
+    act on, and batches are re-chunked (`batch_limit`) because resized
+    payloads are large — one huge Arrow batch per partition would spike
+    executor memory.
+    """
+    w, h = target
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                if resize_fn is None:
+                    raise NotImplementedError(
+                        "image resize requires codec libraries (PIL) not present "
+                        "in this container; pass resize_fn explicitly"
+                    )
+                out = [
+                    resize_fn(bytes(p) if p is not None else b"", w, h)
+                    for p in chunk["payload"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "kind": chunk["kind"].values,
+                        "payload": out,
+                        "width": [w] * len(chunk),
+                        "height": [h] * len(chunk),
+                        "n_bytes": [len(b) for b in out],
+                    }
+                )
+
+    return media.where(F.col("kind") == "image").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def deterministic_fake_resizer(payload: bytes, w: int, h: int) -> bytes:
+    """Content-derived fake resized payload (w*h bytes from a sha256
+    stream) so the plumbing is testable without PIL."""
+    seed = hashlib.sha256((payload or b"") + f"{w}x{h}".encode()).digest()
+    reps = (w * h) // len(seed) + 1
+    return (seed * reps)[: w * h]

@@ -42,3 +42,31 @@ def test_sample_frames_plan(spark):
     # only the video row explodes; 3500ms at 1s cadence → ts 0,1000,2000,3000
     assert [r["media_id"] for r in frames] == [2, 2, 2, 2]
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_resize_images_fake_resizer(spark):
+    from sm_etl_cloud_run_spark.operators.multimodal import (
+        deterministic_fake_resizer,
+        resize_images,
+    )
+
+    out = resize_images(
+        _media(spark), target=(8, 4), resize_fn=deterministic_fake_resizer
+    ).collect()
+    assert [r["media_id"] for r in out] == [1]          # only image rows reach the kernel
+    r = out[0]
+    assert r["width"] == 8 and r["height"] == 4
+    assert r["n_bytes"] == 32 and len(r["payload"]) == 32
+    # content-derived: same input → same resized bytes
+    again = resize_images(
+        _media(spark), target=(8, 4), resize_fn=deterministic_fake_resizer
+    ).collect()[0]
+    assert bytes(again["payload"]) == bytes(r["payload"])
+
+
+def test_resize_images_real_path_is_stubbed(spark):
+    from sm_etl_cloud_run_spark.operators.multimodal import resize_images
+
+    with pytest.raises(Exception) as ei:
+        resize_images(_media(spark)).collect()
+    assert "NotImplementedError" in str(ei.value) or "resize" in str(ei.value)

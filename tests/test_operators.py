@@ -191,6 +191,25 @@ def test_lsh_components_transitive_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 4}       # transitive closure reached
 
 
+def test_lsh_components_long_chain_converges(spark):
+    """A 6-doc chain (each doc shares one band with the next) has
+    diameter 5 — several propagation rounds; all must land on doc 1."""
+    from sm_etl_cloud_run_spark.operators.dedup import lsh_dedup_components
+
+    rows = []
+    for i in range(1, 7):
+        # buckets only match within the SAME band, so alternate:
+        # band0 pairs (1,2)(3,4)(5,6) via A-keys, band1 pairs (2,3)(4,5)
+        # via B-keys → one path 1-2-3-4-5-6, diameter 5
+        a, b = f"A{(i + 1) // 2}", f"B{i // 2}"
+        rows.append((i, a, a, b, b, f"x{i}a", f"x{i}a", f"x{i}b", f"x{i}b"))
+    sigs = spark.createDataFrame(
+        rows, "doc_id int, " + ", ".join(f"sig_{i} string" for i in range(8))
+    )
+    comp = {r["doc_id"]: r["group_rep"] for r in lsh_dedup_components(sigs).collect()}
+    assert comp == {i: 1 for i in range(1, 7)}
+
+
 def test_ngram_jaccard_exact_value(spark):
     # doc1: shingles {a b c, b c d}; doc2: {a b c}: jaccard = 1/2
     df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], "doc_id int, text string")
