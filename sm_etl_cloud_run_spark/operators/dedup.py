@@ -354,3 +354,42 @@ def simhash(
         bit_exprs.append(F.when(ones * 2 > n, F.lit(1).cast("long") * (2**b)).otherwise(F.lit(0).cast("long")))
     fingerprint = sum(bit_exprs[1:], bit_exprs[0])
     return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every k-gram in document order, slide a window of `window`
+    consecutive hashes, keep each window's minimum, emit the distinct
+    minima per document.
+
+    Guarantees at least one shared fingerprint for any match of length
+    ≥ window + k - 1 tokens while storing ~2/(window+1) of the hashes —
+    the partial-copy detector whole-document fingerprints can't be.
+
+    Plan: posexplode keeps shingle order, one window pass per doc (the
+    only shuffle, on the doc id), distinct minima per doc. Tail windows
+    shorter than `window` are excluded (standard winnowing uses full
+    windows only).
+    """
+    from pyspark.sql.window import Window as W
+
+    hashed = df.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(F.col(text_col), shingle_k)).alias("pos", "__sh"),
+    ).select(id_col, "pos", F.substring(F.md5("__sh"), 1, 8).alias("__h"))
+    w_min = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    w_all = W.partitionBy(id_col)
+    return (
+        hashed.withColumn("__wmin", F.min("__h").over(w_min))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .where(F.col("pos") <= F.col("__n") - window)
+        .select(F.col(id_col), F.col("__wmin").alias("fingerprint"))
+        .distinct()
+    )

@@ -469,3 +469,40 @@ def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], text_col="text", id_col="doc_id",
         shingle_k=SHINGLE_K, threshold=_JACCARD_THRESHOLD, max_df=_DFCAP,
     )
+
+
+_WINNOW_W = 4
+
+_WINNOW_ORACLE = f"""
+WITH {_shingle_cte()},
+hashed AS (
+  SELECT doc_id, i AS pos, substr(md5(shingles[i]), 1, 8) AS h
+  FROM sh, lateral (SELECT unnest(range(1, len(shingles) + 1)) AS i) t
+  WHERE len(shingles) > 0
+),
+win AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wmin,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM hashed
+)
+SELECT DISTINCT doc_id, wmin AS fingerprint
+FROM win WHERE pos <= n - {_WINNOW_W} + 1
+"""
+
+
+@register("text_winnowing_fingerprints", oracle=_WINNOW_ORACLE,
+          description="winnowing (rolling k-gram hash minima): partial-copy fingerprints")
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting: any shared passage of
+    window+k-1 tokens guarantees a shared fingerprint, at ~2/(window+1)
+    storage — the partial-overlap detector complementing whole-doc
+    md5 (`doc_fingerprints`) and set-similarity (`dedup_ngram_jaccard`)."""
+    from ..operators.dedup import winnowing_fingerprints
+
+    t = load_tables(spark, sf_dir)
+    return winnowing_fingerprints(
+        t["documents"], text_col="text", id_col="doc_id",
+        shingle_k=SHINGLE_K, window=_WINNOW_W,
+    )

@@ -210,6 +210,29 @@ def test_lsh_components_long_chain_converges(spark):
     assert comp == {i: 1 for i in range(1, 7)}
 
 
+def test_winnowing_shared_passage_shares_fingerprint(spark):
+    """Two docs sharing a passage of >= window+k-1 tokens must share at
+    least one winnowed fingerprint; disjoint docs share none."""
+    from sm_etl_cloud_run_spark.operators.dedup import winnowing_fingerprints
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {passage} closing remarks one"),
+            (2, f"{passage} totally different ending text follows now"),
+            (3, "unrelated content entirely about other topics and things here"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = winnowing_fingerprints(df, shingle_k=3, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]            # shared passage -> shared fingerprint
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
 def test_ngram_jaccard_exact_value(spark):
     # doc1: shingles {a b c, b c d}; doc2: {a b c}: jaccard = 1/2
     df = spark.createDataFrame([(1, "a b c d"), (2, "a b c")], "doc_id int, text string")
