@@ -13,6 +13,8 @@ oracle — summing IEEE doubles in different orders would not be.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -203,3 +205,42 @@ def embedding_cosine_dup_pairs(
         )
     )
     return pairs.where(F.col("cosine") >= threshold)
+
+
+def pandas_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k with an Arrow-batched vectorized Pandas
+    UDF — the throughput alternative to the `zip_with`/`aggregate`
+    column expression.
+
+    Higher-order array functions run interpreted on the JVM; this path
+    ships each Arrow batch to numpy once and scores the whole batch with
+    one matrix multiply, which wins as dim × k grows. The fixed-point
+    rounding matches `cosine_similarity`, so both implementations return
+    identical scores (asserted in tests) and either can back the oracle
+    query.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    scale = _SCALE
+
+    @pandas_udf("double")
+    def cos(batch: pd.Series) -> pd.Series:
+        m = np.stack(batch.to_numpy())  # (batch, dim) float64
+        dot = np.rint(m * q * scale).sum(axis=1)
+        na = np.sqrt(np.rint(m * m * scale).sum(axis=1))
+        nb = np.sqrt(np.rint(q * q * scale).sum())
+        return pd.Series(np.round(dot / (na * nb), round_to))
+
+    scored = embeddings.select(
+        F.col(id_col), cos(F.col(vec_col).cast("array<double>")).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

@@ -210,6 +210,22 @@ def test_lsh_components_long_chain_converges(spark):
     assert comp == {i: 1 for i in range(1, 7)}
 
 
+def test_pandas_cosine_topk_matches_expression_path(spark):
+    """The Arrow-batched numpy scorer returns byte-identical cosines and
+    the same top-k order as the zip_with/aggregate column expression."""
+    import random
+
+    from sm_etl_cloud_run_spark.operators.similarity import pandas_cosine_topk
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = [rng.uniform(-1, 1) for _ in range(16)]
+    expr = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(df, qv, k=10).collect()]
+    vec = [(r["vec_id"], r["cosine"]) for r in pandas_cosine_topk(df, qv, k=10).collect()]
+    assert expr == vec
+
+
 def test_winnowing_shared_passage_shares_fingerprint(spark):
     """Two docs sharing a passage of >= window+k-1 tokens must share at
     least one winnowed fingerprint; disjoint docs share none."""
