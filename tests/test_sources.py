@@ -72,3 +72,19 @@ def test_read_dbf_files_with_fake_decoder(spark, tmp_path):
     rows = sorted((r["COL1"], r["COL2"]) for r in df.collect())
     assert rows == [("AB-0", "0"), ("AB-1", "1"), ("CD-0", "0"), ("CD-1", "1")]
     assert all(f.dataType.simpleString() == "string" for f in df.schema.fields)
+
+
+def test_read_jdbc_table_argument_contract(spark):
+    """Deploy-time connector: smoke the argument validation (no driver
+    jar in this container to run a real scan)."""
+    import pytest
+
+    from sm_etl_cloud_run_spark.sources.jdbc import read_jdbc_table
+
+    with pytest.raises(ValueError, match="not a JDBC url"):
+        read_jdbc_table(spark, "postgres://x", "t", user="u", password="p")
+    with pytest.raises(ValueError, match="partitioned read needs"):
+        read_jdbc_table(
+            spark, "jdbc:postgresql://h/db", "t", user="u", password="p",
+            partition_column="id",  # bounds missing
+        )
