@@ -113,6 +113,24 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows: md5 over each band's signature slice.
+    Single definition shared by the pair / group / component paths so
+    banding (hash, separator, slicing) can never desynchronize."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -135,14 +153,7 @@ def lsh_candidate_pairs(
     # aggregate subplan, so Spark's ReusedExchange computes it once —
     # measured faster than InMemoryRelation here. At warehouse scale the
     # signature table would be persisted as its own artifact instead.
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket")))
-    bands_df = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    bands_df = _band_buckets(signatures, id_col, num_hashes, bands)
 
     a = bands_df.alias("a")
     b = bands_df.alias("b")
@@ -192,14 +203,7 @@ def lsh_dedup_groups(
 
     Returns (id, group_rep); rows with id == group_rep are the keepers.
     """
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket")))
-    bands_df = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    bands_df = _band_buckets(signatures, id_col, num_hashes, bands)
     reps = bands_df.groupBy("band", "bucket").agg(F.min(id_col).alias("bucket_rep"))
     return (
         bands_df.join(reps, ["band", "bucket"])
@@ -231,18 +235,11 @@ def lsh_dedup_components(
     truncates lineage (no exponential plan growth) and one tiny `agg`
     action reads the convergence counter. Returns (id, group_rep).
     """
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
-        )
     edges = (
-        signatures.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
+        _band_buckets(signatures, id_col, num_hashes, bands)
         .select(
             id_col,
-            F.concat_ws("#", F.col("bb.band").cast("string"), F.col("bb.bucket")).alias("__bucket"),
+            F.concat_ws("#", F.col("band").cast("string"), F.col("bucket")).alias("__bucket"),
         )
         .localCheckpoint(eager=True)  # scanned twice per round
     )
@@ -271,6 +268,11 @@ def lsh_dedup_components(
         labels = nxt.drop("__chg")
         if not changed:
             break
+    else:
+        raise RuntimeError(
+            f"lsh_dedup_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.withColumnRenamed("__label", "group_rep")
 
 

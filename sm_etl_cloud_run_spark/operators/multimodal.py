@@ -9,7 +9,7 @@ driver involvement.
 
 The actual codec work (PIL/librosa/ffmpeg) is NOT available in this
 container, so the decode kernels are stubbed: `decode_fn=None` raises
-NotImplementedError at the kernel boundary, while
+NotImplementedError up front, while
 `deterministic_fake_decoder` provides a content-derived fake so the
 plumbing (schema, batching, partitioning, UDF signatures) is fully
 testable.
@@ -64,9 +64,15 @@ def extract_features(
     """Decode payloads → fixed-width feature vectors via mapInPandas.
 
     `decode_fn=None` marks the real-codec path: raises
-    NotImplementedError (codec libs absent here). Pass
+    NotImplementedError at call time (codec libs absent here). Pass
     `deterministic_fake_decoder` for tests.
     """
+
+    if decode_fn is None:
+        raise NotImplementedError(
+            "media decode requires codec libraries (PIL/librosa/ffmpeg) "
+            "not present in this container; pass decode_fn explicitly"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -74,11 +80,6 @@ def extract_features(
             # re-chunk instead of emitting one huge Arrow batch.
             for start in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[start : start + batch_limit]
-                if decode_fn is None:
-                    raise NotImplementedError(
-                        "media decode requires codec libraries (PIL/librosa/ffmpeg) "
-                        "not present in this container; pass decode_fn explicitly"
-                    )
                 feats = [decode_fn(bytes(p) if p is not None else b"") for p in chunk["payload"]]
                 yield pd.DataFrame(
                     {
@@ -123,24 +124,24 @@ def resize_images(
     """Resize image payloads to `target` via mapInPandas.
 
     Same kernel contract as `extract_features`: `resize_fn=None` is the
-    real-codec path and raises NotImplementedError at the kernel
-    boundary (PIL absent here); tests inject a fake. Non-image rows are
+    real-codec path and raises NotImplementedError at call time (PIL
+    absent here); tests inject a fake. Non-image rows are
     filtered Spark-side so the Python kernel only ever sees work it can
     act on, and batches are re-chunked (`batch_limit`) because resized
     payloads are large — one huge Arrow batch per partition would spike
     executor memory.
     """
     w, h = target
+    if resize_fn is None:
+        raise NotImplementedError(
+            "image resize requires codec libraries (PIL) not present "
+            "in this container; pass resize_fn explicitly"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for start in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[start : start + batch_limit]
-                if resize_fn is None:
-                    raise NotImplementedError(
-                        "image resize requires codec libraries (PIL) not present "
-                        "in this container; pass resize_fn explicitly"
-                    )
                 out = [
                     resize_fn(bytes(p) if p is not None else b"", w, h)
                     for p in chunk["payload"]

@@ -232,15 +232,24 @@ def pandas_cosine_topk(
     q = np.asarray(query_vec, dtype=np.float64)
     scale = _SCALE
 
+    def _half_up(x):
+        # Spark F.round is HALF_UP (away from zero); np.rint is
+        # half-to-even — parity with cosine_similarity needs the former
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
     @pandas_udf("double")
     def cos(batch: pd.Series) -> pd.Series:
         m = np.stack(batch.to_numpy())  # (batch, dim) float64
-        dot = np.rint(m * q * scale).sum(axis=1)
-        na = np.sqrt(np.rint(m * m * scale).sum(axis=1))
-        nb = np.sqrt(np.rint(q * q * scale).sum())
-        return pd.Series(np.round(dot / (na * nb), round_to))
+        dot = _half_up(m * q * scale).sum(axis=1)
+        na = np.sqrt(_half_up(m * m * scale).sum(axis=1))
+        nb = np.sqrt(_half_up(q * q * scale).sum())
+        p10 = 10.0 ** round_to
+        return pd.Series(_half_up(dot / (na * nb) * p10) / p10)
 
-    scored = embeddings.select(
+    # NULL embeddings: the expression path scores them NULL (sorts
+    # last); np.stack would crash on None, so exclude them up front —
+    # same top-k whenever ≥ k rows are non-null.
+    scored = embeddings.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), cos(F.col(vec_col).cast("array<double>")).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

@@ -42,7 +42,9 @@ def write_partition_overwrite(
     hash of the row, so re-runs stay idempotent).
     """
     keys = [F.col(c) for c in partition_by]
-    if files_per_partition > 1:
+    if not keys:
+        clustered = df  # unpartitioned table: nothing to cluster on
+    elif files_per_partition > 1:
         salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
         clustered = df.repartition(*keys, salt)
     else:

@@ -121,10 +121,15 @@ def streaming_dedup(
     (`dropDuplicatesWithinWatermark`), so at-least-once sources (replays,
     retried producers) don't double-count downstream.
 
-    The streaming twin of the batch dedup family: state is bounded by
-    the watermark (keys older than the horizon are evicted), which is
-    what makes it runnable forever at corpus-firehose scale — a plain
-    `dropDuplicates` on a stream would accumulate state without bound.
+    State is bounded by the watermark (keys older than the horizon are
+    evicted), which is what makes it runnable forever at
+    corpus-firehose scale — a plain `dropDuplicates` on a stream would
+    accumulate state without bound.
+
+    The batch fallback is a plain global `dropDuplicates` — a SUPERSET
+    of the streaming dedup (it also collapses duplicates farther apart
+    than the horizon). Backfills that must reproduce streaming output
+    exactly should window the batch input to the horizon first.
     """
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))

@@ -192,5 +192,5 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         assert {r["event_id"]: r["count"] for r in got} == {1: 1, 2: 1, 3: 1}
     finally:
         q.stop()
-    # batch twin: same helper, same semantics
+    # batch fallback: plain global dedup (superset of the horizon dedup)
     assert streaming_dedup(df).count() == 3

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -44,7 +43,7 @@ BASE = "/root/testdata/sf0.1/documents.parquet"
 
 def build_docs(spark, mult: int) -> str:
     out = os.path.join(PROBE_DIR, f"docs-x{mult}.parquet")
-    if os.path.exists(out):
+    if os.path.exists(os.path.join(out, "_SUCCESS")):  # complete write only
         return out
     docs = spark.read.parquet(BASE).select("doc_id", "text")
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1

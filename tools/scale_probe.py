@@ -50,7 +50,8 @@ _DIMS = ("region", "nation", "customer", "supplier", "part")
 
 def build_scaled(spark, mult: int) -> str:
     out_dir = os.path.join(PROBE_DIR, f"x{mult}")
-    if os.path.exists(out_dir):
+    # embeddings is written last, so its _SUCCESS marks a complete build
+    if os.path.exists(os.path.join(out_dir, "embeddings.parquet", "_SUCCESS")):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     t = load_tables(spark, BASE_SF)
