@@ -80,3 +80,32 @@ def test_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "event_date" in plan
     expected = events.where(F.col("event_date") == F.lit(one_day)).count()
     assert scoped.count() == expected
+
+
+def test_sorted_export_uses_range_partitioning(spark, sf_dir, tmp_path):
+    """Globally-sorted output at scale: repartitionByRange +
+    sortWithinPartitions gives N sorted files whose ranges don't overlap
+    (file i's max <= file i+1's min) — a total order without funneling
+    the table through one task. The plan must show RangePartitioning,
+    not a single-partition global sort."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = li.repartitionByRange(4, "l_orderkey").sortWithinPartitions("l_orderkey")
+    plan = _explain(out, mode="simple")
+    assert "rangepartitioning" in plan.lower()
+    path = str(tmp_path / "sorted")
+    out.write.parquet(path)
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{path}/part-*"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        pdf = spark.read.parquet(f).agg(
+            F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+        ).collect()[0]
+        if pdf["lo"] is not None:
+            ranges.append((pdf["lo"], pdf["hi"]))
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # non-overlapping: concatenation is globally sorted
