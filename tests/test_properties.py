@@ -75,3 +75,29 @@ def test_minhash_estimates_jaccard(spark, seed):
     assert abs(est - true) <= 0.5
     if true == 1.0:
         assert est == 1.0
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_winnowing_guarantee(spark, seed):
+    """Schleimer/Wilkerson/Aiken guarantee: two docs sharing any passage
+    of >= window + k - 1 tokens share at least one winnowed fingerprint,
+    for random surrounding text."""
+    import random
+
+    from sm_etl_cloud_run_spark.operators.dedup import winnowing_fingerprints
+
+    k, w = 3, 4
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    passage = " ".join(rng.choice(vocab) for _ in range(w + k - 1))
+    pre = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10)))
+    post = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10)))
+    doc1 = f"{pre} {passage}".strip()
+    doc2 = f"{passage} {post}".strip()
+    df = spark.createDataFrame([(1, doc1), (2, doc2)], "doc_id int, text string")
+    fps = winnowing_fingerprints(df, shingle_k=k, window=w).collect()
+    by_doc: dict[int, set] = {1: set(), 2: set()}
+    for r in fps:
+        by_doc[r["doc_id"]].add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], (doc1, doc2)
