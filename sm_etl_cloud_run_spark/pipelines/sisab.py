@@ -34,9 +34,17 @@ def transform_sisab_producao(
     periods: DataFrame | None = None,
     geo: DataFrame | None = None,
     measure_name: str = "quantidade_registrada",
+    constants: dict[str, str] | None = None,
     deterministic_ids: bool = False,
 ) -> DataFrame:
-    """Wide municipality report → long, typed, enriched fact."""
+    """Wide municipality report → long, typed, enriched fact.
+
+    `constants` models the reference's second categorical axis: the
+    SISAB fan-out requests one report per (competência, filter-value)
+    combination, so values like `problema_condicao_avaliada` and the
+    literal `tipo_producao='Atendimento Individual'` arrive as
+    per-request constants, not as report columns
+    (etl/sisab_resolutividade_por_condicao.py:135-143, :102-111)."""
     id_vars = ["Uf", "Ibge", "Municipio"]
     value_vars = [c for c in report.columns if c not in id_vars]
 
@@ -56,6 +64,10 @@ def transform_sisab_producao(
         .withColumnRenamed("Municipio", "municipio_nome")
         .withColumn("periodo_data_inicio", F.lit(competencia).cast("date"))
     )
+
+    # P3 — per-request constants (the second categorical axis)
+    for cname, cval in (constants or {}).items():
+        long = long.withColumn(cname, F.lit(cval))
 
     # F1 — active-panel municipalities
     if panel_ids is not None:
@@ -93,6 +105,7 @@ def transform_sisab_producao(
         "unidade_geografica_id_sus",
         "periodo_id",
         "periodo_data_inicio",
+        *(constants or {}),
         variavel_saida,
         measure_name,
         "atualizacao_data",

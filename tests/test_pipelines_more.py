@@ -452,3 +452,37 @@ def test_scnes_habilitacoes_two_stage_roundtrip(spark, tmp_path):
     assert r["estabelecimento_regiao_saude_id_sus"] == "0004"
     load_typed(spark, bronze, HABILITACOES_SPEC, target)           # K3 idempotency
     assert spark.read.parquet(target).count() == 1
+
+
+def test_sisab_resolutividade_two_axis_shape(spark):
+    """The resolutividade flavor: melt covers Conduta; the condition
+    axis and tipo_producao are per-request constants placed in the
+    reference's fixed column order
+    (etl/sisab_resolutividade_por_condicao.py:99-111,135-143)."""
+    wide = parse_sisab_report(spark, _REPORT)  # columns eAP/eSF play the Conduta role
+    out = transform_sisab_producao(
+        wide,
+        variavel_coluna="Conduta",
+        variavel_saida="conduta",
+        competencia=dt.date(2024, 8, 1),
+        panel_ids=["0355030"],
+        constants={
+            "tipo_producao": "Atendimento Individual",
+            "problema_condicao_avaliada": "Saúde Mental",
+        },
+        deterministic_ids=True,
+    )
+    assert out.columns == [
+        "id",
+        "unidade_geografica_id_sus",
+        "periodo_data_inicio",
+        "tipo_producao",
+        "problema_condicao_avaliada",
+        "conduta",
+        "quantidade_registrada",
+        "atualizacao_data",
+    ]
+    rows = out.collect()
+    assert all(r["tipo_producao"] == "Atendimento Individual" for r in rows)
+    assert all(r["problema_condicao_avaliada"] == "Saúde Mental" for r in rows)
+    assert {r["conduta"] for r in rows} == {"eAP", "eSF"}
