@@ -486,3 +486,43 @@ def test_sisab_resolutividade_two_axis_shape(spark):
     assert all(r["tipo_producao"] == "Atendimento Individual" for r in rows)
     assert all(r["problema_condicao_avaliada"] == "Saúde Mental" for r in rows)
     assert {r["conduta"] for r in rows} == {"eAP", "eSF"}
+
+
+def test_sisab_k4_delete_by_period_load(spark, tmp_path):
+    """SISAB stage 2 (load_bd/sisab_*_load_bd.py:125-159): retroactive
+    updates re-land one competência; partition overwrite on
+    periodo_data_inicio replaces exactly that month, other months
+    untouched - run twice for idempotency."""
+    from sm_etl_cloud_run_spark.sinks.partitioned import write_partition_overwrite
+
+    def month(competencia, values):
+        wide = parse_sisab_report(spark, _REPORT)
+        out = transform_sisab_producao(
+            wide, variavel_coluna="Tipo de Equipe", variavel_saida="tipo_equipe",
+            competencia=competencia, deterministic_ids=True,
+        )
+        return out.withColumn("quantidade_registrada", F.col("quantidade_registrada") * values)
+
+    target = str(tmp_path / "sisab_fact")
+    aug, sep = dt.date(2024, 8, 1), dt.date(2024, 9, 1)
+    write_partition_overwrite(month(aug, 1), target, ["periodo_data_inicio"])
+    write_partition_overwrite(month(sep, 1), target, ["periodo_data_inicio"])
+    before = spark.read.parquet(target)
+    n_total = before.count()
+    sep_sum0 = before.where(F.col("periodo_data_inicio") == sep).agg(
+        F.sum("quantidade_registrada")
+    ).collect()[0][0]
+
+    # retroactive SISAB revision: August re-published with doubled values
+    write_partition_overwrite(month(aug, 2), target, ["periodo_data_inicio"])
+    write_partition_overwrite(month(aug, 2), target, ["periodo_data_inicio"])  # idempotent
+    after = spark.read.parquet(target)
+    assert after.count() == n_total                    # row grain unchanged
+    aug_sum = after.where(F.col("periodo_data_inicio") == aug).agg(
+        F.sum("quantidade_registrada")
+    ).collect()[0][0]
+    sep_sum = after.where(F.col("periodo_data_inicio") == sep).agg(
+        F.sum("quantidade_registrada")
+    ).collect()[0][0]
+    assert sep_sum == sep_sum0                         # September untouched
+    assert aug_sum == 2 * sep_sum                      # August replaced with revision
