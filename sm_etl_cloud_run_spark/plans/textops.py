@@ -506,3 +506,36 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], text_col="text", id_col="doc_id",
         shingle_k=SHINGLE_K, window=_WINNOW_W,
     )
+
+
+# Patterns restricted to the Java-regex ∩ RE2 common dialect (no
+# lookarounds, no backrefs) so Spark and DuckDB agree byte-for-byte.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_CPF = "[0-9]{3}\\.[0-9]{3}\\.[0-9]{3}-[0-9]{2}"
+
+_REDACT_ORACLE = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                      '{_PII_CPF}', '[CPF]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_CPF}')) AS BIGINT) AS n_cpfs
+FROM documents
+"""
+
+
+@register("text_redact_pii", oracle=_REDACT_ORACLE,
+          description="PII scrubbing: email/CPF regex redaction + per-doc match counts")
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene pass: redact emails and Brazilian CPF ids,
+    count what was removed (the audit trail a compliance pipeline
+    keeps). Pure codegen'd regexp - one projection, no shuffle."""
+    t = load_tables(spark, sf_dir)
+    text = F.col("text")
+    return t["documents"].select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(text, _PII_EMAIL, "[EMAIL]"), _PII_CPF, "[CPF]"
+        ).alias("redacted"),
+        F.regexp_count(text, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(_PII_CPF)).cast("long").alias("n_cpfs"),
+    )

@@ -353,3 +353,24 @@ def test_sessionize_gap(spark):
     assert sess[(1, base + dt.timedelta(minutes=10))] == 1
     assert sess[(1, base + dt.timedelta(minutes=90))] == 2
     assert sess[(2, base)] == 1
+
+
+def test_pii_redaction_patterns(spark):
+    from sm_etl_cloud_run_spark.plans.textops import _PII_CPF, _PII_EMAIL
+
+    df = spark.createDataFrame(
+        [(1, "contact ana.souza+x@saude.gov.br or 123.456.789-09 today"),
+         (2, "no pii here at all")],
+        "doc_id int, text string",
+    )
+    out = df.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"), _PII_CPF, "[CPF]"
+        ).alias("redacted"),
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).alias("n_emails"),
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["redacted"] == "contact [EMAIL] or [CPF] today"
+    assert rows[1]["n_emails"] == 1
+    assert rows[2]["redacted"] == "no pii here at all" and rows[2]["n_emails"] == 0
