@@ -463,3 +463,59 @@ def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly.groupBy(F.date_trunc("day", F.col("hour")).alias("day"), "event_type")
         .agg(F.sum("n").alias("n"), F.sum("total_cents").alias("total_cents"))
     )
+
+
+_HIST_ORACLE = """
+SELECT CAST(floor(CAST(round(value * 100) AS BIGINT) / 1000) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+FROM events
+GROUP BY 1
+"""
+
+
+@register("events_value_histogram", oracle=_HIST_ORACLE,
+          description="fixed-width histogram binning (integer-exact bin edges)")
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binning via integer floor-division on cents (float width_bucket
+    would put edge values in different bins across engines)."""
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        t["events"]
+        .select(F.floor(cents / 1000).cast("long").alias("bin"), cents.alias("c"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("total_cents"))
+    )
+
+
+_CUME_ORACLE = """
+SELECT event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       round(cume_dist() OVER (PARTITION BY event_type
+                               ORDER BY CAST(round(value * 100) AS BIGINT)), 6) AS cd,
+       round(percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(round(value * 100) AS BIGINT)), 6) AS pr
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+@register("events_cume_dist", oracle=_CUME_ORACLE,
+          description="cumulative distribution / percent rank window over purchase values")
+def events_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = Window.partitionBy("event_type").orderBy("value_cents")
+    return (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .select("event_type", cents.alias("value_cents"))
+        .select(
+            "event_type", "value_cents",
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+        )
+    )
