@@ -73,12 +73,18 @@ def transform_sisab_producao(
     if panel_ids is not None:
         long = long.where(F.col("unidade_geografica_id_sus").isin(list(panel_ids)))
 
-    # P9 — row id
+    # P9 — row id. The hash must cover the per-request constants: two
+    # fan-out requests differing only in (e.g.) problema_condicao share
+    # (id_sus, variável, competência), and their union must not collide.
     if deterministic_ids:
+        const_cols = [F.lit(f"{k}={v}") for k, v in sorted((constants or {}).items())]
         long = long.withColumn(
             "id",
             deterministic_row_id(
-                F.col("unidade_geografica_id_sus"), F.col(variavel_saida), F.lit(str(competencia))
+                F.col("unidade_geografica_id_sus"),
+                F.col(variavel_saida),
+                F.lit(str(competencia)),
+                *const_cols,
             ),
         )
     else:

@@ -514,28 +514,32 @@ _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_CPF = "[0-9]{3}\\.[0-9]{3}\\.[0-9]{3}-[0-9]{2}"
 
 _REDACT_ORACLE = f"""
+WITH pass1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g') AS after_email
+  FROM documents
+)
 SELECT doc_id,
-       regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
-                      '{_PII_CPF}', '[CPF]', 'g') AS redacted,
+       regexp_replace(after_email, '{_PII_CPF}', '[CPF]', 'g') AS redacted,
        CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{_PII_CPF}')) AS BIGINT) AS n_cpfs
-FROM documents
+       CAST(len(regexp_extract_all(after_email, '{_PII_CPF}')) AS BIGINT) AS n_cpfs
+FROM pass1
 """
 
 
 @register("text_redact_pii", oracle=_REDACT_ORACLE,
           description="PII scrubbing: email/CPF regex redaction + per-doc match counts")
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data hygiene pass: redact emails and Brazilian CPF ids,
-    count what was removed (the audit trail a compliance pipeline
-    keeps). Pure codegen'd regexp - one projection, no shuffle."""
+    """Training-data hygiene pass: redact emails then Brazilian CPF
+    ids, counting what EACH PASS actually removed (a CPF swallowed by
+    an email match is not double-counted — the audit trail matches the
+    redaction). Pure codegen'd regexp - one projection, no shuffle."""
     t = load_tables(spark, sf_dir)
     text = F.col("text")
+    after_email = F.regexp_replace(text, _PII_EMAIL, "[EMAIL]")
     return t["documents"].select(
         "doc_id",
-        F.regexp_replace(
-            F.regexp_replace(text, _PII_EMAIL, "[EMAIL]"), _PII_CPF, "[CPF]"
-        ).alias("redacted"),
+        F.regexp_replace(after_email, _PII_CPF, "[CPF]").alias("redacted"),
         F.regexp_count(text, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
-        F.regexp_count(text, F.lit(_PII_CPF)).cast("long").alias("n_cpfs"),
+        F.regexp_count(after_email, F.lit(_PII_CPF)).cast("long").alias("n_cpfs"),
     )

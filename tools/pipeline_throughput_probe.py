@@ -8,10 +8,15 @@ The reference (ImpulsoGov/sm-etl-cloud-run) runs its stage-1 transform
 as pandas on one Cloud Run container, mostly row-wise
 `transform_column` lambdas (etl/siasus_procedimentos_ambulatoriais.py:
 229-356). The pandas twin below re-implements OUR spec semantics with
-the most favorable vectorized pandas available (no row-wise lambdas
-except the id, mirroring the reference's per-row uuid7) — i.e. it is a
-GENEROUS stand-in for the reference's single-node path. The Spark side
-runs the engine's real `transform_fact` on local[32].
+the most favorable vectorized pandas available — a GENEROUS stand-in
+for the reference's single-node path (which also pays a per-row uuid7
+lambda the twin does NOT pay). Fairness notes: both sides use their
+cheapest vectorized row-id (pandas: hex of a range; Spark:
+deterministic sha2 — both stay off the row-wise-Python path the
+reference uses), and the Spark input is cached + materialized before
+timing so the measurement is the transform, not the driver upload
+(staged through local parquet — the medium real chunks arrive in; an
+object cache of ~60 string columns measurably GC-throttles the scan).
 
 Prints one JSON line per size: rows/s for both paths and the ratio.
 """
@@ -22,7 +27,6 @@ import json
 import os
 import sys
 import time
-import uuid
 
 import numpy as np
 import pandas as pd
@@ -94,9 +98,9 @@ def pandas_transform(raw: pd.DataFrame) -> pd.DataFrame:
         df[head] = df[src].str[:3]
         df[tail] = df[src].str[3:]
         df = df.drop(columns=[src])
-    # P9 row id — the reference generates uuid7().hex per row via a
-    # row-wise lambda; uuid4 here is the same cost shape
-    df["id"] = [uuid.uuid4().hex for _ in range(len(df))]
+    # P9 row id — cheapest vectorized form (the reference's own
+    # row-wise uuid7 lambda would be far slower; not charged here)
+    df["id"] = pd.Series(np.arange(len(df))).map("{:032x}".format)
     return df
 
 
@@ -108,8 +112,10 @@ def probe(spark, n: int) -> dict:
     pandas_sec = time.perf_counter() - t0
     assert len(out_pd) == n
 
-    raw_spark = spark.createDataFrame(raw_pd)
-    raw_spark.count()  # materialize the upload before timing the transform
+    staged = os.path.join("/tmp", f"throughput_probe_{n}.parquet")
+    spark.createDataFrame(raw_pd).write.mode("overwrite").parquet(staged)
+    raw_spark = spark.read.parquet(staged)
+    raw_spark.count()  # warm the page cache before timing
     t0 = time.perf_counter()
     n_spark = transform_fact(raw_spark, PA_SPEC, deterministic_ids=True).count()
     spark_sec = time.perf_counter() - t0
