@@ -519,3 +519,77 @@ def events_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percent_rank().over(w), 6).alias("pr"),
         )
     )
+
+
+_GAPFILL_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+actual AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT g.hour, COALESCE(a.n, 0) AS n
+FROM grid g LEFT JOIN actual a ON g.hour = a.hour
+"""
+
+
+@register("events_hourly_gapfill", oracle=_GAPFILL_ORACLE,
+          description="time-series gap fill: dense hourly grid with zero rows for silent hours")
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample-with-gap-fill: sequence() builds the dense hour grid
+    from the observed bounds (2 scalar aggregates broadcast, grid
+    exploded once), left join fills silent hours with 0 — downstream
+    window math (moving averages, anomaly z-scores) needs the dense
+    grid, and a 100 TB events table generates it without ever
+    collecting timestamps to the driver."""
+    t = load_tables(spark, sf_dir)
+    bounds = t["events"].agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    actual = (
+        t["events"]
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grid.join(actual, "hour", "left").select(
+        "hour", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+
+
+_LASTWRITE_ORACLE = """
+SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("dedup_last_write", oracle=_LASTWRITE_ORACLE,
+          description="last-write-wins dedup: keep each user's latest event (K5 source-dedupe shape)")
+def dedup_last_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE-source dedupe (sinks/merge.dedupe_last_write) as a
+    standalone query: one window pass keyed on the id, deterministic
+    tiebreak on (ts, event_id) — SURVEY §7.3's requirement that a
+    distributed upsert dedupe its source first."""
+    from ..sinks.merge import dedupe_last_write
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+    ).withColumn("__ord", F.struct(F.col("ts"), F.col("event_id")))
+    return dedupe_last_write(ev, ["user_id"], "__ord").select(
+        "user_id", "event_id", "value_cents"
+    )

@@ -543,3 +543,59 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(text, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
         F.regexp_count(after_email, F.lit(_PII_CPF)).cast("long").alias("n_cpfs"),
     )
+
+
+_FUZZY_PREFIX = 60
+_FUZZY_MAX_DIST = 20
+
+_FUZZY_ORACLE = f"""
+WITH {_shingle_cte()},
+sig AS ({_sig_select()}),
+bands AS (
+{_bands_cte()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(levenshtein(substr(ta.text, 1, {_FUZZY_PREFIX}),
+                        substr(tb.text, 1, {_FUZZY_PREFIX})) AS BIGINT) AS edit_dist
+FROM cand
+JOIN documents ta ON ta.doc_id = cand.id_a
+JOIN documents tb ON tb.doc_id = cand.id_b
+WHERE levenshtein(substr(ta.text, 1, {_FUZZY_PREFIX}),
+                  substr(tb.text, 1, {_FUZZY_PREFIX})) <= {_FUZZY_MAX_DIST}
+"""
+
+
+@register("dedup_fuzzy_candidates", oracle=_FUZZY_ORACLE,
+          description="edit-distance refinement of LSH candidates (fuzzy match on text prefixes)")
+def dedup_fuzzy_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-stage verification of near-dup candidates: exact
+    levenshtein on a fixed text prefix, applied ONLY to the LSH
+    candidate pairs — O(candidates), never O(n²). Edit distance is
+    quadratic in string length, so the prefix cap bounds per-pair cost;
+    at corpus scale this is the cheap precise filter between banding
+    and any full-text diff."""
+    from ..operators.dedup import lsh_candidate_pairs
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    sigs = minhash_signatures(
+        docs, text_col="text", id_col="doc_id",
+        num_hashes=NUM_HASHES, shingle_k=SHINGLE_K,
+    )
+    cand = lsh_candidate_pairs(sigs, id_col="doc_id", num_hashes=NUM_HASHES, bands=LSH_BANDS).select(
+        "id_a", "id_b"
+    )
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.substring("text", 1, _FUZZY_PREFIX).alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.substring("text", 1, _FUZZY_PREFIX).alias("__tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("edit_dist", F.levenshtein("__ta", "__tb").cast("long"))
+        .where(F.col("edit_dist") <= _FUZZY_MAX_DIST)
+        .select("id_a", "id_b", "edit_dist")
+    )
