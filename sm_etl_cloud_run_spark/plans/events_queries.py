@@ -593,3 +593,66 @@ def dedup_last_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_last_write(ev, ["user_id"], "__ord").select(
         "user_id", "event_id", "value_cents"
     )
+
+
+_ZSCORE_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+actual AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+dense AS (
+  SELECT g.hour, COALESCE(a.n, 0) AS n FROM grid g LEFT JOIN actual a ON g.hour = a.hour
+),
+mom AS (
+  SELECT hour, n,
+         SUM(n)     OVER w AS s1,
+         SUM(n * n) OVER w AS s2,
+         COUNT(*)   OVER w AS k
+  FROM dense
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour, n,
+       round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+             / sqrt(greatest(CAST(k AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1, 1)
+                    / (CAST(k AS DOUBLE) * k)), 6) AS zscore
+FROM mom
+WHERE k = 24
+"""
+
+
+@register("events_anomaly_zscore", oracle=_ZSCORE_ORACLE,
+          description="rolling z-score over the gap-filled hourly series (integer-exact moments)")
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly scoring composed on the dense grid: each hour compared
+    to its trailing 24h window. Moments are integer sums (Σn, Σn²) so
+    the variance is exact — stddev_samp over doubles would be
+    accumulation-order-dependent across engines. Rows emitted only for
+    full 24-row trailing windows. The unpartitioned window runs on ONE
+    task by design: it operates on the hourly GRID (8.8k rows/year
+    regardless of corpus size), not on events."""
+    from pyspark.sql.window import Window
+
+    dense = events_hourly_gapfill(spark, sf_dir)
+    w = Window.orderBy("hour").rowsBetween(-24, -1)
+    mom = dense.select(
+        "hour", "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    k = F.col("k").cast("double")
+    s1 = F.col("s1").cast("double")
+    var_num = F.greatest(k * F.col("s2") - s1 * F.col("s1"), F.lit(1.0))
+    return (
+        mom.where(F.col("k") == 24)
+        .select(
+            "hour", "n",
+            F.round((F.col("n").cast("double") - s1 / k) / F.sqrt(var_num / (k * k)), 6).alias("zscore"),
+        )
+    )

@@ -112,7 +112,8 @@ def main() -> int:
             for p in problems:
                 print(f"     {p}")
         else:
-            print(f"ok   {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
+            mark = "ok  " if len(sdf) else "ok? "  # 0-row matches are trivial — verify the query isn't filtered to nothing
+            print(f"{mark} {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
     print(f"\n{failures} failures / {len([n for n in registry if not only or n in only])} queries")
     return 1 if failures else 0
 
