@@ -298,7 +298,7 @@ QUALIFY event_type = 'purchase'
 """
 
 
-@register("events_asof_last_click", oracle=_ASOF_ORACLE,
+@register("events_asof_last_click", oracle=_ASOF_ORACLE, bench=True,
           description="as-of join as one window pass: each purchase carries the user's latest prior click value")
 def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join without a join: single shuffle on user_id, carry the
@@ -378,7 +378,7 @@ FROM events GROUP BY 1
 """
 
 
-@register("events_pivot_type_counts", oracle=_PIVOT_ORACLE,
+@register("events_pivot_type_counts", oracle=_PIVOT_ORACLE, bench=True,
           description="pivot (inverse of R1 melt): event_type rows to per-type count columns")
 def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`groupBy().pivot(values=...)` with the pivot domain passed
@@ -537,7 +537,7 @@ FROM grid g LEFT JOIN actual a ON g.hour = a.hour
 """
 
 
-@register("events_hourly_gapfill", oracle=_GAPFILL_ORACLE,
+@register("events_hourly_gapfill", oracle=_GAPFILL_ORACLE, bench=True,
           description="time-series gap fill: dense hourly grid with zero rows for silent hours")
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resample-with-gap-fill: sequence() builds the dense hour grid

@@ -492,7 +492,7 @@ FROM win WHERE pos <= n - {_WINNOW_W} + 1
 """
 
 
-@register("text_winnowing_fingerprints", oracle=_WINNOW_ORACLE,
+@register("text_winnowing_fingerprints", oracle=_WINNOW_ORACLE, bench=True,
           description="winnowing (rolling k-gram hash minima): partial-copy fingerprints")
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting: any shared passage of
