@@ -656,3 +656,70 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n").cast("double") - s1 / k) / F.sqrt(var_num / (k * k)), 6).alias("zscore"),
         )
     )
+
+
+_FUNNEL_ORACLE = """
+WITH first_signup AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+conv AS (
+  SELECT s.user_id, s.signup_ts,
+         MIN(e.ts) AS first_purchase_ts
+  FROM first_signup s
+  JOIN events e
+    ON e.user_id = s.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts >= s.signup_ts
+   AND e.ts < s.signup_ts + INTERVAL 7 DAY
+  GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN c.user_id IS NOT NULL
+                     THEN datediff('hour', s.signup_ts, c.first_purchase_ts)
+                     ELSE 0 END) AS BIGINT) AS total_hours_to_convert
+FROM first_signup s LEFT JOIN conv c ON s.user_id = c.user_id
+"""
+
+
+@register("events_conversion_funnel", oracle=_FUNNEL_ORACLE,
+          description="funnel: signup -> first purchase within 7 days (ordered-step matching)")
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel: each user's first signup joined to their
+    first purchase inside the 7-day window. One shuffle on user_id for
+    both aggregates; the range condition rides the equi-join (no
+    interval self-join of the full event table)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    first_signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("p_ts"))
+    conv = (
+        first_signup.join(purchases, "user_id")
+        .where(
+            (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") < F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
+    joined = first_signup.join(conv.select("user_id", "first_purchase_ts"), "user_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count("first_purchase_ts").alias("n_converted"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("first_purchase_ts").isNotNull(),
+                    # DuckDB datediff('hour') counts boundary crossings
+                    F.floor(F.unix_timestamp("first_purchase_ts") / 3600)
+                    - F.floor(F.unix_timestamp("signup_ts") / 3600),
+                ).otherwise(F.lit(0)).cast("long")
+            ),
+            F.lit(0),
+        ).alias("total_hours_to_convert"),
+    )
