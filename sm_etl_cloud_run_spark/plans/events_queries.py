@@ -632,7 +632,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomaly scoring composed on the dense grid: each hour compared
     to its trailing 24h window. Moments are integer sums (Σn, Σn²) so
     the variance is exact — stddev_samp over doubles would be
-    accumulation-order-dependent across engines. Rows emitted only for
+    accumulation-order-dependent across engines. Σn² stays in-bounds
+    for hourly counts up to ~6.2e8 (24·n² < 2^63); beyond that switch
+    the moments to doubles on BOTH sides. Rows emitted only for
     full 24-row trailing windows. The unpartitioned window runs on ONE
     task by design: it operates on the hourly GRID (8.8k rows/year
     regardless of corpus size), not on events."""
@@ -676,9 +678,9 @@ conv AS (
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_signups,
        CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_converted,
-       CAST(SUM(CASE WHEN c.user_id IS NOT NULL
-                     THEN datediff('hour', s.signup_ts, c.first_purchase_ts)
-                     ELSE 0 END) AS BIGINT) AS total_hours_to_convert
+       CAST(COALESCE(SUM(CASE WHEN c.user_id IS NOT NULL
+                              THEN datediff('hour', s.signup_ts, c.first_purchase_ts)
+                              ELSE 0 END), 0) AS BIGINT) AS total_hours_to_convert
 FROM first_signup s LEFT JOIN conv c ON s.user_id = c.user_id
 """
 
