@@ -352,3 +352,86 @@ def q20_nested_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qty, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: profit by nation and year over a LIKE-filtered part join
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = f"""
+SELECT sn.n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       SUM({_REV}) AS profit_units
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+@register("q9_product_profit", oracle=_Q9_ORACLE,
+          description="TPC-H Q9 shape: profit by supplier nation and year, LIKE-filtered parts")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation")
+    )
+    parts = t["part"].where(F.col("p_name").like("%widget%")).select("p_partkey")
+    df = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), "s_nationkey")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return df.groupBy(
+        "nation", F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(F.sum(_rev_col()).alias("profit_units"))
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-item revenue by customer (join + agg + top-N)
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       SUM({_REV}) AS revenue_units
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue_units DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_ORACLE,
+          description="TPC-H Q10 shape: returned-item revenue per customer, top 20")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    df = (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        df.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_col()).alias("revenue_units"))
+        .orderBy(F.col("revenue_units").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
