@@ -599,3 +599,73 @@ def dedup_fuzzy_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= _FUZZY_MAX_DIST)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+_CONTAM_MIN_OVERLAP = 2
+
+_CONTAM_ORACLE = f"""
+WITH {_shingle_cte()},
+ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+bench_set AS (SELECT DISTINCT s FROM ex WHERE doc_id < 10),
+overlap AS (
+  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ex e JOIN bench_set b ON e.s = b.s
+  WHERE e.doc_id >= 10
+  GROUP BY 1
+)
+SELECT doc_id, n_shared FROM overlap WHERE n_shared >= {_CONTAM_MIN_OVERLAP}
+"""
+
+
+@register("text_contamination_check", oracle=_CONTAM_ORACLE,
+          description="benchmark decontamination: docs sharing n-grams with a held-out set")
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: flag corpus docs sharing >= K
+    distinct shingles with a benchmark set (here: doc_id < 10 stands in
+    for the eval corpus). The benchmark shingle set is tiny relative to
+    the corpus -> broadcast semi-side; the corpus never self-joins."""
+    from ..functions.text import word_shingles
+
+    t = load_tables(spark, sf_dir)
+    ex = t["documents"].select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), SHINGLE_K))).alias("s"),
+    )
+    bench_set = ex.where(F.col("doc_id") < 10).select("s").distinct()
+    return (
+        ex.where(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench_set), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _CONTAM_MIN_OVERLAP)
+    )
+
+
+_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('split-seed-1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+"""
+
+
+@register("dataset_split_assignment", oracle=_SPLIT_ORACLE,
+          description="deterministic train/val/test split: stable hash-bucket assignment per doc")
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reproducible dataset split: bucket = md5(seed:id) mod 100 ->
+    90/5/5. Hash-based (not random) so membership is stable under
+    corpus growth, re-runs, and engine changes - the property a
+    training pipeline needs so examples never migrate between splits.
+    Pure projection, no shuffle."""
+    t = load_tables(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split-seed-1:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+    )
