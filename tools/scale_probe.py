@@ -35,6 +35,10 @@ QUERIES = (
     "dedup_lsh_groups",
     "events_hourly_rollup",
     "text_vocab_topk",
+    "events_asof_last_click",
+    "events_hourly_gapfill",
+    "q8_market_share",
+    "text_winnowing_fingerprints",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
