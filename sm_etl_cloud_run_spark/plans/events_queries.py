@@ -334,7 +334,7 @@ WITH user_dim AS (
 )
 SELECT e.event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       SUM(d.user_purchase_cents) AS total_user_purchase_cents
+       CAST(SUM(d.user_purchase_cents) AS BIGINT) AS total_user_purchase_cents
 FROM events e JOIN user_dim d ON e.user_id = d.user_id
 GROUP BY 1
 """
@@ -369,11 +369,11 @@ def skew_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_ORACLE = """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click_n,
-       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view_n,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_n,
-       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup_n,
-       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error_n
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click_n,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view_n,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_n,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup_n,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error_n
 FROM events GROUP BY 1
 """
 
@@ -401,9 +401,9 @@ def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUMSUM_ORACLE = """
 SELECT event_id, user_id,
-       SUM(CAST(round(value * 100) AS BIGINT))
+       CAST(SUM(CAST(round(value * 100) AS BIGINT))
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
 FROM events
 WHERE event_type = 'purchase'
 """
@@ -433,7 +433,7 @@ def events_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DAILY_FROM_HOURLY_ORACLE = """
 SELECT date_trunc('day', ts) AS day, event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -468,7 +468,7 @@ def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HIST_ORACLE = """
 SELECT CAST(floor(CAST(round(value * 100) AS BIGINT) / 1000) AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY 1
 """

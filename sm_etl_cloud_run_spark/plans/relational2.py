@@ -318,8 +318,8 @@ WITH cust_rev AS (
 )
 SELECT c_mktsegment,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       SUM(n_orders) AS n_orders,
-       SUM(total_cents) AS total_cents
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(total_cents) AS BIGINT) AS total_cents
 FROM customer JOIN cust_rev ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 """

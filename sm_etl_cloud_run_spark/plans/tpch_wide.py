@@ -32,7 +32,7 @@ def _rev_col() -> F.Column:
 _Q2_ORACLE = """
 WITH cost AS (
   SELECT l_partkey, l_suppkey,
-         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_cents
   FROM lineitem GROUP BY 1, 2
 ),
 ranked AS (
@@ -83,7 +83,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q7_ORACLE = f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-       SUM({_REV}) AS revenue_units
+       CAST(SUM({_REV}) AS BIGINT) AS revenue_units
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -184,8 +184,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11_ORACLE = """
 WITH per_part AS (
   SELECT l_partkey,
-         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-             * CAST(round(l_quantity) AS BIGINT)) AS value_cents
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS value_cents
   FROM lineitem GROUP BY 1
 ),
 total AS (SELECT SUM(value_cents) AS total_cents FROM per_part)
@@ -216,8 +216,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_ORACLE = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -250,7 +250,7 @@ def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q15_ORACLE = f"""
 WITH revenue AS (
-  SELECT l_suppkey AS supplier_no, SUM({_REV}) AS total_revenue_units
+  SELECT l_suppkey AS supplier_no, CAST(SUM({_REV}) AS BIGINT) AS total_revenue_units
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -289,7 +289,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q19_ORACLE = f"""
-SELECT SUM({_REV}) AS revenue_units, CAST(COUNT(*) AS BIGINT) AS n
+SELECT CAST(SUM({_REV}) AS BIGINT) AS revenue_units, CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 20)
@@ -325,7 +325,7 @@ WITH red_parts AS (
   SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
 ),
 qty AS (
-  SELECT l_suppkey, SUM(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+  SELECT l_suppkey, CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
   FROM lineitem JOIN red_parts ON l_partkey = p_partkey
   GROUP BY 1
 )
@@ -361,7 +361,7 @@ def q20_nested_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q9_ORACLE = f"""
 SELECT sn.n_name AS nation,
        CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-       SUM({_REV}) AS profit_units
+       CAST(SUM({_REV}) AS BIGINT) AS profit_units
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -398,7 +398,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_ORACLE = f"""
 SELECT c_custkey, c_name, n_name,
-       SUM({_REV}) AS revenue_units
+       CAST(SUM({_REV}) AS BIGINT) AS revenue_units
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

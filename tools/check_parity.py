@@ -66,6 +66,18 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     if problems:
         return problems
     a, b = _normalize(spark_df), _normalize(duck_df)
+    # Driver-hash fidelity: the driver's value hash is dtype-sensitive —
+    # DuckDB HUGEINT surfaces as float64 in pandas while Spark longs stay
+    # int64, so 123 vs 123.0 hash-differ even though they compare equal.
+    for c in a.columns:
+        ak, bk = a[c].dtype.kind, b[c].dtype.kind
+        if {ak, bk} == {"i", "f"} or {ak, bk} == {"u", "f"}:
+            problems.append(
+                f"col {c}: dtype mismatch spark={a[c].dtype} duck={b[c].dtype}"
+                " (driver hash would differ — cast the oracle aggregate)"
+            )
+    if problems:
+        return problems
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         bad = [
