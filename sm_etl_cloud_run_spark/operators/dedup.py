@@ -119,6 +119,12 @@ def _band_buckets(
     """(id, band, bucket) rows: md5 over each band's signature slice.
     Single definition shared by the pair / group / component paths so
     banding (hash, separator, slicing) can never desynchronize."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "otherwise the trailing signature columns are silently excluded "
+            "from every band, weakening LSH recall"
+        )
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):

@@ -106,23 +106,40 @@ def bucketed_range_join(
     the interval dim grows past nested-loop practicality. Intervals may
     overlap; facts matching several intervals produce several rows (same
     as the general range join).
+
+    Left semantics match `range_join` exactly: a fact row whose month
+    bucket collides only with intervals it falls OUTSIDE (e.g. interval
+    Jan 15–Feb 10, fact Jan 5) keeps one output row with NULL attach.
+    Intervals are pre-grouped per month into an array on the (tiny) dim
+    side; the per-row residual check is an array `filter` +
+    `explode_outer`, so no fact-side shuffle and no second pass.
     """
-    p = periods.withColumn(
-        "__month",
-        F.explode(
-            F.sequence(
-                F.trunc(F.col(start_col), "MM"), F.trunc(F.col(end_col), "MM"),
-                F.expr("INTERVAL 1 MONTH"),
-            )
-        ),
+    iv_cols = [start_col, end_col, *dict.fromkeys(attach)]
+    p_by_month = (
+        periods.select(
+            F.struct(*[F.col(c) for c in iv_cols]).alias("__iv"),
+            F.explode(
+                F.sequence(
+                    F.trunc(F.col(start_col), "MM"), F.trunc(F.col(end_col), "MM"),
+                    F.expr("INTERVAL 1 MONTH"),
+                )
+            ).alias("__month"),
+        )
+        .groupBy("__month")
+        .agg(F.collect_list("__iv").alias("__ivs"))
     )
     f = fact.withColumn("__month", F.trunc(date_col, "MM")).withColumn("__d", date_col)
-    joined = f.join(F.broadcast(p), "__month", "left").where(
-        F.col("__d").isNull()
-        | (F.col(start_col).isNull())
-        | ((F.col("__d") >= F.col(start_col)) & (F.col("__d") <= F.col(end_col)))
+    joined = f.join(F.broadcast(p_by_month), "__month", "left")
+    hits = F.filter(
+        F.col("__ivs"),
+        lambda iv: (F.col("__d") >= iv[start_col]) & (F.col("__d") <= iv[end_col]),
     )
-    keep = [f[c] for c in fact.columns] + [p[src].alias(dst) for src, dst in attach.items()]
+    joined = joined.withColumn(
+        "__hit", F.explode_outer(F.when(F.size(hits) > 0, hits))
+    )
+    keep = [f[c] for c in fact.columns] + [
+        F.col(f"__hit.{src}").alias(dst) for src, dst in attach.items()
+    ]
     return joined.select(*keep)
 
 

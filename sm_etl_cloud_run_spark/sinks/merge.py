@@ -85,7 +85,12 @@ def merge_upsert(
     unmatched_tgt = tgt.join(src, key_cond, "left_anti").select("tgt.*")
     matched = tgt.join(src, key_cond, "inner")
 
+    # SQL MERGE keeps the target row when no WHEN MATCHED clause fires:
+    # a NULL condition (e.g. either compared timestamp is NULL) must land
+    # in `kept`, not vanish — coalesce the three-valued condition to
+    # False so `cond` and `~cond` partition `matched` exhaustively.
     cond = update_condition if update_condition is not None else F.lit(True)
+    cond = F.coalesce(cond, F.lit(False))
     updated = matched.where(cond).select("src.*")
     kept = matched.where(~cond).select("tgt.*")
     if touch_cols:

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from .dbc import dbc_to_dbf
+from .dbc import CorruptDbcError, dbc_to_dbf
 
 
 def dbf_field_descriptors(content: bytes) -> list[tuple[str, str, int]]:
@@ -74,17 +74,29 @@ def decode_datasus_bytes(content: bytes) -> Iterator[dict]:
     """Default decoder: `.dbf` bytes, or `.dbc` (auto-detected and exploded).
 
     A `.dbc` carries the same pre-header as the `.dbf` it compresses, so
-    extension is not needed: if the payload is exactly as long as the
-    header + declared records (+ optional 0x1A EOF byte), it is already a
-    plain DBF; otherwise treat it as compressed.
+    extension is not needed: if the payload is at least as long as the
+    header + declared records, it is already a plain DBF (trailing bytes
+    — the optional 0x1A EOF marker or benign padding — are ignored by
+    the record parser). A compressed payload is necessarily shorter than
+    the declared record section; its PKWARE-DCL stream (2-byte mode
+    header: literal-mode byte 0/1, dict-size byte 4..6) starts at
+    hsize+4, which we validate before exploding so a merely-truncated
+    plain DBF fails with a clear error instead of a decompressor one.
     """
     if len(content) < 12:
         raise ValueError("payload too short for a DBF header")
     nrec, hsize, rsize = struct.unpack_from("<IHH", content, 4)
     expected = hsize + nrec * rsize
-    if expected <= len(content) <= expected + 1:
+    if expected <= len(content):
         return parse_dbf_bytes(content)
-    return parse_dbf_bytes(dbc_to_dbf(content))
+    dcl = content[hsize + 4 : hsize + 6]
+    if len(dcl) == 2 and dcl[0] in (0, 1) and 4 <= dcl[1] <= 6:
+        return parse_dbf_bytes(dbc_to_dbf(content))
+    raise CorruptDbcError(
+        f"payload is shorter than the declared record section "
+        f"({len(content)} < {expected}) but has no PKWARE-DCL stream at "
+        f"offset {hsize + 4} — truncated .dbf or corrupt .dbc"
+    )
 
 
 def read_dbf_files(

@@ -121,3 +121,26 @@ def test_read_dbf_files_end_to_end_dbc(spark, tmp_path):
         [("2077485", "12", "20240801"), ("00\xe7001", None, "20240802")] * 2
     )
     assert all(f.dataType.simpleString() == "string" for f in df.schema.fields)
+
+
+def test_decode_plain_dbf_with_trailing_padding():
+    """A valid plain .dbf with benign trailing bytes must not be routed
+    into the PKWARE decompressor (ADVICE r1: length-exactness was too
+    strict)."""
+    dbf = make_dbf(_FIELDS, _ROWS)
+    padded = dbf + b"\x00" * 7
+    assert list(decode_datasus_bytes(padded)) == list(decode_datasus_bytes(dbf))
+
+
+def test_decode_truncated_dbf_raises_clear_error():
+    """Shorter-than-declared payload without a DCL stream at hsize+4 is a
+    truncation, not a .dbc — want a CorruptDbcError, not a decompressor
+    failure deep in explode()."""
+    import pytest
+
+    from sm_etl_cloud_run_spark.sources.dbc import CorruptDbcError
+
+    dbf = make_dbf(_FIELDS, _ROWS)
+    truncated = dbf[:-10]
+    with pytest.raises(CorruptDbcError, match="truncated"):
+        list(decode_datasus_bytes(truncated))

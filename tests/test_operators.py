@@ -374,3 +374,40 @@ def test_pii_redaction_patterns(spark):
     assert rows[1]["redacted"] == "contact [EMAIL] or [CPF] today"
     assert rows[1]["n_emails"] == 1
     assert rows[2]["redacted"] == "no pii here at all" and rows[2]["n_emails"] == 0
+
+
+def test_bucketed_range_join_keeps_unmatched_bucket_collisions(spark):
+    """ADVICE r1: a fact row whose month bucket collides with an interval
+    it falls OUTSIDE (interval Jan 15–Feb 10, fact Jan 5) must keep one
+    row with NULL attach — identical left semantics to range_join."""
+    fact = spark.createDataFrame(
+        [
+            (dt.date(2024, 1, 5),),    # collides with Jan bucket, outside range → NULL
+            (dt.date(2024, 1, 20),),   # inside partial-month interval
+            (dt.date(2024, 2, 15),),   # collides with Feb bucket, after end → NULL
+            (dt.date(2024, 6, 1),),    # no bucket collision at all → NULL
+            (None,),                   # NULL date → NULL attach
+        ],
+        "d date",
+    )
+    periods = spark.createDataFrame(
+        [(dt.date(2024, 1, 15), dt.date(2024, 2, 10), "P1")],
+        "data_inicio date, data_fim date, codigo string",
+    )
+    general = joins.range_join(fact, periods, F.col("d"), attach={"codigo": "periodo"})
+    bucketed = joins.bucketed_range_join(fact, periods, F.col("d"), attach={"codigo": "periodo"})
+    expected = sorted((r["d"], r["periodo"]) for r in general.collect())
+    got = sorted((r["d"], r["periodo"]) for r in bucketed.collect())
+    assert got == expected
+    assert (dt.date(2024, 1, 5), None) in got and len(got) == 5
+
+
+def test_band_buckets_rejects_indivisible_bands(spark):
+    import pytest
+
+    from sm_etl_cloud_run_spark.operators.dedup import minhash_signatures, lsh_candidate_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    sigs = minhash_signatures(df, num_hashes=6)
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_candidate_pairs(sigs, num_hashes=6, bands=4)

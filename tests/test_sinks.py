@@ -102,3 +102,27 @@ def test_touch_watermark_k7(spark, tmp_path):
     touch_watermark(spark, path, {"tipo": "PA", "uf": "SP"}, "timestamp_etl_gcs")
     rows = {r["uf"]: r["timestamp_etl_gcs"] for r in spark.read.parquet(path).collect()}
     assert rows["SP"] is not None and rows["RJ"] is None
+
+
+def test_merge_upsert_null_condition_keeps_target_row(spark, tmp_path):
+    """ADVICE r1: a matched row whose update_condition evaluates NULL
+    (e.g. either compared timestamp is NULL) must keep the target row —
+    SQL MERGE semantics when no WHEN MATCHED clause fires — not vanish."""
+    path = str(tmp_path / "meta")
+    t0 = dt.datetime(2024, 1, 1)
+    initial = spark.createDataFrame(
+        [("A", None, "tgt-a"), ("B", t0, "tgt-b")],
+        "nome string, mtime timestamp, payload string",
+    )
+    merge_upsert(spark, initial, path, ["nome"])
+    incoming = spark.createDataFrame(
+        [("A", t0, "src-a"),    # tgt.mtime NULL → condition NULL → keep target
+         ("B", None, "src-b")], # src.mtime NULL → condition NULL → keep target
+        "nome string, mtime timestamp, payload string",
+    )
+    merge_upsert(
+        spark, incoming, path, ["nome"],
+        update_condition=F.col("src.mtime") != F.col("tgt.mtime"),
+    )
+    rows = {r["nome"]: r["payload"] for r in spark.read.parquet(path).collect()}
+    assert rows == {"A": "tgt-a", "B": "tgt-b"}
