@@ -114,7 +114,7 @@ def bucketed_range_join(
     side; the per-row residual check is an array `filter` +
     `explode_outer`, so no fact-side shuffle and no second pass.
     """
-    iv_cols = [start_col, end_col, *dict.fromkeys(attach)]
+    iv_cols = list(dict.fromkeys([start_col, end_col, *attach]))
     p_by_month = (
         periods.select(
             F.struct(*[F.col(c) for c in iv_cols]).alias("__iv"),

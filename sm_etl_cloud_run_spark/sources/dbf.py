@@ -74,29 +74,42 @@ def decode_datasus_bytes(content: bytes) -> Iterator[dict]:
     """Default decoder: `.dbf` bytes, or `.dbc` (auto-detected and exploded).
 
     A `.dbc` carries the same pre-header as the `.dbf` it compresses, so
-    extension is not needed: if the payload is at least as long as the
-    header + declared records, it is already a plain DBF (trailing bytes
-    — the optional 0x1A EOF marker or benign padding — are ignored by
-    the record parser). A compressed payload is necessarily shorter than
-    the declared record section; its PKWARE-DCL stream (2-byte mode
-    header: literal-mode byte 0/1, dict-size byte 4..6) starts at
-    hsize+4, which we validate before exploding so a merely-truncated
-    plain DBF fails with a clear error instead of a decompressor one.
+    extension is not needed. Exact-length payloads (declared records +
+    at most the optional 0x1A EOF byte) are plain DBF. Otherwise the
+    PKWARE-DCL stream signature decides: a `.dbc` puts a 4-byte CRC at
+    hsize, then the DCL 2-byte mode header (literal-mode byte 0/1,
+    dict-size byte 4..6) at hsize+4 — whereas a plain DBF has a record
+    deletion flag (0x20/0x2A) at hsize. A tiny or incompressible `.dbc`
+    can be LONGER than the declared record section (DCL can expand, plus
+    the CRC), so payload length alone cannot distinguish the two — the
+    round-2 length-only test misrouted exactly those files
+    (ADVICE r2, sources/dbf.py:90). Reference behavior:
+    sm_cloud_run/utilitarios/datasus_ftp.py:142-255 (dbc2dbf always
+    decompresses a real .dbc).
     """
     if len(content) < 12:
         raise ValueError("payload too short for a DBF header")
     nrec, hsize, rsize = struct.unpack_from("<IHH", content, 4)
     expected = hsize + nrec * rsize
-    if expected <= len(content):
-        return parse_dbf_bytes(content)
+    if expected <= len(content) <= expected + 1:
+        return parse_dbf_bytes(content)  # exact length (+ optional EOF marker)
     dcl = content[hsize + 4 : hsize + 6]
-    if len(dcl) == 2 and dcl[0] in (0, 1) and 4 <= dcl[1] <= 6:
+    has_dcl = len(dcl) == 2 and dcl[0] in (0, 1) and 4 <= dcl[1] <= 6
+    if len(content) < expected:
+        if has_dcl:
+            return parse_dbf_bytes(dbc_to_dbf(content))
+        raise CorruptDbcError(
+            f"payload is shorter than the declared record section "
+            f"({len(content)} < {expected}) but has no PKWARE-DCL stream at "
+            f"offset {hsize + 4} — truncated .dbf or corrupt .dbc"
+        )
+    # Longer than declared records by >1 byte: compressed-but-expanded
+    # .dbc, or plain DBF with trailing padding. Prefer decompression when
+    # the DCL signature is present AND the first record byte is not a
+    # valid deletion flag; fall back to plain-with-padding otherwise.
+    if has_dcl and content[hsize] not in (0x20, 0x2A):
         return parse_dbf_bytes(dbc_to_dbf(content))
-    raise CorruptDbcError(
-        f"payload is shorter than the declared record section "
-        f"({len(content)} < {expected}) but has no PKWARE-DCL stream at "
-        f"offset {hsize + 4} — truncated .dbf or corrupt .dbc"
-    )
+    return parse_dbf_bytes(content)
 
 
 def read_dbf_files(

@@ -394,12 +394,16 @@ def test_bucketed_range_join_keeps_unmatched_bucket_collisions(spark):
         [(dt.date(2024, 1, 15), dt.date(2024, 2, 10), "P1")],
         "data_inicio date, data_fim date, codigo string",
     )
-    general = joins.range_join(fact, periods, F.col("d"), attach={"codigo": "periodo"})
-    bucketed = joins.bucketed_range_join(fact, periods, F.col("d"), attach={"codigo": "periodo"})
-    expected = sorted((r["d"], r["periodo"]) for r in general.collect())
-    got = sorted((r["d"], r["periodo"]) for r in bucketed.collect())
+    # attach deliberately overlaps start_col (ADVICE r2: duplicate struct
+    # field crashed with AMBIGUOUS_REFERENCE_TO_FIELDS)
+    attach = {"codigo": "periodo", "data_inicio": "p_start"}
+    nullsafe = lambda t: tuple((v is None, v) for v in t)
+    general = joins.range_join(fact, periods, F.col("d"), attach=attach)
+    bucketed = joins.bucketed_range_join(fact, periods, F.col("d"), attach=attach)
+    expected = sorted(((r["d"], r["periodo"], r["p_start"]) for r in general.collect()), key=nullsafe)
+    got = sorted(((r["d"], r["periodo"], r["p_start"]) for r in bucketed.collect()), key=nullsafe)
     assert got == expected
-    assert (dt.date(2024, 1, 5), None) in got and len(got) == 5
+    assert (dt.date(2024, 1, 5), None, None) in got and len(got) == 5
 
 
 def test_band_buckets_rejects_indivisible_bands(spark):
