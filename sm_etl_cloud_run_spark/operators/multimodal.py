@@ -7,12 +7,14 @@ resize / frame-sample run as Arrow-batched pandas transforms over
 is a bounded Arrow chunk, so 100 TB of media streams through without
 driver involvement.
 
-The actual codec work (PIL/librosa/ffmpeg) is NOT available in this
-container, so the decode kernels are stubbed: `decode_fn=None` raises
-NotImplementedError up front, while
-`deterministic_fake_decoder` provides a content-derived fake so the
-plumbing (schema, batching, partitioning, UDF signatures) is fully
-testable.
+Decode is REAL for the formats the dependency-free codecs in
+`functions/codecs.py` cover: 24-bit BMP and PCM-16 WAV, parsed from
+the public file layouts with struct+numpy. `decode_fn=None` /
+`resize_fn=None` default to those codecs; compressed formats
+(JPEG/PNG/MP3/video) raise `UnsupportedMediaError` because the
+libraries they need (PIL/librosa/ffmpeg) are absent from this
+container. `deterministic_fake_decoder` remains for plumbing tests
+that don't care about pixel math.
 """
 
 from __future__ import annotations
@@ -63,16 +65,16 @@ def extract_features(
 ) -> DataFrame:
     """Decode payloads → fixed-width feature vectors via mapInPandas.
 
-    `decode_fn=None` marks the real-codec path: raises
-    NotImplementedError at call time (codec libs absent here). Pass
-    `deterministic_fake_decoder` for tests.
+    `decode_fn=None` uses the real dependency-free codecs
+    (`functions.codecs.media_feature_decoder`: BMP + WAV; other formats
+    raise `UnsupportedMediaError`). Pass `deterministic_fake_decoder`
+    for codec-agnostic plumbing tests.
     """
 
     if decode_fn is None:
-        raise NotImplementedError(
-            "media decode requires codec libraries (PIL/librosa/ffmpeg) "
-            "not present in this container; pass decode_fn explicitly"
-        )
+        from ..functions.codecs import media_feature_decoder
+
+        decode_fn = media_feature_decoder
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -123,9 +125,10 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads to `target` via mapInPandas.
 
-    Same kernel contract as `extract_features`: `resize_fn=None` is the
-    real-codec path and raises NotImplementedError at call time (PIL
-    absent here); tests inject a fake. Non-image rows are
+    Same kernel contract as `extract_features`: `resize_fn=None` uses
+    the real dependency-free nearest-neighbor BMP resizer
+    (`functions.codecs.resize_bmp`; non-BMP formats raise
+    `UnsupportedMediaError` — PIL is absent here). Non-image rows are
     filtered Spark-side so the Python kernel only ever sees work it can
     act on, and batches are re-chunked (`batch_limit`) because resized
     payloads are large — one huge Arrow batch per partition would spike
@@ -133,10 +136,9 @@ def resize_images(
     """
     w, h = target
     if resize_fn is None:
-        raise NotImplementedError(
-            "image resize requires codec libraries (PIL) not present "
-            "in this container; pass resize_fn explicitly"
-        )
+        from ..functions.codecs import resize_bmp
+
+        resize_fn = resize_bmp
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -7,10 +7,11 @@ doubles — a straight float sum would be partition-order-dependent.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import deterministic_fake_decoder, extract_features
+from ..operators.multimodal import extract_features
 from ..operators.similarity import (
     brute_force_topk,
     cosine_similarity,
@@ -213,24 +214,71 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_feature_extract",
-          description="multimodal plumbing: binary payload → feature vector via "
-                      "mapInPandas (decode stubbed; rows-only check)")
+_MULTIMODAL_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 822
+                 ELSE 44 + 2 * (800 + (doc_id % 50) * 8) END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256
+                 ELSE 100 + (doc_id % 50) END AS BIGINT) AS fa,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256
+                 ELSE ((doc_id % 100) + 1) * 100 END AS BIGINT) AS fb
+FROM documents
+"""
+
+
+@register("multimodal_feature_extract", oracle=_MULTIMODAL_ORACLE,
+          description="multimodal roundtrip: synthesize real BMP/WAV payloads from "
+                      "doc_id constants, decode with the dependency-free codecs via "
+                      "mapInPandas, emit decoded stats (oracle = closed-form arithmetic)")
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even doc_ids become a 16×16 solid-color BMP (color = doc_id mod
+    arithmetic), odd doc_ids a full-scale ±amp square-wave PCM-16 WAV at
+    8 kHz. The decoded mean channel values / duration / RMS then equal
+    those constants EXACTLY, so the DuckDB oracle checks the whole
+    encode→decode codec path (functions/codecs.py) in closed form:
+    image fa=mean_r, fb=mean_g; audio fa=duration_ms, fb=rms.
+
+    Scale shape: two mapInPandas passes (synthesize, decode), no
+    shuffle; payloads stay executor-side as bounded Arrow batches.
+    """
+    import numpy as np
+
     t = load_tables(spark, sf_dir)
-    media = t["documents"].select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.struct(
-            F.lit("image/fake").alias("mime"),
-            F.lit(64).cast("int").alias("width"),
-            F.lit(64).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
-        ).alias("meta"),
+    docs = t["documents"].select("doc_id")
+
+    def synth(batches):
+        from ..functions.codecs import encode_bmp, encode_wav_pcm16
+
+        for pdf in batches:
+            kinds, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    color = (d % 256, (d * 7) % 256, (d * 13) % 256)
+                    px = np.empty((16, 16, 3), np.uint8)
+                    px[:, :] = color
+                    kinds.append("image")
+                    payloads.append(encode_bmp(px))
+                else:
+                    amp = ((d % 100) + 1) * 100
+                    n = 800 + (d % 50) * 8  # multiple of 8 → integer ms at 8 kHz
+                    samples = np.full(n, amp, np.int16)
+                    samples[1::2] = -amp
+                    kinds.append("audio")
+                    payloads.append(encode_wav_pcm16(samples, 8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "kind": kinds, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, kind string, payload binary")
+    feats = extract_features(media)  # default decode_fn = real BMP/WAV codecs
+    # feature[4]/[5] are mean_r/mean_g for images, duration_ms/rms for audio
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.round(F.element_at("feature", 4)).cast("long").alias("fa"),
+        F.round(F.element_at("feature", 5)).cast("long").alias("fb"),
     )
-    feats = extract_features(media, decode_fn=deterministic_fake_decoder)
-    return feats.select("media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1) * 1e6).cast("long").alias("f0_scaled"))
 
 
 _CENTROID_ORACLE = f"""

@@ -32,9 +32,31 @@ def test_extract_features_fake_decoder(spark):
     assert rows[1]["feature"] == again[1]["feature"]
 
 
-def test_extract_features_real_path_is_stubbed(spark):
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+def test_extract_features_default_rejects_unknown_format(spark):
+    # _media payloads are arbitrary bytes, not BMP/WAV — the real default
+    # codec must fail loudly, not emit garbage features
+    with pytest.raises(Exception, match="unrecognized media payload|UnsupportedMedia"):
         extract_features(_media(spark), decode_fn=None).collect()
+
+
+def test_extract_features_real_codecs(spark):
+    import numpy as np
+
+    from sm_etl_cloud_run_spark.functions.codecs import encode_bmp, encode_wav_pcm16
+
+    px = np.empty((4, 6, 3), np.uint8)
+    px[:, :] = (10, 20, 30)
+    wav = np.full(8000, 5000, np.int16)
+    wav[1::2] = -5000
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_bmp(px))), (2, "audio", bytearray(encode_wav_pcm16(wav, 8000)))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert rows[1][:3] == [1.0, 6.0, 4.0] and rows[1][3:6] == [10.0, 20.0, 30.0]
+    assert rows[2][0] == 2.0 and rows[2][1] == 8000.0
+    assert rows[2][3] == 1000.0  # duration_ms
+    assert rows[2][4] == 5000.0  # rms of a full-scale square wave = amplitude
 
 
 def test_sample_frames_plan(spark):
@@ -64,9 +86,29 @@ def test_resize_images_fake_resizer(spark):
     assert bytes(again["payload"]) == bytes(r["payload"])
 
 
-def test_resize_images_real_path_is_stubbed(spark):
+def test_resize_images_default_rejects_unknown_format(spark):
     from sm_etl_cloud_run_spark.operators.multimodal import resize_images
 
     with pytest.raises(Exception) as ei:
-        resize_images(_media(spark)).collect()
-    assert "NotImplementedError" in str(ei.value) or "resize" in str(ei.value)
+        resize_images(_media(spark)).collect()  # payloads are not BMPs
+    assert "BMP" in str(ei.value) or "resize" in str(ei.value)
+
+
+def test_resize_images_real_bmp(spark):
+    import numpy as np
+
+    from sm_etl_cloud_run_spark.functions.codecs import decode_bmp, encode_bmp
+    from sm_etl_cloud_run_spark.operators.multimodal import resize_images
+
+    # 2×2 quadrant image → upscale 4×4 must replicate each quadrant 2×2
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0]]], np.uint8
+    )
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(encode_bmp(px)))], "media_id long, kind string, payload binary"
+    )
+    out = resize_images(media, target=(4, 4)).collect()[0]
+    resized = decode_bmp(bytes(out["payload"]))
+    assert resized.shape == (4, 4, 3)
+    assert (resized[:2, :2] == [255, 0, 0]).all()
+    assert (resized[2:, 2:] == [255, 255, 0]).all()
