@@ -7,15 +7,28 @@ The Spark-native equivalent is a partition-parallel JDBC write with
 `reWriteBatchedInserts=true` turns executeBatch into multi-row inserts,
 the closest JVM-side analog of COPY.
 
-No JDBC driver jar ships in this container, so this module is exercised
-at deploy time only; the call shape and idempotency contract (truncate/
-delete-scope handled upstream by the partition-overwrite/merge layer)
-are documented here and unit-smoked via argument validation.
+The reference's atomicity contract — delete the reload scope, bulk-load
+the fresh rows, touch the watermark, all-or-nothing
+(bd_utilitarios.py:160-251 savepoint + rollback;
+load_bd/siasus_procedimentos_ambulatoriais_load_bd.py:205-215) — cannot
+span executor-parallel JDBC writes (each partition is its own
+connection). `staged_transactional_load` re-expresses it Spark-first:
+the cluster appends in parallel to a STAGING table (unbounded
+parallelism, no transactional requirement), then ONE driver-side
+transaction does delete-scope → INSERT..SELECT from staging → watermark
+update → commit. The heavy bytes move in parallel; only the cheap
+set-shuffling is serialized, and it is atomic.
+
+Verified live against the embedded Derby database whose driver ships in
+Spark's own classpath (tests/test_jdbc_live.py), including the
+rollback-on-failure path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_BATCH_SIZE = 10_000  # reference `carregar_dataframe(passo=10000)`
 
@@ -25,10 +38,12 @@ def write_jdbc_append(
     url: str,
     table: str,
     *,
-    user: str,
-    password: str,
+    user: str | None = None,
+    password: str | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
     num_partitions: int | None = None,
+    mode: str = "append",
+    column_types: str | None = None,
 ) -> None:
     """K2: append `df` to a JDBC table in `batch_size` row batches.
 
@@ -39,15 +54,94 @@ def write_jdbc_append(
     if not url.startswith("jdbc:"):
         raise ValueError(f"not a JDBC url: {url!r}")
     out = df.repartition(num_partitions) if num_partitions else df
-    (
+    writer = (
         out.write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
-        .option("user", user)
-        .option("password", password)
         .option("batchsize", batch_size)
         .option("isolationLevel", "READ_COMMITTED")
         .option("reWriteBatchedInserts", "true")
-        .mode("append")
-        .save()
     )
+    if column_types:
+        # dialect DDL override (e.g. "periodo VARCHAR(16)") — Spark's
+        # default string mapping is TEXT/CLOB, which some engines (Derby)
+        # cannot compare or index
+        writer = writer.option("createTableColumnTypes", column_types)
+    if user is not None:
+        writer = writer.option("user", user).option("password", password or "")
+    writer.mode(mode).save()
+
+
+@contextmanager
+def _driver_connection(spark: SparkSession, url: str, user: str | None, password: str | None):
+    """One JVM-side java.sql.Connection on the driver, autocommit off."""
+    dm = spark._jvm.java.sql.DriverManager  # noqa: SLF001 — public JDBC API via the session JVM
+    conn = dm.getConnection(url, user, password or "") if user is not None else dm.getConnection(url)
+    conn.setAutoCommit(False)
+    try:
+        yield conn
+    finally:
+        conn.close()
+
+
+def _qcols(columns: list[str]) -> str:
+    """Quote identifiers the way Spark's JDBC writer created them
+    (double-quoted, case-sensitive)."""
+    return ", ".join('"' + c.replace('"', '""') + '"' for c in columns)
+
+
+def staged_transactional_load(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    target: str,
+    *,
+    delete_where: str | None = None,
+    watermark_sql: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    staging: str | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    num_partitions: int | None = None,
+    column_types: str | None = None,
+) -> None:
+    """K2+K3/K4+K7 for a JDBC warehouse: idempotent reload, atomically.
+
+    1. Executor-parallel overwrite of a staging table (cluster-speed
+       transfer; crashes here leave the target untouched).
+    2. One driver transaction: `DELETE FROM target WHERE delete_where`,
+       `INSERT INTO target (cols) SELECT cols FROM staging`, then the
+       optional `watermark_sql` — commit, or roll everything back.
+
+    Mirrors the reference's delete+COPY+watermark single-commit
+    (bd_utilitarios.py:160-251) with the bulk transfer parallelized.
+    Identifier note: Spark's JDBC writer creates case-sensitive quoted
+    columns, so `delete_where`/`watermark_sql` must quote column names
+    (e.g. ``\"periodo\" = '2024.08'``).
+    """
+    staging = staging or f"{target}_stg"
+    # target must exist before INSERT..SELECT; an empty append creates it
+    # with the same dialect-generated DDL as the staging table.
+    write_jdbc_append(
+        df.limit(0), url, target, user=user, password=password, column_types=column_types
+    )
+    write_jdbc_append(
+        df, url, staging,
+        user=user, password=password, column_types=column_types,
+        batch_size=batch_size, num_partitions=num_partitions, mode="overwrite",
+    )
+    cols = _qcols(df.columns)
+    with _driver_connection(spark, url, user, password) as conn:
+        stmt = conn.createStatement()
+        try:
+            if delete_where:
+                stmt.executeUpdate(f"DELETE FROM {target} WHERE {delete_where}")  # noqa: S608
+            stmt.executeUpdate(
+                f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {staging}"  # noqa: S608
+            )
+            if watermark_sql:
+                stmt.executeUpdate(watermark_sql)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
