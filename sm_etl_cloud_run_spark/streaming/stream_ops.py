@@ -102,10 +102,53 @@ def running_totals_stateful(
 
 def run_stream_to_memory(df: DataFrame, query_name: str, *, output_mode: str = "append"):
     """Drive a streaming DataFrame to completion against the memory sink
-    (local smoke testing; production uses foreachBatch → idempotent
-    sinks from `sinks/`)."""
+    (local smoke testing; production uses `stream_upsert_sink`)."""
     q = df.writeStream.outputMode(output_mode).format("memory").queryName(query_name).start()
     q.processAllAvailable()
+    return q
+
+
+def stream_upsert_sink(
+    df: DataFrame,
+    target_path: str,
+    keys: tuple[str, ...],
+    *,
+    order_col: str,
+    checkpoint_dir: str,
+    update_condition=None,
+    output_mode: str = "update",
+    query_name: str = "upsert_sink",
+):
+    """Stream → idempotent MERGE sink via `foreachBatch`.
+
+    Each micro-batch is last-write-wins deduped on `keys` and upserted
+    into the parquet table with `sinks.merge.merge_upsert` — the same
+    operator the batch path uses, so replays and at-least-once delivery
+    converge to the same table state (foreachBatch re-delivers a batch
+    after a crash; the upsert absorbs it). This is the Structured
+    Streaming analog of the reference's keyed change-detection load
+    (etl/datasus_ftp_metadados.py:252-382).
+
+    Keep `output_mode="update"` for aggregated inputs so each trigger
+    emits only changed keys — the merge then touches just those rows.
+    """
+    from ..sinks.merge import dedupe_last_write, merge_upsert
+
+    def upsert_batch(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.rdd.isEmpty():
+            deduped = dedupe_last_write(batch, list(keys), order_col)
+            merge_upsert(
+                batch.sparkSession, deduped, target_path, list(keys),
+                update_condition=update_condition,
+            )
+
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .foreachBatch(upsert_batch)
+        .start()
+    )
     return q
 
 

@@ -194,3 +194,50 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
     # batch fallback: plain global dedup (superset of the horizon dedup)
     assert streaming_dedup(df).count() == 3
+
+
+def test_stream_upsert_sink_idempotent(spark, tmp_path):
+    from sm_etl_cloud_run_spark.streaming.stream_ops import stream_upsert_sink
+
+    base = dt.datetime(2024, 1, 1, 10, 15)
+    rows = [
+        (base, "click", 1.0),
+        (base + dt.timedelta(minutes=20), "click", 2.0),
+        (base + dt.timedelta(hours=2), "view", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    src = str(tmp_path / "events")
+    df.coalesce(1).write.parquet(src)
+    target = str(tmp_path / "rollup_table")
+
+    def run_once(tag: str) -> None:
+        stream = windowed_counts(read_events_stream(spark, src, df.schema), window="1 hour")
+        q = stream_upsert_sink(
+            stream, target, ("window_start", "event_type"),
+            order_col="n", checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            output_mode="complete", query_name=f"upsert_{tag}",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once("a")
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_counts(spark.read.parquet(src), window="1 hour").collect()
+    }
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == expected and len(got) == 2
+
+    # replay from a FRESH checkpoint (at-least-once redelivery of every
+    # batch): the keyed upsert must converge to the same table, no dupes
+    run_once("b")
+    again = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == expected
