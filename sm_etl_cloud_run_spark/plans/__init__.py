@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     relational2,
     textops,
     tpch_extra,
+    training,
     tpch_joins,
     tpch_wide,
     vector,

@@ -1,0 +1,155 @@
+"""Training-data preparation queries: packing, sampling, shuffle buckets.
+
+Scale-layer operators (beyond the reference's surface, like the dedup
+and similarity layers): the last mile between a cleaned corpus and a
+training run. Each is expression-only (window functions + hash
+arithmetic, no Python UDFs) and shuffles once at most, partitioned so
+the pattern holds on a 100 TB corpus:
+
+- sequence packing: concat-and-chunk documents into fixed token-budget
+  training sequences, parallel across shards (the data-parallel worker
+  layout), never a global order-by;
+- stratified quota sampling: deterministic per-group top-K in md5
+  order — reproducible across runs and engines, no RNG state;
+- shuffle bucketing: md5-derived bucket assignment — the deterministic
+  "global shuffle" a training pipeline uses to break source ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load_tables
+from .registry import register
+
+_PACK_BUDGET = 2048
+_N_SHARDS = 32
+_QUOTA = 40
+_N_BUCKETS = 64
+
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {_N_SHARDS} AS shard,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM toks
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(cum_before / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS offset_in_seq
+FROM c
+"""
+
+
+@register("training_pack_sequences", oracle=_PACK_ORACLE,
+          description="concat-and-chunk sequence packing: per-shard cumulative token "
+                      "count → (seq_id, offset) under a fixed token budget")
+def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into training sequences of `_PACK_BUDGET` tokens.
+
+    Concat-and-chunk (the standard LLM pretraining layout): documents are
+    laid end-to-end in doc_id order and cut every 2048 tokens; each doc
+    learns which sequence it starts in and at what offset. The window is
+    PARTITIONED BY a shard key — each shard packs independently, exactly
+    like data-parallel training workers — so no global single-partition
+    sort exists anywhere in the plan and the shuffle is one hash exchange
+    on shard. Token counts are whitespace splits (functions/text.py
+    convention), computed inline by codegen.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id",
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = docs.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return packed.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long").alias("seq_id"),
+        (F.col("cum_before") % _PACK_BUDGET).cast("long").alias("offset_in_seq"),
+    )
+
+
+_SAMPLE_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_QUOTA}
+"""
+
+
+@register("training_stratified_sample", oracle=_SAMPLE_ORACLE,
+          description="deterministic stratified quota sample: per-lang top-K in md5 "
+                      "hash order (reproducible, RNG-free)")
+def training_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sample, deterministic across runs and engines.
+
+    Ordering by md5(doc_id) is a seedless uniform permutation both Spark
+    and DuckDB compute identically — stratified sampling without RNG
+    state to checkpoint. One shuffle on lang; row_number stops feeding
+    rows past the quota at the sort, so the exchange carries each
+    group's top-K candidates only (rank pushdown via the window's
+    top-K optimization).
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        t["documents"]
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _QUOTA)
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+_BUCKET_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % {_N_BUCKETS} AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc_id
+FROM b GROUP BY bucket
+"""
+
+
+@register("training_shuffle_buckets", oracle=_BUCKET_ORACLE,
+          description="deterministic global shuffle: md5-derived bucket assignment "
+                      "+ per-bucket balance counts")
+def training_shuffle_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle bucketing: bucket = md5(doc_id)[0:8] as an
+    integer, mod `_N_BUCKETS` — the reproducible analog of a global
+    training shuffle (write each bucket as one output partition and the
+    corpus's source ordering is broken uniformly). The query returns
+    per-bucket counts as the balance check. One map-side-combined hash
+    aggregate; no sort, no skew (md5 is uniform by construction).
+    """
+    t = load_tables(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % _N_BUCKETS
+    )
+    return (
+        t["documents"]
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
