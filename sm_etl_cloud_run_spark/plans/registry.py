@@ -80,11 +80,21 @@ _DRIVER_CHECKED_R1_R2 = (
 )
 
 
+# Queries added in round 3+ (never driver-checked, but locally
+# parity-verified): yield them AFTER the r1/r2-unchecked block so they
+# don't displace that block from the driver's first-50 window.
+_NEW_SINCE_R3 = (
+    "training_pack_sequences", "training_stratified_sample",
+    "training_shuffle_buckets",
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    checked = set(_DRIVER_CHECKED_R1_R2)
-    fresh = {k: v for k, v in _REGISTRY.items() if k not in checked}
+    later = set(_DRIVER_CHECKED_R1_R2) | set(_NEW_SINCE_R3)
+    fresh = {k: v for k, v in _REGISTRY.items() if k not in later}
+    new = {k: _REGISTRY[k] for k in _NEW_SINCE_R3 if k in _REGISTRY}
     prior = {k: _REGISTRY[k] for k in _DRIVER_CHECKED_R1_R2 if k in _REGISTRY}
-    return {**fresh, **prior}
+    return {**fresh, **new, **prior}
 
 
 def bench_queries() -> dict[str, QuerySpec]:
