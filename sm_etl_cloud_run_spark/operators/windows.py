@@ -39,9 +39,16 @@ def sessionize(
 
     lag + conditional cumsum — one shuffle on the user key. The
     streaming analog is `session_window` (see streaming/stream_ops.py).
+
+    Works for TIMESTAMP and TIMESTAMP_NTZ inputs: NTZ can't cast to
+    BIGINT directly, so go through TIMESTAMP first. That hop uses the
+    session timezone, but gaps are differences of epochs, so any fixed
+    offset cancels — and the engine pins the session to UTC
+    (session.py), so there is no DST-varying offset either.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return df.withColumn("__new", is_new).withColumn(
         session_col, F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))

@@ -68,19 +68,35 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
-        # TIMESTAMP(NANOS) columns arrive as nano-longs (see session
-        # conventions); convert back to timestamps (sub-μs truncated,
-        # matching DuckDB's ns→µs behavior).
-        for col_name in _NANO_TS_COLUMNS.get(name, ()):
-            if isinstance(df.schema[col_name].dataType, T.LongType):
+        # Encoding-agnostic timestamp normalization: the driver has shipped
+        # the same logical column as TIMESTAMP(NANOS) (arriving as a
+        # nano-long under `nanosAsLong`), as TIMESTAMP_NTZ (plain
+        # timestamp[us] parquet), and could ship TIMESTAMP_LTZ. Pin ONE
+        # canonical type — TimestampType — so no query ever sees a physical
+        # encoding change (round-3 postmortem: a regenerated events.parquet
+        # flipped nanos→µs and broke sessionize's cast). NTZ→LTZ goes
+        # through the session timezone, which the engine pins to UTC
+        # (session.py), so wall-clock values are preserved and DuckDB
+        # oracle parity holds.
+        for col_name in _TS_COLUMNS.get(name, ()):
+            dtype = df.schema[col_name].dataType
+            if isinstance(dtype, T.LongType):
+                # TIMESTAMP(NANOS) read as nano-long; sub-µs truncated,
+                # matching DuckDB's ns→µs behavior.
                 df = df.withColumn(
                     col_name, F.timestamp_micros(F.expr(f"`{col_name}` div 1000"))
                 )
+            elif isinstance(dtype, T.TimestampNTZType):
+                df = df.withColumn(col_name, F.col(col_name).cast(T.TimestampType()))
         df.createOrReplaceTempView(name)
         out[name] = df
     _CATALOG_CACHE[cache_key] = dict(out)
     return out
 
 
-# Tables whose timestamp columns are TIMESTAMP(NANOS) in the driver parquet.
-_NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns normalized to canonical TimestampType regardless of the
+# parquet physical encoding (nano-long / TIMESTAMP_NTZ / TIMESTAMP_LTZ).
+# Only events.ts has flipped encodings across driver regenerations; the
+# lineitem/orders date columns have always arrived µs and every query
+# treats them encoding-neutrally (date casts under the pinned-UTC session).
+_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
