@@ -51,11 +51,28 @@ def register(
 
 
 # The driver's CORRECTNESS gate checks exactly the FIRST 50 queries that
-# ``all_queries()`` yields. Rounds 1-2 checked the 50 below (all green in
-# CORRECTNESS_r02.json); rotate them to the back so the other 50 —
-# dedup_*/knn_*/text_*/q2–q22 — get driver rows in round 3
-# (VERDICT r2, "Next round" item 4). Registration order is unchanged;
-# only the yield order rotates.
+# ``all_queries()`` yields. The yield order is change-aware (VERDICT r3,
+# "Next round" item 2): lead with queries whose implementation changed
+# since their last green driver row or that never had one, then the
+# longest-unchecked block, then the most recently checked block.
+# Registration order is unchanged; only the yield order is prioritized.
+
+# Tier 1 — no green driver row for the CURRENT code (round-4 window must
+# include all of these):
+#   - j1_period_bucketed_range_join: green in r1/r2, then rewritten in r3
+#     (operators/joins.py:91-139);
+#   - events_sessionize: green in r1/r2, then fixed for the regenerated
+#     NTZ testdata in r4 (operators/windows.py, tables.py);
+#   - training_*: registered in r3 after the rotation cut, never checked.
+_CHANGED_OR_NEVER_CHECKED = (
+    "j1_period_bucketed_range_join",
+    "events_sessionize",
+    "training_pack_sequences",
+    "training_stratified_sample",
+    "training_shuffle_buckets",
+)
+
+# Tier 2 — last driver-checked in rounds 1/2 (longest unchecked).
 _DRIVER_CHECKED_R1_R2 = (
     "events_hourly_rollup", "events_sliding_window", "percentile_metrics",
     "corr_qty_discount", "events_sessionize", "events_json_extract",
@@ -80,21 +97,21 @@ _DRIVER_CHECKED_R1_R2 = (
 )
 
 
-# Queries added in round 3+ (never driver-checked, but locally
-# parity-verified): yield them AFTER the r1/r2-unchecked block so they
-# don't displace that block from the driver's first-50 window.
-_NEW_SINCE_R3 = (
-    "training_pack_sequences", "training_stratified_sample",
-    "training_shuffle_buckets",
-)
-
-
 def all_queries() -> dict[str, QuerySpec]:
-    later = set(_DRIVER_CHECKED_R1_R2) | set(_NEW_SINCE_R3)
-    fresh = {k: v for k, v in _REGISTRY.items() if k not in later}
-    new = {k: _REGISTRY[k] for k in _NEW_SINCE_R3 if k in _REGISTRY}
-    prior = {k: _REGISTRY[k] for k in _DRIVER_CHECKED_R1_R2 if k in _REGISTRY}
-    return {**fresh, **new, **prior}
+    """Yield specs in driver-window priority order.
+
+    Tier 1 (changed/never-checked) first, then tier 2 (longest
+    unchecked), then everything else (checked green most recently, in
+    registration order). Names listed but not registered are skipped.
+    """
+    ordered: dict[str, QuerySpec] = {}
+    for name in (*_CHANGED_OR_NEVER_CHECKED, *_DRIVER_CHECKED_R1_R2):
+        if name in _REGISTRY and name not in ordered:
+            ordered[name] = _REGISTRY[name]
+    for name, spec in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
 
 
 def bench_queries() -> dict[str, QuerySpec]:
