@@ -40,17 +40,34 @@ def main() -> None:
     else:
         spark.range(1).count()
 
-    # min of two measured runs per query: steady-state throughput with
-    # less scheduler/GC noise (standard benchmarking practice)
-    timings: dict[str, float] = {}
-    for name, spec in sorted(plans.bench_queries().items()):
-        best = float("inf")
-        for _ in range(2):
+    # Noise defense (round-3/4 postmortem): the sandbox host shows
+    # multi-second transient stalls — the same query measured 6.1 s and
+    # 0.15 s in runs minutes apart with zero system load. Contention
+    # noise is strictly additive, so min is the robust statistic; and
+    # because a stall burst can blanket several consecutive seconds,
+    # reps are spread TEMPORALLY: three full passes over all queries
+    # (each pass runs every query once), min per query across passes —
+    # back-to-back min-of-3 on one query sits entirely inside one burst.
+    # A fixed calibration probe bounds each pass; its times are reported
+    # so a reader can tell "environment was stalled" from "query got
+    # slower".
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(100_000_000).selectExpr("sum(id) AS s").collect()
+        return round(time.perf_counter() - t0, 3)
+
+    specs = sorted(plans.bench_queries().items())
+    samples: dict[str, list[float]] = {name: [] for name, _ in specs}
+    calibration: list[float] = []
+    for _ in range(3):
+        calibration.append(_calibrate())
+        for name, spec in specs:
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples[name].append(time.perf_counter() - t0)
+    calibration.append(_calibrate())
 
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "bench_total_wall_seconds",
@@ -58,6 +75,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration_sec": calibration,
     }))
 
 
