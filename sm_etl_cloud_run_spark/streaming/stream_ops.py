@@ -135,7 +135,7 @@ def stream_upsert_sink(
     from ..sinks.merge import dedupe_last_write, merge_upsert
 
     def upsert_batch(batch: DataFrame, _batch_id: int) -> None:
-        if not batch.rdd.isEmpty():
+        if not batch.isEmpty():
             deduped = dedupe_last_write(batch, list(keys), order_col)
             merge_upsert(
                 batch.sparkSession, deduped, target_path, list(keys),
