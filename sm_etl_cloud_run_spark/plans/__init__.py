@@ -7,6 +7,7 @@ this package populates the registry.
 """
 
 from . import (  # noqa: F401
+    corpus_stats,
     events_queries,
     pipeline,
     pipeline_fact,

@@ -1,0 +1,371 @@
+"""Corpus-statistics queries: repetition filtering, TF-IDF, unigram-LM
+scoring, temperature resampling.
+
+Training-data curation operators beyond the basic text layer
+(plans/textops.py) — the filters a large-scale pretraining pipeline
+runs between ingestion and packing:
+
+- **repetition filter** (Gopher-style): per-document duplicate-word and
+  top-bigram fractions with a keep/drop verdict. Repetitious documents
+  (boilerplate, keyword stuffing, scraper loops) are the single biggest
+  quality lever on web corpora.
+- **TF-IDF top terms**: the distinctive terms of each document via an
+  inverted-index join (term → document frequency) — the building block
+  for topic tagging and per-domain mixture analysis.
+- **unigram log-prob score** (CCNet-style): score each document by the
+  average corpus-unigram log-probability of its tokens; gibberish and
+  rare-token spam score low, fluent text scores high.
+- **temperature resampling**: per-language sqrt-temperature sampling
+  targets (the multilingual rebalancing trick) with a deterministic
+  md5-threshold row selection — no RNG state, reproducible on any
+  engine.
+
+Determinism conventions (see plans/registry.py): every fraction that
+feeds a comparison is scaled-integer; log-derived weights are floored
+at 1e6 scale so the only doubles crossing the oracle hash are single
+IEEE ops on identical inputs; orderings always carry a unique
+tiebreaker.
+
+100 TB shapes: everything is explode → hash-aggregate → shuffle join on
+term/lang keys — the inverted-index layout. Term keys are zipfian, so
+the df join rides AQE skew handling; the df/weight sides are
+aggregated (|vocab| / |langs| rows, not |corpus|) before joining back.
+No Python touches any row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens, word_shingles
+from ..tables import load_tables
+from .registry import register
+
+# Gopher-ish thresholds (scaled to this synthetic corpus's vocabulary).
+_MAX_DUP_WORD_BP = 6000      # ≤60% repeated words
+_MAX_TOP_BIGRAM_BP = 2000    # top bigram ≤20% of all bigrams
+_MIN_TOKENS = 5
+
+_TOPK_TERMS = 3
+_TEMPERATURE_BUDGET = 200    # target sample size across all languages
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+  FROM toks
+), bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+), bgc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+), bga AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams
+  FROM bgc GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_distinct,
+       CAST(FLOOR(10000.0 * (b.n_tokens - b.n_distinct) / b.n_tokens) AS BIGINT) AS dup_word_bp,
+       COALESCE(a.top_bigram_count, 0) AS top_bigram_count,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       CAST(CASE WHEN a.n_bigrams IS NULL THEN 0
+            ELSE FLOOR(10000.0 * a.top_bigram_count / a.n_bigrams) END AS BIGINT) AS top_bigram_bp,
+       CAST(CASE WHEN FLOOR(10000.0 * (b.n_tokens - b.n_distinct) / b.n_tokens) <= {_MAX_DUP_WORD_BP}
+                  AND COALESCE(CAST(FLOOR(10000.0 * a.top_bigram_count / a.n_bigrams) AS BIGINT), 0)
+                      <= {_MAX_TOP_BIGRAM_BP}
+                  AND b.n_tokens >= {_MIN_TOKENS}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM base b LEFT JOIN bga a USING (doc_id)
+"""
+
+
+@register("text_repetition_filter", oracle=_REPETITION_ORACLE,
+          description="Gopher-style repetition filter: duplicate-word and "
+                      "top-bigram fractions with keep/drop verdict")
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics and a keep verdict.
+
+    Two repetition signals from the Gopher/MassiveText filter family:
+    duplicate-word fraction (1 - distinct/total, in basis points) and
+    the most frequent bigram's share of all bigrams. Documents failing
+    either threshold — or shorter than `_MIN_TOKENS` — are marked drop.
+
+    Plan: one pass computes token counts per doc (codegen, no shuffle);
+    the bigram side explodes 2-shingles and hash-aggregates twice
+    ((doc, bigram) → doc), both map-side-combined on doc-keyed data, then
+    left-joins back on doc_id. At corpus scale all three aggregates
+    partition on doc_id/(doc_id, bigram) — uniform keys, no skew, and
+    the explode never amplifies past token count.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    base = t["documents"].select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    bigrams = t["documents"].select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram")
+    )
+    bga = (
+        bigrams.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("long").alias("top_bigram_count"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    dup_word_bp = F.floor(
+        10000.0 * (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens")
+    ).cast("long")
+    top_bigram_bp = F.when(F.col("n_bigrams").isNull(), F.lit(0)).otherwise(
+        F.floor(10000.0 * F.col("top_bigram_count") / F.col("n_bigrams"))
+    ).cast("long")
+    keep = (
+        (dup_word_bp <= _MAX_DUP_WORD_BP)
+        & (F.coalesce(top_bigram_bp, F.lit(0)) <= _MAX_TOP_BIGRAM_BP)
+        & (F.col("n_tokens") >= _MIN_TOKENS)
+    )
+    return (
+        base.join(bga, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "n_distinct",
+            dup_word_bp.alias("dup_word_bp"),
+            F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("long").alias("top_bigram_count"),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            top_bigram_bp.alias("top_bigram_bp"),
+            F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (inverted-index join)
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(FLOOR(1000000.0 * ln(CAST(n.n_docs AS DOUBLE) / df.df)) AS BIGINT) AS idf_micro
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, idf_micro, tf * idf_micro AS tfidf_micro,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tf * idf_micro DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, idf_micro, tfidf_micro, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_TOPK_TERMS}
+"""
+
+
+@register("text_tfidf_topterms", oracle=_TFIDF_ORACLE,
+          description="TF-IDF distinctive terms per document via "
+                      "inverted-index df join + per-doc top-k")
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-`_TOPK_TERMS` terms per document by TF-IDF.
+
+    The inverted-index shape: explode tokens → (doc, term) counts →
+    term-level document frequency → join the (aggregated, |vocab|-sized)
+    df side back on term → per-doc top-k window. IDF is floored at 1e6
+    scale so the ranking key (tf × idf_micro) is a long — exact on both
+    engines; ln of identical doubles differs at worst 1 ulp, 10 orders
+    below the floor step.
+
+    At 100 TB: term keys are zipfian — the df join is the classic
+    skew-join case AQE handles (the df side is one row per term, so
+    broadcast kicks in for bounded vocabularies); both aggregates are
+    map-side combined; the final window partitions on doc_id (uniform).
+    """
+    t = load_tables(spark, sf_dir)
+    tf = (
+        t["documents"]
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # 1-row scalar broadcast (q11/q15-style threshold join) — whitelisted
+    # in the plan-hygiene test's nested-loop allowance.
+    n = t["documents"].agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf_micro",
+            F.floor(1000000.0 * F.log(F.col("n_docs").cast("double") / F.col("df"))).cast("long"),
+        )
+        .withColumn("tfidf_micro", (F.col("tf") * F.col("idf_micro")).cast("long"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_micro").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= _TOPK_TERMS)
+        .select("doc_id", "term", "tf", "df", "idf_micro", "tfidf_micro", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM log-probability quality score (CCNet-style)
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+), uni AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_tokens FROM uni
+), logp AS (
+  SELECT term, CAST(FLOOR(1000000.0 * ln(CAST(c AS DOUBLE) / t_tokens)) AS BIGINT) AS logp_micro
+  FROM uni CROSS JOIN tot
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf.tf * logp.logp_micro) AS BIGINT) AS sum_logp_micro,
+       CAST(SUM(tf.tf * logp.logp_micro) AS DOUBLE)
+         / (1000000.0 * SUM(tf.tf)) AS avg_logp
+FROM tf JOIN logp USING (term)
+GROUP BY tf.doc_id
+"""
+
+
+@register("text_unigram_logprob", oracle=_UNIGRAM_ORACLE,
+          description="CCNet-style quality score: per-doc average corpus-unigram "
+                      "log-probability (fluent text scores high)")
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score documents by average corpus-unigram log-probability.
+
+    The CCNet filtering idea with the corpus itself as the language
+    model: build unigram counts, convert to 1e6-scaled log-probs
+    (longs), then per-doc sum tf·logp exactly in integer space — the
+    summation is order-free, so Spark's partition order can't perturb
+    the hash. The only double in the output is one division at the end.
+
+    Same inverted-index scale shape as TF-IDF: two map-side-combined
+    aggregates, one join on the zipfian term key against a |vocab|-sized
+    aggregated side, one final doc-keyed aggregate.
+    """
+    t = load_tables(spark, sf_dir)
+    tf = (
+        t["documents"]
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    uni = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    # 1-row scalar broadcast — whitelisted nested-loop shape, see
+    # text_tfidf_topterms.
+    tot = uni.agg(F.sum("c").cast("long").alias("t_tokens"))
+    logp = uni.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.floor(1000000.0 * F.log(F.col("c").cast("double") / F.col("t_tokens"))).cast("long")
+        .alias("logp_micro"),
+    )
+    return (
+        tf.join(logp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("logp_micro")).cast("long").alias("sum_logp_micro"),
+        )
+        .select(
+            "doc_id", "n_tokens", "sum_logp_micro",
+            (F.col("sum_logp_micro").cast("double") / (1000000.0 * F.col("n_tokens")))
+            .alias("avg_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature resampling (multilingual rebalancing)
+# ---------------------------------------------------------------------------
+
+_TEMPERATURE_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY lang
+), cum AS (
+  SELECT lang, c, SUM(sqrt(CAST(c AS DOUBLE)))
+           OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cum_w
+  FROM counts
+), weights AS (
+  SELECT lang, c, sqrt(CAST(c AS DOUBLE)) AS w,
+         MAX(cum_w) OVER () AS total_w
+  FROM cum
+), targets AS (
+  SELECT lang, c,
+         CAST(FLOOR({_TEMPERATURE_BUDGET} * w / total_w) AS BIGINT) AS target_docs
+  FROM weights
+)
+SELECT d.doc_id, d.lang, t.target_docs
+FROM documents d JOIN targets t USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) * t.c
+      < t.target_docs * 4294967296
+"""
+
+
+@register("training_temperature_sample", oracle=_TEMPERATURE_ORACLE,
+          description="temperature (sqrt) resampling across languages: "
+                      "deterministic md5-threshold selection toward "
+                      "rebalanced per-lang targets")
+def training_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sqrt-temperature sampling across languages, RNG-free.
+
+    The multilingual rebalancing trick (sampling share ∝ count^τ with
+    τ=0.5): high-resource languages are downweighted, low-resource ones
+    kept nearly whole. Per-lang targets come from sqrt weights whose
+    normalizer is a CUMULATIVE sum ordered by lang — fixing the
+    floating-point summation order so Spark and the oracle add the same
+    doubles in the same sequence. Row selection is the uniform
+    md5-threshold: keep doc iff hash32(doc_id)·c_lang < target·2³², an
+    exact integer comparison, so the sample is reproducible on any
+    engine with no RNG state to checkpoint.
+
+    Scale shape: the per-lang weight table is |langs| rows — broadcast
+    to the fact side; the only corpus-sized work is one codegen
+    filter pass. The window over |langs| rows is driver-trivial.
+    """
+    t = load_tables(spark, sf_dir)
+    counts = t["documents"].groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum_w", F.sum(F.sqrt(F.col("c").cast("double"))).over(w_cum))
+    weights = cum.select(
+        "lang", "c",
+        F.sqrt(F.col("c").cast("double")).alias("w"),
+        F.max("cum_w").over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("total_w"),
+    )
+    targets = weights.select(
+        "lang", "c",
+        F.floor(_TEMPERATURE_BUDGET * F.col("w") / F.col("total_w")).cast("long")
+        .alias("target_docs"),
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    return (
+        t["documents"]
+        .join(F.broadcast(targets), "lang")
+        .where(h32 * F.col("c") < F.col("target_docs") * F.lit(4294967296))
+        .select("doc_id", "lang", "target_docs")
+    )

@@ -70,6 +70,11 @@ _CHANGED_OR_NEVER_CHECKED = (
     "training_pack_sequences",
     "training_stratified_sample",
     "training_shuffle_buckets",
+    # registered in round 4, never driver-checked:
+    "text_repetition_filter",
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    "training_temperature_sample",
 )
 
 # Tier 2 — last driver-checked in rounds 1/2 (longest unchecked).

@@ -113,6 +113,8 @@ _NESTED_LOOP_OK = {
     "f5_sliding_month_gate",
     "events_sliding_window",
     "set_intersect_except",  # three 1-row aggs crossJoined into one output row
+    "text_tfidf_topterms",   # 1-row corpus-size scalar broadcast (N for idf)
+    "text_unigram_logprob",  # 1-row total-token scalar broadcast
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.
