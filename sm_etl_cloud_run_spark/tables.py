@@ -86,7 +86,11 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
                 df = df.withColumn(
                     col_name, F.timestamp_micros(F.expr(f"`{col_name}` div 1000"))
                 )
-            elif isinstance(dtype, T.TimestampNTZType):
+            elif isinstance(dtype, (T.TimestampNTZType, T.DateType)):
+                # DATE would surface as python `date` objects while the
+                # DuckDB oracle's pandas conversion yields datetime64 —
+                # a guaranteed driver hash mismatch. Same UTC-pinned
+                # wall-clock value either way.
                 df = df.withColumn(col_name, F.col(col_name).cast(T.TimestampType()))
         df.createOrReplaceTempView(name)
         out[name] = df
@@ -95,8 +99,13 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
 
 
 # Timestamp columns normalized to canonical TimestampType regardless of the
-# parquet physical encoding (nano-long / TIMESTAMP_NTZ / TIMESTAMP_LTZ).
-# Only events.ts has flipped encodings across driver regenerations; the
-# lineitem/orders date columns have always arrived µs and every query
-# treats them encoding-neutrally (date casts under the pinned-UTC session).
-_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# parquet physical encoding (nano-long / TIMESTAMP_NTZ / TIMESTAMP_LTZ /
+# DATE). events.ts has already flipped encodings across driver
+# regenerations (nanos → µs); the lineitem/orders date columns are listed
+# so a future DATE regeneration can't flip their pandas rendering either
+# (tests/test_encoding_chaos.py locks all of this in).
+_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}

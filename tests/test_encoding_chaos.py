@@ -102,3 +102,84 @@ def test_events_queries_identical_across_encodings(spark, encoded_dirs, qname):
     for label, df in results.items():
         pd_eq = base.equals(df)
         assert pd_eq, f"{qname}: {label} result differs from ntz result"
+
+
+# ---------------------------------------------------------------------------
+# forward-looking chaos: other encodings the driver could regenerate into
+# ---------------------------------------------------------------------------
+
+
+def _oracle_compare(spark, sf_dir: str, qname: str) -> list[str]:
+    """Run a query's Spark plan and DuckDB oracle on the SAME sf_dir and
+    return compare problems (reuses tools/check_parity's comparator, the
+    local replica of the driver gate)."""
+    import importlib.util
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cp_spec = importlib.util.spec_from_file_location(
+        "check_parity", os.path.join(repo, "tools", "check_parity.py")
+    )
+    cp = importlib.util.module_from_spec(cp_spec)
+    cp_spec.loader.exec_module(cp)
+
+    spec = plans.all_queries()[qname]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    ddf = con.execute(spec.oracle).fetchdf()
+    assert len(sdf) > 0, f"{qname} returned 0 rows on re-encoded data — trivial pass"
+    return cp.compare(qname, sdf, ddf)
+
+
+@pytest.fixture(scope="module")
+def date32_dir(tmp_path_factory):
+    """lineitem/orders with their timestamp date columns as parquet DATE —
+    a plausible future driver regeneration (TESTDATA dates are midnight
+    timestamps today)."""
+    d = tmp_path_factory.mktemp("enc_date32")
+    for t in TABLE_NAMES:
+        src = os.path.join(SRC, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        table = pq.read_table(src)
+        for col in ("l_shipdate", "o_orderdate"):
+            if col in table.column_names:
+                idx = table.schema.get_field_index(col)
+                table = table.set_column(idx, col, pc.cast(table[col], pa.date32()))
+        pq.write_table(table, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("qname", ["q1_pricing_summary", "q3_shipping_priority"])
+def test_date32_arrival_keeps_oracle_parity(spark, date32_dir, qname):
+    problems = _oracle_compare(spark, date32_dir, qname)
+    assert not problems, f"{qname} on DATE-encoded data: {problems}"
+
+
+@pytest.fixture(scope="module")
+def embedding_double_dir(tmp_path_factory):
+    """embeddings.embedding as list<double> instead of list<float>."""
+    d = tmp_path_factory.mktemp("enc_embdouble")
+    for t in TABLE_NAMES:
+        src = os.path.join(SRC, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        table = pq.read_table(src)
+        if t == "embeddings":
+            idx = table.schema.get_field_index("embedding")
+            table = table.set_column(
+                idx, "embedding", pc.cast(table["embedding"], pa.list_(pa.float64()))
+            )
+        pq.write_table(table, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("qname", ["knn_brute_force", "embedding_label_centroids"])
+def test_embedding_double_arrival_keeps_oracle_parity(spark, embedding_double_dir, qname):
+    problems = _oracle_compare(spark, embedding_double_dir, qname)
+    assert not problems, f"{qname} on double-encoded embeddings: {problems}"
