@@ -369,3 +369,128 @@ def training_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(h32 * F.col("c") < F.col("target_docs") * F.lit(4294967296))
         .select("doc_id", "lang", "target_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline: filter → dedup → pack
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents
+), base AS (
+  SELECT doc_id, text,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+  FROM toks
+), bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+), bgc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+), bga AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM bgc GROUP BY doc_id
+), kept AS (
+  SELECT b.doc_id, b.text, b.n_tokens
+  FROM base b LEFT JOIN bga a USING (doc_id)
+  WHERE FLOOR(10000.0 * (b.n_tokens - b.n_distinct) / b.n_tokens) <= {_MAX_DUP_WORD_BP}
+    AND COALESCE(CAST(FLOOR(10000.0 * a.top_c / a.n_bg) AS BIGINT), 0) <= {_MAX_TOP_BIGRAM_BP}
+    AND b.n_tokens >= {_MIN_TOKENS}
+), fp AS (
+  SELECT doc_id, n_tokens,
+         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+  FROM kept
+), uniq AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM fp
+  ) WHERE rn = 1
+), c AS (
+  SELECT doc_id, doc_id % {{n_shards}} AS shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY doc_id % {{n_shards}} ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM uniq
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       CAST(FLOOR(cum_before / {{budget}}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {{budget}} AS BIGINT) AS offset_in_seq
+FROM c
+""".format(n_shards="{n_shards}", budget="{budget}")
+
+_CURATION_N_SHARDS = 32
+_CURATION_BUDGET = 2048
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=_CURATION_ORACLE.format(n_shards=_CURATION_N_SHARDS, budget=_CURATION_BUDGET),
+    description="end-to-end curation: repetition filter → exact dedup → "
+                "sequence packing, one composed plan",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three curation stages composed into ONE logical plan: drop
+    repetitious documents (Gopher thresholds), keep one copy per exact
+    content fingerprint, pack survivors into fixed-budget training
+    sequences.
+
+    Because it is a single DataFrame expression, Catalyst fuses the
+    stages — the filter prunes before the dedup shuffle, the dedup
+    prunes before the pack shuffle, and nothing materializes between
+    stages (on a cluster: three exchanges total on uniformly
+    distributed keys — (doc,bigram), fingerprint, shard — each over a
+    strictly shrinking row set; this is the batch shape of the full
+    ingest→train corpus pass).
+    """
+    from ..functions.text import doc_fingerprint
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    base = t["documents"].select(
+        "doc_id", "text",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    bga = (
+        t["documents"]
+        .select("doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
+    )
+    dup_word_bp = F.floor(
+        10000.0 * (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens")
+    )
+    top_bigram_bp = F.coalesce(
+        F.floor(10000.0 * F.col("top_c") / F.col("n_bg")).cast("long"), F.lit(0)
+    )
+    kept = (
+        base.join(bga, "doc_id", "left")
+        .where(
+            (dup_word_bp <= _MAX_DUP_WORD_BP)
+            & (top_bigram_bp <= _MAX_TOP_BIGRAM_BP)
+            & (F.col("n_tokens") >= _MIN_TOKENS)
+        )
+        .select("doc_id", "text", "n_tokens")
+    )
+    w_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
+    uniq = (
+        kept.withColumn("fingerprint", doc_fingerprint(F.col("text")))
+        .withColumn("rn", F.row_number().over(w_fp))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    shard = (F.col("doc_id") % _CURATION_N_SHARDS).alias("shard")
+    w_pack = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = uniq.select("doc_id", shard, "n_tokens").withColumn(
+        "cum_before", F.sum("n_tokens").over(w_pack) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        "n_tokens",
+        F.floor(F.col("cum_before") / _CURATION_BUDGET).cast("long").alias("seq_id"),
+        (F.col("cum_before") % _CURATION_BUDGET).cast("long").alias("offset_in_seq"),
+    )

@@ -75,6 +75,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "text_tfidf_topterms",
     "text_unigram_logprob",
     "training_temperature_sample",
+    "corpus_curation_pipeline",
 )
 
 # Tier 2 — last driver-checked in rounds 1/2 (longest unchecked).

@@ -39,6 +39,12 @@ QUERIES = (
     "events_hourly_gapfill",
     "q8_market_share",
     "text_winnowing_fingerprints",
+    # training-prep layer (VERDICT r3 stretch): the pack window and the
+    # stratified top-K are the shapes worth probing — per-shard windows
+    # and per-group rank pushdown must not degrade superlinearly.
+    "training_pack_sequences",
+    "training_stratified_sample",
+    "training_temperature_sample",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
