@@ -207,6 +207,116 @@ def embedding_cosine_dup_pairs(
     return pairs.where(F.col("cosine") >= threshold)
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    cluster_col: str = "sem_cluster",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster, then dedup
+    within clusters only.
+
+    The published recipe (Abbas et al. 2023, "SemDeDup"): k-means the
+    embeddings, and inside each cluster drop every vector that has a
+    higher-similarity twin — cross-cluster pairs are never scored, so
+    the quadratic pairwise cost is bounded by cluster size instead of
+    corpus size. Representative choice is deterministic: the lowest id
+    of a duplicate pair survives.
+
+    Plan shape: nearest-centroid assignment is one codegen pass
+    (centroids are parameter-sized, inlined as literals); the pairwise
+    stage is a self-equi-join ON the cluster id — a hash shuffle both
+    sides on `cluster_col`, never a cross join. Squared norms are
+    carried on the assigned rows (computed once per vector, not per
+    pair). At 100 TB the cluster id is the stored partition key and the
+    join is co-located.
+    """
+    assigned = ivf_assign(
+        embeddings, centroids, vec_col=vec_col, cluster_col=cluster_col
+    ).withColumn("__sq", _fixed_point_sq_norm(F.col(vec_col)))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cond = (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    cos = F.round(
+        _fixed_point_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).cast("double")
+        / (F.sqrt(F.col("a.__sq").cast("double")) * F.sqrt(F.col("b.__sq").cast("double"))),
+        6,
+    )
+    dup_ids = (
+        a.join(b, cond)
+        .where(cos >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids.withColumn("__dup", F.lit(1)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(cluster_col).cast("long").alias(cluster_col),
+            F.when(F.col("__dup").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_pandas(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    cluster_col: str = "sem_cluster",
+) -> DataFrame:
+    """`semantic_dedup`'s production twin: per-cluster Arrow batches
+    scored with vectorized numpy instead of interpreted `zip_with`/
+    `aggregate` expressions (same ~100× story as `pandas_cosine_topk`;
+    the expression path stays as the oracle-parity reference and the
+    two are agreement-tested).
+
+    `applyInPandas` groups by the cluster id, so each Python worker
+    sees exactly one cluster's vectors — the SemDeDup contract that
+    pairwise work never crosses clusters, expressed as the shuffle
+    key. Fixed-point rounding matches `cosine_similarity`, so keep
+    decisions are identical to the expression path.
+    """
+    assigned = ivf_assign(embeddings, centroids, vec_col=vec_col, cluster_col=cluster_col)
+    scale = _SCALE
+    thr = threshold
+
+    def _half_up(x):
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+    def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        n = len(pdf)
+        sq = _half_up(m * m * scale).sum(axis=1)
+        norms = np.sqrt(sq)
+        keep = np.ones(n, dtype=np.int64)
+        p10 = 1e6
+        for i in range(n - 1):
+            # one vectorized row-sweep per vector: exact per-element
+            # fixed-point rounding (matmul can't express it), O(n²·d)
+            # bounded by cluster size — the SemDeDup contract
+            dots = _half_up(m[i] * m[i + 1:] * scale).sum(axis=1)
+            cos = _half_up(dots / (norms[i] * norms[i + 1:]) * p10) / p10
+            keep[i + 1:] &= ~(cos >= thr)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                cluster_col: pdf[cluster_col].astype("int64"),
+                "keep": keep,
+            }
+        )
+
+    out_schema = f"{id_col} long, {cluster_col} long, keep long"
+    return assigned.groupBy(cluster_col).applyInPandas(dedup_group, out_schema)
+
+
 def pandas_cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -76,6 +76,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "text_unigram_logprob",
     "training_temperature_sample",
     "corpus_curation_pipeline",
+    "dedup_semantic_clusters",
 )
 
 # Tier 2 — last driver-checked in rounds 1/2 (longest unchecked).

@@ -314,3 +314,61 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__s").cast("double") / F.col("__n").cast("double") / 1e9, 6).alias("centroid"),
         )
     )
+
+
+_SEMDEDUP_THRESHOLD = 0.40
+
+_SEMDEDUP_ORACLE = f"""
+WITH c AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM embeddings
+  WHERE vec_id IN {_IVF_CENTROID_IDS}
+),
+scored_c AS (
+  SELECT e.vec_id, e.embedding, c.cid, {_cos_sql('e.embedding', 'c.cv')} AS s
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scored_c
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS sem_cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+"""
+
+
+@register("dedup_semantic_clusters", oracle=_SEMDEDUP_ORACLE,
+          description="SemDeDup-style semantic dedup: nearest-centroid "
+                      "clusters, within-cluster cosine pairs, lowest-id "
+                      "representative kept")
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embeddings table (SemDeDup recipe:
+    Abbas et al. 2023 — cluster first so the pairwise stage is bounded
+    by cluster size, not corpus size).
+
+    Cluster seeds follow the knn_ivf convention: fixed sample vectors
+    as centroids (a real deployment plugs in trained k-means means —
+    the plan is identical, the centroid list is a parameter). The
+    within-cluster self-join is an equi-join on the cluster id; squared
+    norms ride the assigned rows, computed once per vector.
+    """
+    from ..operators.similarity import semantic_dedup
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id").isin(list(_IVF_CENTROID_IDS))).orderBy("vec_id").collect()
+    ]
+    return semantic_dedup(
+        emb, centroids, id_col="vec_id", vec_col="embedding",
+        threshold=_SEMDEDUP_THRESHOLD, cluster_col="sem_cluster",
+    )

@@ -226,6 +226,36 @@ def test_pandas_cosine_topk_matches_expression_path(spark):
     assert expr == vec
 
 
+def test_semantic_dedup_pandas_matches_expression_path(spark):
+    """The per-cluster Arrow/numpy SemDeDup kernel makes identical
+    keep/cluster decisions to the fixed-point expression path."""
+    import random
+
+    from sm_etl_cloud_run_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pandas,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    # a few near-duplicates: tiny perturbations of earlier vectors
+    for i in range(40, 48):
+        base = rows[i - 40][1]
+        rows.append((i, [v + rng.uniform(-0.01, 0.01) for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [rows[j][1] for j in (0, 13, 27)]
+    expr = {
+        (r["vec_id"], r["sem_cluster"], r["keep"])
+        for r in semantic_dedup(df, cents, threshold=0.9).collect()
+    }
+    fast = {
+        (r["vec_id"], r["sem_cluster"], r["keep"])
+        for r in semantic_dedup_pandas(df, cents, threshold=0.9).collect()
+    }
+    assert expr == fast
+    assert any(k == 0 for _, _, k in expr), "no duplicates dropped — trivial test"
+
+
 def test_winnowing_shared_passage_shares_fingerprint(spark):
     """Two docs sharing a passage of >= window+k-1 tokens must share at
     least one winnowed fingerprint; disjoint docs share none."""
