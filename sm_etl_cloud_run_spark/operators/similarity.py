@@ -108,17 +108,23 @@ def ivf_assign(
     At warehouse scale the cluster id becomes the partition key of the
     stored index, so probes scan ~1/k of the data; here it's computed on
     the fly. Ties break toward the lower centroid index.
+
+    The argmax is `array_max` over (sim, -index) structs — struct
+    ordering is field-by-field, which is exactly max-by-(sim, lowest
+    index). Expression size is LINEAR in the centroid count; the
+    previous nested-`when` chain embedded the running best three times
+    per step and blew up exponentially past ~8 centroids.
     """
-    best = None
-    for i, c in enumerate(centroids):
-        sim = cosine_similarity(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c]))
-        pair = F.struct(sim.alias("sim"), F.lit(-i).alias("neg_idx"))
-        best = pair if best is None else F.when(
-            (pair["sim"] > best["sim"])
-            | ((pair["sim"] == best["sim"]) & (pair["neg_idx"] > best["neg_idx"])),
-            pair,
-        ).otherwise(best)
-    assert best is not None
+    pairs = [
+        F.struct(
+            cosine_similarity(
+                F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])
+            ).alias("sim"),
+            F.lit(-i).alias("neg_idx"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    best = F.array_max(F.array(*pairs))
     return embeddings.withColumn(cluster_col, (-best["neg_idx"]).cast("int"))
 
 

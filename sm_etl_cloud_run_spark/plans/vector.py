@@ -317,12 +317,15 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_THRESHOLD = 0.40
+# 16 cluster seeds (vs knn_ivf's 4): pairwise work scales as n²/k, and
+# SemDeDup picks k large enough that clusters stay pairwise-affordable.
+_SEMDEDUP_CENTROID_IDS = tuple(range(5, 21))
 
 _SEMDEDUP_ORACLE = f"""
 WITH c AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
   FROM embeddings
-  WHERE vec_id IN {_IVF_CENTROID_IDS}
+  WHERE vec_id IN {_SEMDEDUP_CENTROID_IDS}
 ),
 scored_c AS (
   SELECT e.vec_id, e.embedding, c.cid, {_cos_sql('e.embedding', 'c.cv')} AS s
@@ -356,19 +359,25 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cluster seeds follow the knn_ivf convention: fixed sample vectors
     as centroids (a real deployment plugs in trained k-means means —
-    the plan is identical, the centroid list is a parameter). The
-    within-cluster self-join is an equi-join on the cluster id; squared
-    norms ride the assigned rows, computed once per vector.
+    the plan is identical, the centroid list is a parameter).
+
+    Registered implementation is the Arrow/numpy per-cluster kernel
+    (`semantic_dedup_pandas`) — the interpreted zip_with/aggregate
+    expression path scores 3M within-cluster pairs ~30× slower at
+    sf0.1. Keep decisions are bit-identical (same fixed-point
+    rounding; agreement-tested in test_operators and gated by this
+    query's oracle), so the Python kernel is by-contract here, like
+    the multimodal decoders.
     """
-    from ..operators.similarity import semantic_dedup
+    from ..operators.similarity import semantic_dedup_pandas
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     centroids = [
         [float(x) for x in r["embedding"]]
-        for r in emb.where(F.col("vec_id").isin(list(_IVF_CENTROID_IDS))).orderBy("vec_id").collect()
+        for r in emb.where(F.col("vec_id").isin(list(_SEMDEDUP_CENTROID_IDS))).orderBy("vec_id").collect()
     ]
-    return semantic_dedup(
+    return semantic_dedup_pandas(
         emb, centroids, id_col="vec_id", vec_col="embedding",
         threshold=_SEMDEDUP_THRESHOLD, cluster_col="sem_cluster",
     )
