@@ -99,10 +99,14 @@ def main() -> None:
             # min of two runs: the first pays cold page-cache I/O for the
             # probe's just-written parquet (a cluster reads in parallel
             # from many disks); the second is the steady-state compute.
+            # count(), not collect(): queries with corpus-sized output
+            # (winnowing: one row per fingerprint) would otherwise charge
+            # single-threaded driver transfer to the scaling curve —
+            # 64× winnowing measured 45.7 s via collect vs 3.0 s compute.
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                plans.get(q).fn(spark, sf_dir).collect()
+                plans.get(q).fn(spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
             timings[q] = round(best, 2)
         print(json.dumps({"mult": mult, "lineitem_rows": n_li,
