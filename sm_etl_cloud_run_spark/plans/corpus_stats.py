@@ -422,6 +422,81 @@ _CURATION_N_SHARDS = 32
 _CURATION_BUDGET = 2048
 
 
+_QUALITY_REPORT_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+  FROM documents
+), g AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY fp) AS fp_count FROM f
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+       CAST(SUM(CASE WHEN FLOOR(10000.0 * (n_tokens - n_distinct) / n_tokens)
+                          <= {_MAX_DUP_WORD_BP}
+                      AND n_tokens >= {_MIN_TOKENS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept_light,
+       CAST(SUM(CASE WHEN fp_count > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       CAST(SUM(CAST(FLOOR(10000.0 * n_distinct / n_tokens) AS BIGINT)) AS BIGINT)
+         AS ttr_bp_sum,
+       CAST(SUM(CAST(FLOOR(10000.0 * n_distinct / n_tokens) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS avg_ttr_bp
+FROM g GROUP BY lang, source
+"""
+
+
+@register("corpus_quality_report", oracle=_QUALITY_REPORT_ORACLE,
+          description="per-(lang, source) curation dashboard: doc/token counts, "
+                      "repetition keep-rate, exact-dup rate, mean TTR")
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observability aggregate a curation pipeline watches per
+    ingest batch: corpus composition (docs, tokens), how much the
+    light repetition gate keeps, how much is exactly duplicated, and
+    lexical diversity — grouped by (lang, source).
+
+    One fingerprint-keyed window (the dup count) and one
+    map-side-combined groupBy; per-doc TTR is floored to basis points
+    BEFORE summation so the aggregate is an exact integer on both
+    engines (a double mean would be partition-order-dependent).
+    """
+    from ..functions.text import doc_fingerprint
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    f = t["documents"].select(
+        "doc_id", "lang", "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    g = f.withColumn("fp_count", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+    dup_word_bp = F.floor(
+        10000.0 * (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens")
+    )
+    kept = F.when(
+        (dup_word_bp <= _MAX_DUP_WORD_BP) & (F.col("n_tokens") >= _MIN_TOKENS), 1
+    ).otherwise(0)
+    ttr_bp = F.floor(10000.0 * F.col("n_distinct") / F.col("n_tokens")).cast("long")
+    return (
+        g.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+            F.sum(kept).cast("long").alias("n_kept_light"),
+            F.sum(F.when(F.col("fp_count") > 1, 1).otherwise(0)).cast("long").alias("n_exact_dup"),
+            F.sum(ttr_bp).cast("long").alias("ttr_bp_sum"),
+        )
+        .select(
+            "lang", "source", "n_docs", "n_tokens_total", "n_kept_light",
+            "n_exact_dup", "ttr_bp_sum",
+            (F.col("ttr_bp_sum").cast("double") / F.col("n_docs")).alias("avg_ttr_bp"),
+        )
+    )
+
+
 @register(
     "corpus_curation_pipeline",
     oracle=_CURATION_ORACLE.format(n_shards=_CURATION_N_SHARDS, budget=_CURATION_BUDGET),

@@ -77,6 +77,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "training_temperature_sample",
     "corpus_curation_pipeline",
     "dedup_semantic_clusters",
+    "corpus_quality_report",
 )
 
 # Tier 2 — last driver-checked in rounds 1/2 (longest unchecked).
