@@ -321,7 +321,7 @@ WITH counts AS (
 )
 SELECT d.doc_id, d.lang, t.target_docs
 FROM documents d JOIN targets t USING (lang)
-WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) * t.c
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * t.c
       < t.target_docs * 4294967296
 """
 

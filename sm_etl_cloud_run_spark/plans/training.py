@@ -121,8 +121,8 @@ def training_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKET_ORACLE = f"""
 WITH b AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-              % {_N_BUCKETS} AS BIGINT) AS bucket
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % {_N_BUCKETS} AS bucket
   FROM documents
 )
 SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
