@@ -16,9 +16,20 @@ from pyspark.sql import functions as F
 
 
 def tokens(col: Column, sep: str = " ") -> Column:
-    """Whitespace tokenization → array<string> (empty text → empty array)."""
-    trimmed = F.trim(col)
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(F.split(trimmed, sep))
+    """Whitespace tokenization → array<string>, with EXACT SQL
+    `string_split(trim(col), sep)` semantics — including the edge that
+    empty/whitespace-only text yields `['']` (one empty token), never
+    `[]`.
+
+    This parity is a correctness contract, not an accident: every
+    documents-family oracle tokenizes with `string_split`, and a
+    special empty→[] case on the Spark side made seven queries diverge
+    (row counts, 0-token divisions going NULL/NaN) the moment a
+    hostile empty-text row appeared (tests/test_encoding_chaos.py
+    locks this in). A side benefit: `n_tokens` is always ≥ 1, so
+    per-token ratios can never divide by zero on either engine.
+    """
+    return F.split(F.trim(col), sep)
 
 
 def token_count(col: Column) -> Column:

@@ -183,3 +183,55 @@ def embedding_double_dir(tmp_path_factory):
 def test_embedding_double_arrival_keeps_oracle_parity(spark, embedding_double_dir, qname):
     problems = _oracle_compare(spark, embedding_double_dir, qname)
     assert not problems, f"{qname} on double-encoded embeddings: {problems}"
+
+
+@pytest.fixture(scope="module")
+def hostile_docs_dir(tmp_path_factory):
+    """documents with empty-text and whitespace-only rows appended —
+    the divide-by-zero / tokenize-divergence hazard a future testdata
+    regeneration could introduce. Round-4 probe found SEVEN queries
+    diverging from their oracles on these rows until Spark-side
+    tokenization was aligned with SQL string_split semantics
+    (functions/text.tokens)."""
+    d = tmp_path_factory.mktemp("hostile_docs")
+    table = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    extra = pa.table(
+        {
+            "doc_id": pa.array([900001, 900002], pa.int64()),
+            "text": pa.array(["", "   "], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["web", "web"], pa.string()),
+            "n_chars": pa.array([0, 3], pa.int64()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([table.select(extra.column_names), extra]),
+        str(d / "documents.parquet"),
+    )
+    for t in TABLE_NAMES:
+        if t == "documents":
+            continue
+        src = os.path.join(SRC, f"{t}.parquet")
+        if os.path.exists(src):
+            shutil.copy(src, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+# The seven queries that diverged before the tokens() alignment, plus
+# the curation pipeline as the composition representative.
+_HOSTILE_QUERIES = (
+    "text_token_stats",
+    "text_quality_score",
+    "text_vocab_topk",
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    "text_repetition_filter",
+    "corpus_quality_report",
+    "corpus_curation_pipeline",
+)
+
+
+@pytest.mark.parametrize("qname", _HOSTILE_QUERIES)
+def test_empty_text_rows_keep_oracle_parity(spark, hostile_docs_dir, qname):
+    problems = _oracle_compare(spark, hostile_docs_dir, qname)
+    assert not problems, f"{qname} with empty-text rows: {problems}"

@@ -303,9 +303,12 @@ def test_word_shingles_short_doc_empty(spark):
 
 
 def test_token_count_empty(spark):
+    # SQL string_split parity: empty/whitespace-only text tokenizes to
+    # [''] — ONE empty token — exactly like the oracles' string_split
+    # (see functions/text.tokens). n_tokens is therefore never 0.
     df = spark.createDataFrame([("",), ("  ",), ("a b",)], "text string")
     out = [r["n"] for r in df.select(token_count(F.col("text")).alias("n")).collect()]
-    assert out == [0, 0, 2]
+    assert out == [1, 1, 2]
 
 
 def test_brute_force_topk_orders_by_cosine(spark):
