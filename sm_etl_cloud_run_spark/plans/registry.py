@@ -78,6 +78,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "corpus_curation_pipeline",
     "dedup_semantic_clusters",
     "corpus_quality_report",
+    "text_winnowing_overlap_pairs",
 )
 
 # Tier 2 — last driver-checked in rounds 1/2 (longest unchecked).

@@ -508,6 +508,74 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OVERLAP_MIN_SHARED = 2
+_OVERLAP_DF_CAP = 20
+
+_WINNOW_OVERLAP_ORACLE = f"""
+WITH fps AS (
+  SELECT * FROM ({_WINNOW_ORACLE}) t
+),
+capped AS (
+  SELECT fingerprint FROM fps GROUP BY fingerprint
+  HAVING COUNT(*) <= {_OVERLAP_DF_CAP}
+),
+cf AS (
+  SELECT f.doc_id, f.fingerprint FROM fps f JOIN capped c USING (fingerprint)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM cf a JOIN cf b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_OVERLAP_MIN_SHARED}
+"""
+
+
+@register("text_winnowing_overlap_pairs", oracle=_WINNOW_OVERLAP_ORACLE,
+          description="partial-copy candidate pairs: docs sharing >= m winnowed "
+                      "fingerprints (df-capped inverted-index join)")
+def text_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style partial-copy detection: candidate document pairs
+    that share at least `_OVERLAP_MIN_SHARED` winnowed fingerprints.
+
+    The winnowed index is ~2/(window+1) the size of the full shingle
+    index, and the df-cap drops boilerplate fingerprints before the
+    self-join — a fingerprint in df docs contributes df² pair rows, so
+    capping df bounds the join blowup exactly like
+    `dedup_ngram_jaccard_dfcap`. Shape: one doc-keyed window pass
+    (the fingerprints), one fingerprint-keyed aggregate (the cap), one
+    inverted-index self-join on uniform 8-hex-digit keys, one pair
+    aggregate — all map-side-combined hash operations.
+    """
+    from ..operators.dedup import winnowing_fingerprints
+
+    t = load_tables(spark, sf_dir)
+    fps = winnowing_fingerprints(
+        t["documents"], text_col="text", id_col="doc_id",
+        shingle_k=SHINGLE_K, window=_WINNOW_W,
+    )
+    capped = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= _OVERLAP_DF_CAP)
+        .select("fingerprint")
+    )
+    cf = fps.join(capped, "fingerprint")
+    a = cf.alias("a")
+    b = cf.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= _OVERLAP_MIN_SHARED)
+    )
+
+
 # Patterns restricted to the Java-regex ∩ RE2 common dialect (no
 # lookarounds, no backrefs) so Spark and DuckDB agree byte-for-byte.
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
