@@ -241,3 +241,57 @@ def test_stream_upsert_sink_idempotent(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert again == expected
+
+
+def test_streaming_corpus_ingestion_dedup_upsert(spark, tmp_path):
+    """The LLM-corpus ingestion loop on a stream: documents arrive,
+    exact-dedup on content fingerprint within the watermark horizon,
+    keyed upsert into the corpus table. Replaying the entire source
+    from a FRESH checkpoint (at-least-once redelivery) must leave the
+    table unchanged — ingestion is idempotent end-to-end."""
+    from sm_etl_cloud_run_spark.functions.text import doc_fingerprint
+    from sm_etl_cloud_run_spark.streaming.stream_ops import (
+        stream_upsert_sink,
+        streaming_dedup,
+    )
+
+    base = dt.datetime(2024, 8, 1, 12, 0)
+    rows = [
+        (1, "alpha beta gamma", base),
+        (2, "delta epsilon zeta", base + dt.timedelta(minutes=1)),
+        (2, "delta epsilon zeta", base + dt.timedelta(minutes=2)),   # replayed doc
+        (4, "ALPHA, beta. gamma!", base + dt.timedelta(minutes=3)),  # same normalized content as 1
+        (5, "eta theta iota", base + dt.timedelta(minutes=4)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ingest_ts timestamp")
+    src = str(tmp_path / "docs")
+    df.repartition(2).write.parquet(src)
+    target = str(tmp_path / "corpus")
+
+    def run_once(tag: str) -> None:
+        stream = (
+            read_events_stream(spark, src, df.schema)
+            .withColumn("fingerprint", doc_fingerprint(F.col("text")))
+        )
+        deduped = streaming_dedup(
+            stream, keys=("fingerprint",), ts_col="ingest_ts", watermark="1 hour"
+        )
+        q = stream_upsert_sink(
+            deduped, target, ("fingerprint",),
+            order_col="doc_id", checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            output_mode="append", query_name=f"corpus_{tag}",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once("a")
+    got = {r["fingerprint"]: r["doc_id"] for r in spark.read.parquet(target).collect()}
+    # 3 distinct contents: {1,4} share a normalized fingerprint, 2's replay collapses
+    assert len(got) == 3
+
+    run_once("b")  # full replay, fresh checkpoint
+    again = {r["fingerprint"]: r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert set(again) == set(got)
+    assert all(v in (got[k], max(got[k], v)) for k, v in again.items())
