@@ -21,11 +21,29 @@ from ..operators.similarity import (
 from ..tables import load_tables
 from .registry import register
 
-_QUERY_VEC_ID = 0
 _TOPK = 10
 
 # fixed-point scale must match operators/similarity._SCALE
 _S = "1000000000"
+
+# Seed vectors are chosen by RANK over vec_id, not by literal id —
+# a testdata regeneration that renumbers ids can't crash the collect
+# or desynchronize Spark and oracle (round-4 robustness pass; the
+# events.ts re-encoding in round 3 proved regenerations happen).
+# Rank 1 (lowest id) = query vector; ranks 2-4 = LSH hyperplanes;
+# ranks 6-9 = IVF centroids; ranks 6-21 = SemDeDup centroids —
+# identical to the old literal ids on the current dense 0..n data.
+_QID_SQL = "(SELECT MIN(vec_id) FROM embeddings)"
+
+
+def _rank_ids_sql(limit: int, offset: int) -> str:
+    return f"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {limit} OFFSET {offset})"
+
+
+def _seed_rows(emb: DataFrame, n: int = 21) -> list:
+    """First `n` embedding rows in vec_id order (parameter-sized
+    collect shared by the ANN/semdedup queries)."""
+    return emb.select("vec_id", "embedding").orderBy("vec_id").limit(n).collect()
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -36,14 +54,14 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 _KNN_ORACLE = f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QID_SQL}),
 scored AS (
   SELECT e.vec_id,
          {_dot_sql('e.embedding', 'q.qv')} AS dot_s,
          {_dot_sql('e.embedding', 'e.embedding')} AS na_s,
          {_dot_sql('q.qv', 'q.qv')} AS nb_s
   FROM embeddings e, q
-  WHERE e.vec_id <> {_QUERY_VEC_ID}
+  WHERE e.vec_id <> {_QID_SQL}
 )
 SELECT vec_id,
        round(CAST(dot_s AS DOUBLE) / (sqrt(CAST(na_s AS DOUBLE)) * sqrt(CAST(nb_s AS DOUBLE))), 6) AS cosine
@@ -58,9 +76,10 @@ LIMIT {_TOPK}
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    q = emb.where(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    qid = _seed_rows(emb, 1)[0]["vec_id"]
+    q = emb.where(F.col("vec_id") == qid).select(F.col("embedding").alias("qv"))
     scored = (
-        emb.where(F.col("vec_id") != _QUERY_VEC_ID)
+        emb.where(F.col("vec_id") != qid)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -106,15 +125,15 @@ def _bucket_sql(vec: str) -> str:
 
 
 _LSH_KNN_ORACLE = f"""
-WITH h1 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id = 1),
-h2 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id = 2),
-h3 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id = 3),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+WITH h1 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 1)}),
+h2 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 2)}),
+h3 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 3)}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QID_SQL}),
 qb AS (SELECT {_bucket_sql('q.qv')} AS bucket FROM q, h1, h2, h3),
 cand AS (
   SELECT e.vec_id, e.embedding, q.qv
   FROM embeddings e, q, h1, h2, h3, qb
-  WHERE e.vec_id <> {_QUERY_VEC_ID}
+  WHERE e.vec_id <> {_QID_SQL}
     AND {_bucket_sql('e.embedding')} = qb.bucket
 ),
 scored AS (
@@ -137,14 +156,13 @@ LIMIT {_TOPK}
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    # Hyperplanes = a few data vectors (deterministic, parameter-sized collect).
-    planes = [
-        r["embedding"]
-        for r in emb.where(F.col("vec_id").isin([1, 2, 3])).orderBy("vec_id").collect()
-    ]
-    qv = emb.where(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["embedding"]
+    # Hyperplanes = data vectors at ranks 2-4 (deterministic,
+    # parameter-sized collect, rank-robust to id renumbering).
+    seeds = _seed_rows(emb, 4)
+    qv = seeds[0]["embedding"]
+    planes = [r["embedding"] for r in seeds[1:4]]
     return lsh_topk(
-        emb.where(F.col("vec_id") != _QUERY_VEC_ID),
+        emb.where(F.col("vec_id") != seeds[0]["vec_id"]),
         [float(x) for x in qv],
         [[float(x) for x in p] for p in planes],
         id_col="vec_id",
@@ -153,7 +171,7 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_CENTROID_IDS = (5, 6, 7, 8)
+_IVF_CENTROIDS_SQL = _rank_ids_sql(4, 5)   # ranks 6-9
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -166,9 +184,9 @@ def _cos_sql(a: str, b: str) -> str:
 _IVF_ORACLE = f"""
 WITH c AS (
   SELECT vec_id AS cid, embedding AS cv FROM embeddings
-  WHERE vec_id IN {_IVF_CENTROID_IDS}
+  WHERE vec_id IN {_IVF_CENTROIDS_SQL}
 ),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QID_SQL}),
 qrank AS (
   SELECT cid, ROW_NUMBER() OVER (ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC, cid ASC) AS rn
   FROM c, q
@@ -177,7 +195,7 @@ probe AS (SELECT cid FROM qrank WHERE rn <= 2),
 scored_c AS (
   SELECT e.vec_id, e.embedding, c.cid, {_cos_sql('e.embedding', 'c.cv')} AS s
   FROM embeddings e CROSS JOIN c
-  WHERE e.vec_id <> {_QUERY_VEC_ID}
+  WHERE e.vec_id <> {_QID_SQL}
 ),
 assigned AS (
   SELECT vec_id, embedding, cid FROM (
@@ -203,13 +221,12 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    centroids = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.where(F.col("vec_id").isin([5, 6, 7, 8])).orderBy("vec_id").collect()
-    ]
-    qv = [float(x) for x in emb.where(F.col("vec_id") == _QUERY_VEC_ID).collect()[0]["embedding"]]
+    seeds = _seed_rows(emb, 9)
+    qid = seeds[0]["vec_id"]
+    qv = [float(x) for x in seeds[0]["embedding"]]
+    centroids = [[float(x) for x in r["embedding"]] for r in seeds[5:9]]
     return ivf_topk(
-        emb.where(F.col("vec_id") != _QUERY_VEC_ID), qv, centroids,
+        emb.where(F.col("vec_id") != qid), qv, centroids,
         id_col="vec_id", vec_col="embedding", k=_TOPK, nprobe=2,
     )
 
@@ -319,13 +336,13 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_THRESHOLD = 0.40
 # 16 cluster seeds (vs knn_ivf's 4): pairwise work scales as n²/k, and
 # SemDeDup picks k large enough that clusters stay pairwise-affordable.
-_SEMDEDUP_CENTROID_IDS = tuple(range(5, 21))
+_SEMDEDUP_CENTROIDS_SQL = _rank_ids_sql(16, 5)   # ranks 6-21
 
 _SEMDEDUP_ORACLE = f"""
 WITH c AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
   FROM embeddings
-  WHERE vec_id IN {_SEMDEDUP_CENTROID_IDS}
+  WHERE vec_id IN {_SEMDEDUP_CENTROIDS_SQL}
 ),
 scored_c AS (
   SELECT e.vec_id, e.embedding, c.cid, {_cos_sql('e.embedding', 'c.cv')} AS s
@@ -373,10 +390,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    centroids = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.where(F.col("vec_id").isin(list(_SEMDEDUP_CENTROID_IDS))).orderBy("vec_id").collect()
-    ]
+    centroids = [[float(x) for x in r["embedding"]] for r in _seed_rows(emb, 21)[5:21]]
     return semantic_dedup_pandas(
         emb, centroids, id_col="vec_id", vec_col="embedding",
         threshold=_SEMDEDUP_THRESHOLD, cluster_col="sem_cluster",

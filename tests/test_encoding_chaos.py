@@ -235,3 +235,31 @@ _HOSTILE_QUERIES = (
 def test_empty_text_rows_keep_oracle_parity(spark, hostile_docs_dir, qname):
     problems = _oracle_compare(spark, hostile_docs_dir, qname)
     assert not problems, f"{qname} with empty-text rows: {problems}"
+
+
+@pytest.fixture(scope="module")
+def renumbered_embeddings_dir(tmp_path_factory):
+    """embeddings with vec_id renumbered (×10 + 7) — sparse, nonzero
+    start. The ANN/semdedup queries pick seed vectors by RANK over
+    vec_id, not literal id, so a regeneration that renumbers ids must
+    not crash the seed collect or desynchronize Spark and oracle."""
+    d = tmp_path_factory.mktemp("renumbered_emb")
+    for t in TABLE_NAMES:
+        src = os.path.join(SRC, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        table = pq.read_table(src)
+        if t == "embeddings":
+            idx = table.schema.get_field_index("vec_id")
+            new_ids = pc.add(pc.multiply(table["vec_id"], pa.scalar(10, pa.int64())), pa.scalar(7, pa.int64()))
+            table = table.set_column(idx, "vec_id", new_ids)
+        pq.write_table(table, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qname", ["knn_brute_force", "knn_lsh_bucketed", "knn_ivf", "dedup_semantic_clusters"]
+)
+def test_renumbered_vec_ids_keep_oracle_parity(spark, renumbered_embeddings_dir, qname):
+    problems = _oracle_compare(spark, renumbered_embeddings_dir, qname)
+    assert not problems, f"{qname} on renumbered vec_ids: {problems}"
