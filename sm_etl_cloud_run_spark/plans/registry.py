@@ -79,6 +79,12 @@ _CHANGED_OR_NEVER_CHECKED = (
     "dedup_semantic_clusters",
     "corpus_quality_report",
     "text_winnowing_overlap_pairs",
+    # changed in round 4 AFTER their r3 green rows (seed-selection
+    # refactor; tokens() string_split alignment — representative):
+    "knn_brute_force",
+    "knn_lsh_bucketed",
+    "knn_ivf",
+    "text_token_stats",
 )
 
 # Tier 2 — last driver-checked in rounds 1/2 (longest unchecked).
