@@ -14,12 +14,29 @@ Conventions that make the driver's hash comparison deterministic
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# NULL-text contract: a NULL `documents.text` is an empty document on
+# BOTH engines. Spark normalizes at load (tables.load_tables coalesces
+# text to ''); every oracle gets the same treatment here by rewriting
+# its `documents` table references to a *-REPLACE subquery. Without
+# this, NULL rows diverged in 8 documents-family queries (NULL
+# propagation differs between Spark explode/size and DuckDB
+# unnest/len). No oracle uses `documents.`-qualified columns, so the
+# unaliased subquery is a drop-in.
+_DOCS_NULLSAFE = "(SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)"
+
+
+def _nullsafe_docs(oracle: str | None) -> str | None:
+    if oracle is None:
+        return None
+    return re.sub(r"\b(FROM|JOIN)(\s+)documents\b", rf"\1\2{_DOCS_NULLSAFE}", oracle)
 
 
 @dataclass(frozen=True)
@@ -44,7 +61,7 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, bench, description)
+        _REGISTRY[name] = QuerySpec(name, fn, _nullsafe_docs(oracle), bench, description)
         return fn
 
     return deco

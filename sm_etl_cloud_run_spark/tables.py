@@ -92,6 +92,10 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
                 # a guaranteed driver hash mismatch. Same UTC-pinned
                 # wall-clock value either way.
                 df = df.withColumn(col_name, F.col(col_name).cast(T.TimestampType()))
+        # NULL-text contract (see plans/registry._nullsafe_docs): NULL
+        # text is an empty document on both engines.
+        if name == "documents" and "text" in df.columns:
+            df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
         df.createOrReplaceTempView(name)
         out[name] = df
     _CATALOG_CACHE[cache_key] = dict(out)

@@ -187,21 +187,23 @@ def test_embedding_double_arrival_keeps_oracle_parity(spark, embedding_double_di
 
 @pytest.fixture(scope="module")
 def hostile_docs_dir(tmp_path_factory):
-    """documents with empty-text and whitespace-only rows appended —
-    the divide-by-zero / tokenize-divergence hazard a future testdata
-    regeneration could introduce. Round-4 probe found SEVEN queries
-    diverging from their oracles on these rows until Spark-side
-    tokenization was aligned with SQL string_split semantics
-    (functions/text.tokens)."""
+    """documents with empty-text, whitespace-only, and NULL-text rows
+    appended — the divide-by-zero / tokenize-divergence / NULL
+    propagation hazards a future testdata regeneration could
+    introduce. Round-4 probes found SEVEN queries diverging on empty
+    rows (fixed by string_split-parity tokenization) and EIGHT on NULL
+    rows (fixed by the NULL-text-is-empty contract: coalesce at load +
+    *-REPLACE rewrite of every documents oracle —
+    plans/registry._nullsafe_docs)."""
     d = tmp_path_factory.mktemp("hostile_docs")
     table = pq.read_table(os.path.join(SRC, "documents.parquet"))
     extra = pa.table(
         {
-            "doc_id": pa.array([900001, 900002], pa.int64()),
-            "text": pa.array(["", "   "], pa.string()),
-            "lang": pa.array(["en", "en"], pa.string()),
-            "source": pa.array(["web", "web"], pa.string()),
-            "n_chars": pa.array([0, 3], pa.int64()),
+            "doc_id": pa.array([900001, 900002, 900003], pa.int64()),
+            "text": pa.array(["", "   ", None], pa.string()),
+            "lang": pa.array(["en", "en", None], pa.string()),
+            "source": pa.array(["web", "web", "web"], pa.string()),
+            "n_chars": pa.array([0, 3, None], pa.int64()),
         }
     )
     pq.write_table(
