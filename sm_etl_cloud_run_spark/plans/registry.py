@@ -22,21 +22,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# NULL-text contract: a NULL `documents.text` is an empty document on
-# BOTH engines. Spark normalizes at load (tables.load_tables coalesces
-# text to ''); every oracle gets the same treatment here by rewriting
-# its `documents` table references to a *-REPLACE subquery. Without
-# this, NULL rows diverged in 8 documents-family queries (NULL
-# propagation differs between Spark explode/size and DuckDB
-# unnest/len). No oracle uses `documents.`-qualified columns, so the
-# unaliased subquery is a drop-in.
-_DOCS_NULLSAFE = "(SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)"
+# Hostile-row contracts, enforced identically on BOTH engines: Spark
+# normalizes at load (tables.load_tables), and every oracle is
+# rewritten at registration to read the table through the same
+# normalization. Without these, driver-regenerated data with NULL rows
+# diverged (NULL propagation differs between Spark explode/size/window
+# and DuckDB unnest/len/window NULLS ordering):
+# - documents: NULL text is an empty document (8 queries diverged);
+# - events: a row with NULL ts is not an event — dropped (3 window/
+#   rollup queries diverged: Spark time-windows drop NULL keys and
+#   sort NULLS FIRST, DuckDB keeps them and sorts NULLS LAST).
+# No oracle uses table-qualified bare references (`documents.x`), so
+# the unaliased subqueries are drop-ins; aliased refs keep the alias.
+_TABLE_CONTRACTS = {
+    "documents": "(SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)",
+    "events": "(SELECT * FROM events WHERE ts IS NOT NULL)",
+}
 
 
-def _nullsafe_docs(oracle: str | None) -> str | None:
+def _contract_oracle(oracle: str | None) -> str | None:
     if oracle is None:
         return None
-    return re.sub(r"\b(FROM|JOIN)(\s+)documents\b", rf"\1\2{_DOCS_NULLSAFE}", oracle)
+    for tbl, wrap in _TABLE_CONTRACTS.items():
+        oracle = re.sub(rf"\b(FROM|JOIN)(\s+){tbl}\b", rf"\1\2{wrap}", oracle)
+    return oracle
 
 
 @dataclass(frozen=True)
@@ -61,7 +70,7 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name, fn, _nullsafe_docs(oracle), bench, description)
+        _REGISTRY[name] = QuerySpec(name, fn, _contract_oracle(oracle), bench, description)
         return fn
 
     return deco

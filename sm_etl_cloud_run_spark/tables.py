@@ -92,10 +92,13 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
                 # a guaranteed driver hash mismatch. Same UTC-pinned
                 # wall-clock value either way.
                 df = df.withColumn(col_name, F.col(col_name).cast(T.TimestampType()))
-        # NULL-text contract (see plans/registry._nullsafe_docs): NULL
-        # text is an empty document on both engines.
+        # Hostile-row contracts (see plans/registry._contract_oracle —
+        # the oracles read through the same normalization): NULL text
+        # is an empty document; a NULL-ts event is not an event.
         if name == "documents" and "text" in df.columns:
             df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        if name == "events" and "ts" in df.columns:
+            df = df.where(F.col("ts").isNotNull())
         df.createOrReplaceTempView(name)
         out[name] = df
     _CATALOG_CACHE[cache_key] = dict(out)

@@ -265,3 +265,49 @@ def renumbered_embeddings_dir(tmp_path_factory):
 def test_renumbered_vec_ids_keep_oracle_parity(spark, renumbered_embeddings_dir, qname):
     problems = _oracle_compare(spark, renumbered_embeddings_dir, qname)
     assert not problems, f"{qname} on renumbered vec_ids: {problems}"
+
+
+@pytest.fixture(scope="module")
+def hostile_events_dir(tmp_path_factory):
+    """events with NULL-ts / NULL-user / NULL-type rows appended. The
+    NULL-ts contract (a row with no timestamp is not an event — dropped
+    at load, oracles read through the same filter) exists because Spark
+    time-windows drop NULL keys and sort NULLS FIRST while DuckDB keeps
+    them and sorts NULLS LAST — three window/rollup queries diverged."""
+    import datetime
+
+    d = tmp_path_factory.mktemp("hostile_events")
+    table = pq.read_table(os.path.join(SRC, "events.parquet"))
+    extra = pa.table(
+        {
+            "event_id": pa.array([9000001, 9000002], pa.int64()),
+            "ts": pa.array(
+                [None, pa.scalar(datetime.datetime(2024, 8, 1, 12, 0), pa.timestamp("us"))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, None], pa.int64()),
+            "event_type": pa.array(["click", None], pa.string()),
+            "value": pa.array([None, 1.5], pa.float64()),
+            "props": pa.array([None, "{}"], pa.string()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([table.select(extra.column_names), extra]),
+        str(d / "events.parquet"),
+    )
+    for t in TABLE_NAMES:
+        if t == "events":
+            continue
+        src = os.path.join(SRC, f"{t}.parquet")
+        if os.path.exists(src):
+            shutil.copy(src, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["events_hourly_rollup", "events_sessionize", "events_sliding_window", "events_asof_last_click"],
+)
+def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
+    problems = _oracle_compare(spark, hostile_events_dir, qname)
+    assert not problems, f"{qname} with NULL event rows: {problems}"
