@@ -1,0 +1,351 @@
+"""Corpus mixture + incremental-ingest curation queries.
+
+Second tranche of training-data curation operators (first tranche:
+plans/corpus_stats.py). Covers four more pieces a pretraining data
+pipeline runs continuously:
+
+- **cross-corpus duplicate n-gram fraction** (Lee et al.,
+  "Deduplicating Training Data Makes Language Models Better"): for each
+  document, the fraction of its k-gram occurrences that appear more
+  than once in the WHOLE corpus — the scalable n-gram-count
+  approximation of duplicated-substring coverage (the exact method is a
+  suffix array, which doesn't distribute; the inverted n-gram index
+  does).
+- **C4-style heuristic gate**: word-count / mean-word-length /
+  longest-word / alphabetic-ratio / banned-word rules — the cheap
+  expression-only filters C4 applies before any model-based scoring.
+- **domain mixture weights**: per-(lang, source) sampling weights that
+  reshape the natural corpus composition toward a sqrt-temperature
+  target, with the repetition factor capped at 4 epochs (the
+  data-constrained scaling rule of thumb) — the table a sampler joins
+  against when materializing a training mix.
+- **incremental ingest dedup**: the anti-join of a new batch against
+  the historical fingerprint index plus within-batch first-writer-wins
+  — the shape every continuously-ingesting corpus runs per batch.
+
+Determinism: same conventions as the rest of the registry (scaled
+integers for every compared fraction, md5 for hashing, tiebreakers on
+every window; see plans/registry.py).
+
+100 TB shapes, per query, in the docstrings below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import doc_fingerprint, tokens, word_shingles
+from ..tables import load_tables
+from .registry import register
+
+_DUP_NGRAM_K = 4
+_MAX_DUP_NGRAM_BP = 5000     # keep docs with ≤50% corpus-duplicated 4-grams
+
+_C4_MIN_TOKENS = 20
+_C4_MEAN_LEN_CENTI_LO = 300   # mean token length in [3.00, 6.00] chars
+_C4_MEAN_LEN_CENTI_HI = 600
+_C4_MAX_TOKEN_LEN = 15
+_C4_BANNED = ("lorem", "ipsum", "slow")
+
+_MIXTURE_EPOCH_CAP_MICRO = 4_000_000   # repeat each domain ≤4 epochs
+
+_INGEST_MOD = 5   # doc_id % 5 == 0 → "new batch"; everything else → history
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus duplicate n-gram fraction (Lee et al. approximation)
+# ---------------------------------------------------------------------------
+
+def _kgram_expr(k: int) -> str:
+    return " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+
+
+_DUP_NGRAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - {_DUP_NGRAM_K - 1}, 0) + 1),
+                               i -> {_kgram_expr(_DUP_NGRAM_K)})) AS s
+  FROM toks
+), cnt AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM sh GROUP BY s
+), perdoc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+         CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams
+  FROM sh JOIN cnt USING (s) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_ngrams, 0) AS n_ngrams,
+       COALESCE(p.n_dup_ngrams, 0) AS n_dup_ngrams,
+       CAST(COALESCE(FLOOR(10000.0 * p.n_dup_ngrams / p.n_ngrams), 0) AS BIGINT)
+         AS dup_ngram_bp,
+       CAST(CASE WHEN COALESCE(FLOOR(10000.0 * p.n_dup_ngrams / p.n_ngrams), 0)
+                      <= {_MAX_DUP_NGRAM_BP}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+@register("text_dup_ngram_fraction", oracle=_DUP_NGRAM_ORACLE,
+          description="cross-corpus duplicate 4-gram fraction per document "
+                      "(Lee-et-al dedup signal via inverted n-gram index)")
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's 4-gram occurrences duplicated
+    corpus-wide, with a keep verdict at ≤50%.
+
+    The distributable approximation of Lee et al.'s duplicated-span
+    metric: a suffix array finds exact duplicated substrings but needs
+    global order; counting k-gram occurrences needs only one hash
+    aggregate on the k-gram key and one join back — both uniform-key
+    shuffles (md5-distributed text makes the grams near-unique keys).
+
+    Plan at 100 TB: explode (amplification ≤ token count), map-side
+    combined count on the gram key, join gram→count back to the
+    exploded side (AQE handles the zipfian head: boilerplate grams are
+    exactly the skewed ones), one doc-keyed aggregate, broadcast-free
+    left join to re-attach zero-gram docs (doc-keyed, uniform).
+    """
+    t = load_tables(spark, sf_dir)
+    sh = t["documents"].select(
+        "doc_id", F.explode(word_shingles(F.col("text"), _DUP_NGRAM_K)).alias("s")
+    )
+    cnt = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    perdoc = (
+        sh.join(cnt, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_ngrams"),
+        )
+    )
+    dup_bp = F.coalesce(
+        F.floor(10000.0 * F.col("n_dup_ngrams") / F.col("n_ngrams")), F.lit(0)
+    ).cast("long")
+    return (
+        t["documents"].select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce(F.col("n_dup_ngrams"), F.lit(0)).cast("long").alias("n_dup_ngrams"),
+            dup_bp.alias("dup_ngram_bp"),
+            F.when(dup_bp <= _MAX_DUP_NGRAM_BP, 1).otherwise(0).cast("long").alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic gate
+# ---------------------------------------------------------------------------
+
+_C4_BANNED_SQL = ", ".join(f"'{w}'" for w in _C4_BANNED)
+
+_C4_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(FLOOR(100.0 * (n_chars - n_spaces) / len(w)) AS BIGINT) AS mean_len_centi,
+         CAST(COALESCE(list_aggregate(list_transform(w, x -> length(x)), 'max'), 0) AS BIGINT)
+           AS max_token_len,
+         CAST(len(list_filter(w, x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT)
+           AS n_alpha_tokens,
+         CAST(len(list_filter(w, x -> x IN ({_C4_BANNED_SQL}))) AS BIGINT) AS n_banned
+  FROM f
+)
+SELECT doc_id, n_tokens, mean_len_centi, max_token_len, n_alpha_tokens, n_banned,
+       CAST(CASE WHEN n_tokens >= {_C4_MIN_TOKENS}
+                  AND mean_len_centi BETWEEN {_C4_MEAN_LEN_CENTI_LO} AND {_C4_MEAN_LEN_CENTI_HI}
+                  AND max_token_len <= {_C4_MAX_TOKEN_LEN}
+                  AND n_alpha_tokens * 10 >= n_tokens * 9
+                  AND n_banned = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m
+"""
+
+
+@register("text_c4_heuristics", oracle=_C4_ORACLE,
+          description="C4-style heuristic gate: word count, mean/max word length, "
+                      "alphabetic ratio, banned words → keep verdict")
+def text_c4_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cheap-filter family as one codegen pass: ≥20 words, mean
+    word length in [3, 6] chars, no word over 15 chars, ≥90% purely
+    alphabetic words, zero banned words.
+
+    Every metric is an array expression over one tokenization — no
+    shuffle at all; the whole query is a projection the scanner
+    pipelines (the 100 TB cost is exactly one pass over the text
+    bytes). Integer thresholds (centi-chars, the 9/10 alpha-ratio
+    cross-multiplication) keep the verdict exact on both engines.
+    """
+    t = load_tables(spark, sf_dir)
+    w = tokens(F.col("text"))
+    n_chars = F.length("text").cast("long")
+    n_spaces = (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).cast("long")
+    n_tokens = F.size(w).cast("long")
+    mean_len_centi = F.floor(100.0 * (n_chars - n_spaces) / n_tokens).cast("long")
+    max_token_len = F.coalesce(
+        F.array_max(F.transform(w, lambda x: F.length(x))), F.lit(0)
+    ).cast("long")
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$"))).cast("long")
+    banned = F.array(*[F.lit(b) for b in _C4_BANNED])
+    n_banned = F.size(F.filter(w, lambda x: F.array_contains(banned, x))).cast("long")
+    keep = (
+        (n_tokens >= _C4_MIN_TOKENS)
+        & mean_len_centi.between(_C4_MEAN_LEN_CENTI_LO, _C4_MEAN_LEN_CENTI_HI)
+        & (max_token_len <= _C4_MAX_TOKEN_LEN)
+        & (n_alpha * 10 >= n_tokens * 9)
+        & (n_banned == 0)
+    )
+    return t["documents"].select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_len_centi.alias("mean_len_centi"),
+        max_token_len.alias("max_token_len"),
+        n_alpha.alias("n_alpha_tokens"),
+        n_banned.alias("n_banned"),
+        F.when(keep, 1).otherwise(0).cast("long").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain mixture weights (sqrt-temperature target, 4-epoch cap)
+# ---------------------------------------------------------------------------
+
+_MIXTURE_ORACLE = f"""
+WITH g AS (
+  SELECT lang, source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+), cum AS (
+  SELECT *, SUM(sqrt(CAST(n_tokens AS DOUBLE)))
+              OVER (ORDER BY lang, source ROWS UNBOUNDED PRECEDING) AS cum_w,
+            SUM(n_tokens) OVER () AS total_tokens
+  FROM g
+), w AS (
+  SELECT lang, source, n_docs, n_tokens,
+         CAST(total_tokens AS BIGINT) AS total_tokens,
+         sqrt(CAST(n_tokens AS DOUBLE)) AS wt,
+         MAX(cum_w) OVER () AS total_w
+  FROM cum
+)
+SELECT lang, source, n_docs, n_tokens,
+       CAST(FLOOR(10000.0 * n_tokens / total_tokens) AS BIGINT) AS actual_share_bp,
+       CAST(FLOOR(10000.0 * wt / total_w) AS BIGINT) AS target_share_bp,
+       CAST(FLOOR(1000000.0 * wt * total_tokens / (total_w * n_tokens)) AS BIGINT)
+         AS weight_micro,
+       CAST(LEAST(FLOOR(1000000.0 * wt * total_tokens / (total_w * n_tokens)),
+                  {_MIXTURE_EPOCH_CAP_MICRO}) AS BIGINT) AS epochs_micro
+FROM w
+"""
+
+
+@register("domain_mixture_weights", oracle=_MIXTURE_ORACLE,
+          description="per-(lang, source) sampling weights toward a sqrt-temperature "
+                      "mixture, repetition capped at 4 epochs")
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture table a training sampler joins against: per domain,
+    its natural token share, its sqrt-temperature target share, the
+    resampling weight (target/actual), and the weight after the 4-epoch
+    repetition cap (repeating any domain more than ~4× hurts more than
+    it helps — the data-constrained scaling rule).
+
+    Shape: one map-side-combined corpus aggregate down to |domains|
+    rows; every window after that runs over the tiny aggregate (the
+    cum-sum fixes the double-summation order so both engines add
+    sqrt weights in the same sequence — same trick as
+    training_temperature_sample). A consumer broadcasts this table.
+    """
+    t = load_tables(spark, sf_dir)
+    g = (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+        )
+    )
+    w_cum = Window.orderBy("lang", "source").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = g.withColumn("cum_w", F.sum(F.sqrt(F.col("n_tokens").cast("double"))).over(w_cum)) \
+           .withColumn("total_tokens", F.sum("n_tokens").over(w_all).cast("long"))
+    w = cum.select(
+        "lang", "source", "n_docs", "n_tokens", "total_tokens",
+        F.sqrt(F.col("n_tokens").cast("double")).alias("wt"),
+        F.max("cum_w").over(w_all).alias("total_w"),
+    )
+    weight_micro = F.floor(
+        1000000.0 * F.col("wt") * F.col("total_tokens") / (F.col("total_w") * F.col("n_tokens"))
+    ).cast("long")
+    return w.select(
+        "lang", "source", "n_docs", "n_tokens",
+        F.floor(10000.0 * F.col("n_tokens") / F.col("total_tokens")).cast("long")
+        .alias("actual_share_bp"),
+        F.floor(10000.0 * F.col("wt") / F.col("total_w")).cast("long").alias("target_share_bp"),
+        weight_micro.alias("weight_micro"),
+        F.least(weight_micro, F.lit(_MIXTURE_EPOCH_CAP_MICRO)).cast("long").alias("epochs_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest dedup (new batch vs historical fingerprint index)
+# ---------------------------------------------------------------------------
+
+_INGEST_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+  FROM documents
+), hist AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % {_INGEST_MOD} <> 0
+), batch AS (
+  SELECT doc_id, fingerprint FROM fp WHERE doc_id % {_INGEST_MOD} = 0
+), novel AS (
+  SELECT b.doc_id, b.fingerprint,
+         ROW_NUMBER() OVER (PARTITION BY b.fingerprint ORDER BY b.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY b.fingerprint) AS n_batch_copies
+  FROM batch b ANTI JOIN hist h USING (fingerprint)
+)
+SELECT doc_id, fingerprint, CAST(n_batch_copies AS BIGINT) AS n_batch_copies
+FROM novel WHERE rn = 1
+"""
+
+
+@register("dedup_incremental_new_docs", oracle=_INGEST_ORACLE,
+          description="incremental ingest dedup: anti-join new batch against the "
+                      "historical fingerprint index + within-batch first-writer-wins")
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch dedup for a continuously ingesting corpus: a new batch
+    (here doc_id % 5 == 0 stands in for "today's crawl") keeps only
+    documents whose content fingerprint is absent from the historical
+    index AND wins first-writer within the batch.
+
+    Plan: the anti-join shuffles both sides on the md5 fingerprint —
+    uniform keys by construction, so no skew; the within-batch window
+    partitions on the same key and Catalyst reuses the exchange (one
+    shuffle total for the batch side). At 100 TB the history side is a
+    fingerprint-only index (32 bytes/doc, column-pruned off the real
+    corpus); Spark's runtime bloom-filter join
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) prunes most batch
+    rows before the exchange when history ≫ batch.
+    """
+    t = load_tables(spark, sf_dir)
+    fp = t["documents"].select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+    hist = fp.where(F.col("doc_id") % _INGEST_MOD != 0).select("fingerprint").distinct()
+    batch = fp.where(F.col("doc_id") % _INGEST_MOD == 0)
+    novel = batch.join(hist, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint")
+    return (
+        novel
+        .withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_batch_copies", F.count(F.lit(1)).over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "fingerprint", F.col("n_batch_copies").cast("long"))
+    )

@@ -91,6 +91,13 @@ def register(
 #     NTZ testdata in r4 (operators/windows.py, tables.py);
 #   - training_*: registered in r3 after the rotation cut, never checked.
 _CHANGED_OR_NEVER_CHECKED = (
+    # registered in round 5, never driver-checked:
+    "text_dup_ngram_fraction",
+    "text_c4_heuristics",
+    "domain_mixture_weights",
+    "dedup_incremental_new_docs",
+    # the round-4 tier (no CORRECTNESS_r04 artifact ever landed in the
+    # repo, so none of these has a confirmed driver row yet either):
     "j1_period_bucketed_range_join",
     "events_sessionize",
     "training_pack_sequences",

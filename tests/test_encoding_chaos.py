@@ -230,6 +230,10 @@ _HOSTILE_QUERIES = (
     "text_repetition_filter",
     "corpus_quality_report",
     "corpus_curation_pipeline",
+    "text_dup_ngram_fraction",
+    "text_c4_heuristics",
+    "domain_mixture_weights",
+    "dedup_incremental_new_docs",
 )
 
 
