@@ -37,6 +37,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _TABLE_CONTRACTS = {
     "documents": "(SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)",
     "events": "(SELECT * FROM events WHERE ts IS NOT NULL)",
+    # A fact row without its date is not a valid fact row (see
+    # tables.load_tables — date-only so column pruning survives):
+    # key/attribute NULLs stay and queries handle them SQL-identically.
+    "orders": "(SELECT * FROM orders WHERE o_orderdate IS NOT NULL)",
+    "lineitem": "(SELECT * FROM lineitem WHERE l_shipdate IS NOT NULL)",
 }
 
 
@@ -96,6 +101,8 @@ _CHANGED_OR_NEVER_CHECKED = (
     "text_c4_heuristics",
     "domain_mixture_weights",
     "dedup_incremental_new_docs",
+    "knn_graph_brute",
+    "knn_graph_lsh",
     # the round-4 tier (no CORRECTNESS_r04 artifact ever landed in the
     # repo, so none of these has a confirmed driver row yet either):
     "j1_period_bucketed_range_join",

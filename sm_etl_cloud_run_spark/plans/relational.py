@@ -445,7 +445,15 @@ def a1_partition_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return t["orders"].groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.array_join(sorted_set_agg("o_orderpriority"), ",").alias("priorities"),
+        # string_agg semantics: NULLs are skipped, and a group with no
+        # non-NULL priority aggregates to NULL — not '' (collect_set
+        # already skips NULLs; the empty-set case needs the explicit
+        # NULL to match the oracle when a hostile NULL-priority row
+        # forms its own group).
+        F.when(
+            F.size(sorted_set_agg("o_orderpriority")) == 0, F.lit(None).cast("string")
+        ).otherwise(F.array_join(sorted_set_agg("o_orderpriority"), ","))
+        .alias("priorities"),
         (F.sum(_cents("o_totalprice")).cast("double") / 100.0).alias("total_price"),
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),

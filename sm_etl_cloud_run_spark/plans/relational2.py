@@ -80,7 +80,10 @@ def c5_substance_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_orderkey") % 6 == 2, "AC")
         .when(F.col("o_orderkey") % 6 == 3, "ACO")
         .when(F.col("o_orderkey") % 6 == 4, "C")
-        .otherwise("O")
+        # no otherwise: CASE-without-ELSE semantics — a NULL o_orderkey
+        # yields NULL tp_droga (an otherwise("O") would swallow NULLs
+        # and diverge from the oracle on hostile NULL-key rows).
+        .when(F.col("o_orderkey") % 6 == 5, "O")
     )
     src = t["orders"].select(code.alias("tp_droga"))
     return src.select(

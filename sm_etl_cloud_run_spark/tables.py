@@ -99,6 +99,22 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
             df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
         if name == "events" and "ts" in df.columns:
             df = df.where(F.col("ts").isNotNull())
+        # A fact row without its DATE column is not a valid fact row —
+        # it can't be period-joined, watermark-gated, or
+        # retention-filtered (same contract as events.ts). Only the
+        # date: an IsNotNull on any other column would enter every
+        # scan's PushedFilters and drag that column into ReadSchema,
+        # breaking column pruning for queries that never touch it.
+        # Key/attribute/measure NULLs stay, and every decode/aggregate
+        # must handle them with SQL semantics. Beyond semantics the
+        # date filter is a determinism guard: a NULL in a window ORDER
+        # BY key makes even the DuckDB oracle's parallel window
+        # nondeterministic (observed: j4's lead() flipping across
+        # connections on the same data).
+        if name == "orders" and "o_orderdate" in df.columns:
+            df = df.where(F.col("o_orderdate").isNotNull())
+        if name == "lineitem" and "l_shipdate" in df.columns:
+            df = df.where(F.col("l_shipdate").isNotNull())
         df.createOrReplaceTempView(name)
         out[name] = df
     _CATALOG_CACHE[cache_key] = dict(out)

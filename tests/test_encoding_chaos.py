@@ -264,7 +264,9 @@ def renumbered_embeddings_dir(tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "qname", ["knn_brute_force", "knn_lsh_bucketed", "knn_ivf", "dedup_semantic_clusters"]
+    "qname",
+    ["knn_brute_force", "knn_lsh_bucketed", "knn_ivf", "dedup_semantic_clusters",
+     "knn_graph_brute", "knn_graph_lsh"],
 )
 def test_renumbered_vec_ids_keep_oracle_parity(spark, renumbered_embeddings_dir, qname):
     problems = _oracle_compare(spark, renumbered_embeddings_dir, qname)
@@ -315,3 +317,84 @@ def hostile_events_dir(tmp_path_factory):
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
     problems = _oracle_compare(spark, hostile_events_dir, qname)
     assert not problems, f"{qname} with NULL event rows: {problems}"
+
+
+@pytest.fixture(scope="module")
+def hostile_facts_dir(tmp_path_factory):
+    """lineitem/orders with hostile NULL rows appended: NULL primary
+    keys, NULL dates, NULL measures, NULL attributes. The fact-row
+    contract (a row without its PK or date column is not a valid fact
+    row — dropped at load; attribute/measure NULLs stay) exists because
+    (a) Spark when/otherwise decodes and array_join aggregates treat
+    NULL inputs differently from SQL CASE/string_agg, and (b) a NULL in
+    a window ORDER BY key makes even DuckDB's parallel window
+    nondeterministic (j4's lead() flipped values across connections)."""
+    d = tmp_path_factory.mktemp("hostile_facts")
+    li = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
+
+    def li_row(overrides):
+        base = {c: li.column(c)[0].as_py() for c in li.column_names}
+        base.update(overrides)
+        return base
+
+    li_extra = pa.Table.from_pylist(
+        [
+            li_row({"l_orderkey": None, "l_linenumber": 99}),
+            li_row({"l_shipdate": None, "l_orderkey": 999999}),
+            li_row({"l_quantity": None, "l_discount": None, "l_orderkey": 999998}),
+            li_row({"l_returnflag": None, "l_linestatus": None, "l_orderkey": 999997}),
+            li_row({"l_partkey": None, "l_suppkey": None, "l_orderkey": 999996}),
+        ],
+        schema=li.schema,
+    )
+    pq.write_table(pa.concat_tables([li, li_extra]), str(d / "lineitem.parquet"))
+
+    od = pq.read_table(os.path.join(SRC, "orders.parquet"))
+
+    def o_row(overrides):
+        base = {c: od.column(c)[0].as_py() for c in od.column_names}
+        base.update(overrides)
+        return base
+
+    od_extra = pa.Table.from_pylist(
+        [
+            o_row({"o_orderkey": None}),
+            o_row({"o_orderdate": None, "o_orderkey": 888888}),
+            o_row({"o_custkey": None, "o_orderkey": 888887}),
+            o_row({"o_totalprice": None, "o_orderpriority": None,
+                   "o_orderstatus": None, "o_orderkey": 888886}),
+        ],
+        schema=od.schema,
+    )
+    pq.write_table(pa.concat_tables([od, od_extra]), str(d / "orders.parquet"))
+    for t in TABLE_NAMES:
+        if t in ("lineitem", "orders"):
+            continue
+        src = os.path.join(SRC, f"{t}.parquet")
+        if os.path.exists(src):
+            shutil.copy(src, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+# Representative fact-family coverage: the six queries that diverged
+# before the contract (period joins, list agg, when/otherwise decode)
+# plus the heaviest downstream consumers.
+_HOSTILE_FACT_QUERIES = (
+    "j1_period_equi_join",
+    "j1_period_range_join",
+    "j1_period_bucketed_range_join",
+    "j4_next_period_lead",
+    "a1_partition_rollup",
+    "c5_substance_flags",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q13_custdist_outer",
+    "flagship_panel_enrichment",
+    "pipeline_fact_transform",
+)
+
+
+@pytest.mark.parametrize("qname", _HOSTILE_FACT_QUERIES)
+def test_null_fact_rows_keep_oracle_parity(spark, hostile_facts_dir, qname):
+    problems = _oracle_compare(spark, hostile_facts_dir, qname)
+    assert not problems, f"{qname} with NULL fact rows: {problems}"

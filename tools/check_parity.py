@@ -37,7 +37,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # canonicalize NA first: Spark surfaces SQL NULL as None,
+            # DuckDB as numpy nan — astype(str) would spell them
+            # 'None' vs 'nan' and flag a phantom mismatch.
+            df[c] = df[c].where(pd.notna(df[c]), None).astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
