@@ -162,6 +162,80 @@ def ivf_topk(
     )
 
 
+def knn_join_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    k: int = 5,
+) -> DataFrame:
+    """Exact k-NN JOIN: top-k neighbors for EVERY query row at once —
+    the batch shape that builds a k-NN graph (the input to SemDeDup /
+    graph-based near-dup clustering), not one query per job.
+
+    Plan: broadcast the query set against the corpus (a deliberate
+    nested-loop — the work is |corpus|×|queries| dot products however
+    expressed), then one window partitioned by query id keeps each
+    query's top-k. At scale the window's exchange hashes on qid; with
+    |queries| ≫ cores the keys are uniform, and the rank filter stops
+    feeding rows past k at the sort (window top-k pushdown).
+    """
+    from pyspark.sql.window import Window
+
+    pairs = embeddings.crossJoin(F.broadcast(queries)).where(
+        F.col(id_col) != F.col(qid_col)
+    )
+    scored = pairs.select(
+        qid_col, id_col,
+        cosine_similarity(F.col(vec_col), F.col(qvec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+    )
+
+
+def knn_join_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    hyperplanes: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate k-NN JOIN: candidates come from LSH bucket equality,
+    so the join is a HASH join on the bucket key — no nested loop
+    anywhere. The scale path of :func:`knn_join_topk`: at 100 TB the
+    bucket column is the stored partition key and each query probes
+    ~1/2^h of the corpus; recall is traded via the hyperplane count.
+    """
+    from pyspark.sql.window import Window
+
+    b_emb = embeddings.withColumn(
+        "__bucket", hyperplane_lsh_bucket(F.col(vec_col), hyperplanes)
+    )
+    b_q = queries.withColumn(
+        "__bucket", hyperplane_lsh_bucket(F.col(qvec_col), hyperplanes)
+    )
+    cand = b_emb.join(F.broadcast(b_q), "__bucket").where(F.col(id_col) != F.col(qid_col))
+    scored = cand.select(
+        qid_col, id_col,
+        cosine_similarity(F.col(vec_col), F.col(qvec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+    )
+
+
 def embedding_cosine_dup_pairs(
     embeddings: DataFrame,
     *,

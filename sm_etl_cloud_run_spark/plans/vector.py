@@ -171,6 +171,104 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRAPH_NQ = 16
+_GRAPH_K = 5
+
+_GRAPH_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id IN {_rank_ids_sql(_GRAPH_NQ, 0)}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(CAST({_dot_sql('e.embedding', 'q.qv')} AS DOUBLE)
+               / (sqrt(CAST({_dot_sql('e.embedding', 'e.embedding')} AS DOUBLE))
+                  * sqrt(CAST({_dot_sql('q.qv', 'q.qv')} AS DOUBLE))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_GRAPH_K}
+"""
+
+
+@register("knn_graph_brute", oracle=_GRAPH_ORACLE,
+          description="exact k-NN graph: top-5 neighbors for 16 query vectors in "
+                      "one batch join + per-query window")
+def knn_graph_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction (the SemDeDup / near-dup-clustering
+    input): ONE plan scores every (query, corpus) pair and keeps each
+    query's top-5 — versus knn_brute_force's one-query-per-job shape.
+    Queries are the 16 lowest-vec_id embeddings (rank-robust)."""
+    from ..operators.similarity import knn_join_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qids = [r["vec_id"] for r in _seed_rows(emb, _GRAPH_NQ)]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return knn_join_topk(emb, queries, k=_GRAPH_K)
+
+
+_GRAPH_LSH_ORACLE = f"""
+WITH h1 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 1)}),
+h2 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 2)}),
+h3 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 3)}),
+q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id IN {_rank_ids_sql(_GRAPH_NQ, 0)}
+),
+qb AS (SELECT qid, qv, {_bucket_sql('q.qv')} AS bucket FROM q, h1, h2, h3),
+eb AS (
+  SELECT vec_id, embedding, {_bucket_sql('e.embedding')} AS bucket
+  FROM embeddings e, h1, h2, h3
+),
+cand AS (
+  SELECT qb.qid, eb.vec_id,
+         round(CAST({_dot_sql('eb.embedding', 'qb.qv')} AS DOUBLE)
+               / (sqrt(CAST({_dot_sql('eb.embedding', 'eb.embedding')} AS DOUBLE))
+                  * sqrt(CAST({_dot_sql('qb.qv', 'qb.qv')} AS DOUBLE))), 6) AS cosine
+  FROM eb JOIN qb USING (bucket)
+  WHERE eb.vec_id <> qb.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM cand
+)
+SELECT qid, vec_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_GRAPH_K}
+"""
+
+
+@register("knn_graph_lsh", oracle=_GRAPH_LSH_ORACLE,
+          description="LSH-bucketed k-NN graph: hash join on hyperplane bucket "
+                      "(no nested loop) + per-query window")
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path of knn_graph_brute: the (query, corpus) candidate
+    set comes from LSH bucket EQUALITY, so Catalyst plans a hash join
+    on the bucket key — the only k-NN-graph shape that survives when
+    both sides are large. Hyperplanes are ranks 2-4 (same as
+    knn_lsh_bucketed); recall is traded via the hyperplane count."""
+    from ..operators.similarity import knn_join_lsh
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = _seed_rows(emb, _GRAPH_NQ)
+    qids = [r["vec_id"] for r in seeds]
+    planes = [[float(x) for x in seeds[i]["embedding"]] for i in (1, 2, 3)]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return knn_join_lsh(emb, queries, planes, k=_GRAPH_K)
+
+
 _IVF_CENTROIDS_SQL = _rank_ids_sql(4, 5)   # ranks 6-9
 
 

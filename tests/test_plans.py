@@ -106,6 +106,8 @@ _NESTED_LOOP_OK = {
     "knn_brute_force",
     "knn_lsh_bucketed",
     "knn_ivf",
+    "knn_graph_brute",   # batch query-set broadcast: |corpus|×|queries| scoring is the work
+
     "embedding_dup_pairs",
     "q11_important_stock",
     "q15_top_supplier",
