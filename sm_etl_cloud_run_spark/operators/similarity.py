@@ -162,6 +162,85 @@ def ivf_topk(
     )
 
 
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    code_vecs: list[list[float]],
+    *,
+    num_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    shortlist: int = 20,
+) -> DataFrame:
+    """Product-quantization search with ADC scoring + exact re-rank.
+
+    The IVF-PQ playbook (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search") minus the coarse stage: split vectors
+    into `num_subspaces` subvectors, quantize each to its nearest
+    codeword, score candidates by Asymmetric Distance Computation —
+    the query-to-codeword dots are precomputed constants, so scoring a
+    vector is `num_subspaces` table lookups instead of a full
+    d-dimensional dot — then exactly re-rank a small shortlist.
+
+    `code_vecs` stands in for a trained codebook (production would
+    k-means per subspace); each codeword of subspace m is the m-th
+    slice of one code vector. Everything is JVM expressions: the
+    query-side dot table is built from literal arrays and
+    constant-folded by Catalyst, the per-subspace argmax is the
+    array_max-over-structs trick (linear in K, see ivf_assign), and
+    the only shuffle is the shortlist TakeOrdered. At 100 TB the codes
+    are precomputed storage columns (codes + codebook ≪ vectors) and
+    the scan never touches the raw vectors until the re-rank."""
+    dim = len(query_vec)
+    sub = dim // num_subspaces
+    n_codes = len(code_vecs)
+
+    def _sub_lit(vec: list[float], m: int) -> Column:
+        return F.array(*[F.lit(float(x)) for x in vec[m * sub:(m + 1) * sub]])
+
+    scored = embeddings
+    score_terms = []
+    for m in range(num_subspaces):
+        e_sub = F.slice(F.col(vec_col), m * sub + 1, sub)
+        # nearest codeword of subspace m: max over (dot, -k) structs
+        pairs = [
+            F.struct(
+                _fixed_point_dot(e_sub, _sub_lit(cv, m)).alias("dot"),
+                F.lit(-j).alias("neg_k"),
+            )
+            for j, cv in enumerate(code_vecs)
+        ]
+        code_m = -F.array_max(F.array(*pairs))["neg_k"]
+        # ADC lookup table for subspace m: query-to-codeword dots as a
+        # literal-array expression (constant-folded, no Python rounding)
+        qdots_m = F.array(*[
+            _fixed_point_dot(_sub_lit(query_vec, m), _sub_lit(cv, m))
+            for cv in code_vecs
+        ])
+        score_terms.append(F.element_at(qdots_m, code_m.cast("int") + 1))
+    pq_score = score_terms[0]
+    for term in score_terms[1:]:
+        pq_score = pq_score + term
+    shortlisted = (
+        scored.select(F.col(id_col), F.col(vec_col), pq_score.cast("long").alias("pq_score"))
+        .orderBy(F.col("pq_score").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    from pyspark.sql.window import Window
+
+    reranked = shortlisted.select(
+        id_col, "pq_score",
+        cosine_similarity(F.col(vec_col), qlit).alias("cosine"),
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        reranked.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+    )
+
+
 def knn_join_topk(
     embeddings: DataFrame,
     queries: DataFrame,

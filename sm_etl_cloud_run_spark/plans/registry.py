@@ -103,6 +103,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "dedup_incremental_new_docs",
     "knn_graph_brute",
     "knn_graph_lsh",
+    "knn_pq_adc",
     # the round-4 tier (no CORRECTNESS_r04 artifact ever landed in the
     # repo, so none of these has a confirmed driver row yet either):
     "j1_period_bucketed_range_join",

@@ -269,6 +269,86 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_lsh(emb, queries, planes, k=_GRAPH_K)
 
 
+_PQ_M = 4          # subspaces (64-dim → 16-dim subvectors)
+_PQ_K = 4          # codewords per subspace (code vectors at ranks 10-13)
+_PQ_SHORTLIST = 20
+_PQ_SUB = "16"     # subvector width in SQL (len(embedding) / _PQ_M)
+
+_PQ_ORACLE = f"""
+WITH sk AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cw, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K} OFFSET 9)
+),
+ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+cb AS (
+  SELECT m, cw, list_slice(embedding, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB}) AS cv
+  FROM sk, ms
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QID_SQL}),
+qs AS (
+  SELECT cb.m, cb.cw,
+         {_dot_sql(f"list_slice(q.qv, cb.m * {_PQ_SUB} + 1, cb.m * {_PQ_SUB} + {_PQ_SUB})", 'cb.cv')} AS qdot
+  FROM q, cb
+),
+assign AS (
+  SELECT e.vec_id, cb.m, cb.cw,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id, cb.m
+           ORDER BY {_dot_sql(f"list_slice(e.embedding, cb.m * {_PQ_SUB} + 1, cb.m * {_PQ_SUB} + {_PQ_SUB})", 'cb.cv')} DESC,
+                    cb.cw ASC
+         ) AS rn
+  FROM embeddings e, cb
+  WHERE e.vec_id <> {_QID_SQL}
+),
+scores AS (
+  SELECT a.vec_id, CAST(SUM(qs.qdot) AS BIGINT) AS pq_score
+  FROM assign a JOIN qs ON qs.m = a.m AND qs.cw = a.cw
+  WHERE a.rn = 1
+  GROUP BY a.vec_id
+),
+short AS (
+  SELECT vec_id, pq_score FROM scores
+  ORDER BY pq_score DESC, vec_id ASC LIMIT {_PQ_SHORTLIST}
+),
+rer AS (
+  SELECT s.vec_id, s.pq_score,
+         round(CAST({_dot_sql('e.embedding', 'q.qv')} AS DOUBLE)
+               / (sqrt(CAST({_dot_sql('e.embedding', 'e.embedding')} AS DOUBLE))
+                  * sqrt(CAST({_dot_sql('q.qv', 'q.qv')} AS DOUBLE))), 6) AS cosine
+  FROM short s JOIN embeddings e USING (vec_id), q
+)
+SELECT vec_id, pq_score, cosine,
+       CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
+FROM rer
+QUALIFY rn <= {_TOPK}
+"""
+
+
+@register("knn_pq_adc", oracle=_PQ_ORACLE,
+          description="product-quantization search: per-subspace codeword "
+                      "assignment, ADC lookup scoring, exact re-rank of the "
+                      "shortlist")
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate search (Jégou et al.) with exact re-rank:
+    vectors quantize to the nearest of 4 codewords in each of 4
+    subspaces; candidate scoring is 4 constant-table lookups instead
+    of a 64-dim dot; the top-20 shortlist is re-ranked exactly. Code
+    vectors are ranks 10-13 (rank-robust stand-in for a trained
+    codebook — production trains per-subspace k-means)."""
+    from ..operators.similarity import pq_adc_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = _seed_rows(emb, 13)
+    qid = seeds[0]["vec_id"]
+    qv = [float(x) for x in seeds[0]["embedding"]]
+    code_vecs = [[float(x) for x in seeds[i]["embedding"]] for i in range(9, 13)]
+    return pq_adc_topk(
+        emb.where(F.col("vec_id") != qid), qv, code_vecs,
+        num_subspaces=_PQ_M, k=_TOPK, shortlist=_PQ_SHORTLIST,
+    )
+
+
 _IVF_CENTROIDS_SQL = _rank_ids_sql(4, 5)   # ranks 6-9
 
 
