@@ -296,6 +296,103 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-mix materialization (the consumer of the mixture weights)
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = f"""
+WITH g AS (
+  SELECT lang, source,
+         CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+), cum AS (
+  SELECT *, SUM(sqrt(CAST(n_tokens AS DOUBLE)))
+              OVER (ORDER BY lang, source ROWS UNBOUNDED PRECEDING) AS cum_w,
+            SUM(n_tokens) OVER () AS total_tokens
+  FROM g
+), w AS (
+  SELECT lang, source, n_tokens,
+         CAST(total_tokens AS BIGINT) AS total_tokens,
+         sqrt(CAST(n_tokens AS DOUBLE)) AS wt,
+         MAX(cum_w) OVER () AS total_w
+  FROM cum
+), t AS (
+  SELECT lang, source,
+         CAST(LEAST(FLOOR(1000000.0 * wt * total_tokens / (total_w * n_tokens)),
+                    {_MIXTURE_EPOCH_CAP_MICRO}) AS BIGINT) AS epochs_micro
+  FROM w
+), d AS (
+  SELECT doc_id, d.lang, d.source,
+         CAST(t.epochs_micro // 1000000
+              + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                          * 1000000 < (t.epochs_micro % 1000000) * 4294967296
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM documents d JOIN t USING (lang, source)
+)
+SELECT doc_id, lang, source, n_copies, CAST(ci AS BIGINT) AS copy_idx
+FROM d, LATERAL (SELECT unnest(range(1, n_copies + 1)) AS ci) u
+WHERE n_copies >= 1
+"""
+
+
+@register("corpus_training_mix", oracle=_MIX_ORACLE,
+          description="materialize the training mix: per-domain epoch factor → "
+                      "deterministic per-doc repetition (explode) / md5 down-sample")
+def corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn mixture weights into an actual training mix: every document
+    appears floor(epochs) times, plus one more with probability
+    frac(epochs) decided by the md5-threshold coin — so a domain with
+    epochs=2.3 contributes each doc 2 or 3 times, deterministically
+    and identically on any engine. Domains weighted down below 1 epoch
+    become a plain md5 down-sample.
+
+    Shape: the |domains|-row epoch table broadcasts onto the corpus;
+    copies come from explode(sequence(1, n_copies)) — row amplification
+    bounded by the 4-epoch cap, no shuffle anywhere (the output
+    inherits the scan's partitioning; a downstream pack/shuffle stage
+    is where the copies get separated across workers).
+    """
+    t = load_tables(spark, sf_dir)
+    g = (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"))
+    )
+    w_cum = Window.orderBy("lang", "source").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = g.withColumn("cum_w", F.sum(F.sqrt(F.col("n_tokens").cast("double"))).over(w_cum)) \
+           .withColumn("total_tokens", F.sum("n_tokens").over(w_all).cast("long"))
+    w = cum.select(
+        "lang", "source", "n_tokens", "total_tokens",
+        F.sqrt(F.col("n_tokens").cast("double")).alias("wt"),
+        F.max("cum_w").over(w_all).alias("total_w"),
+    )
+    epochs = w.select(
+        "lang", "source",
+        F.least(
+            F.floor(1000000.0 * F.col("wt") * F.col("total_tokens")
+                    / (F.col("total_w") * F.col("n_tokens"))),
+            F.lit(_MIXTURE_EPOCH_CAP_MICRO),
+        ).cast("long").alias("epochs_micro"),
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    n_copies = (
+        F.floor(F.col("epochs_micro") / 1000000)
+        + F.when(h32 * 1000000 < (F.col("epochs_micro") % 1000000) * F.lit(4294967296), 1)
+        .otherwise(0)
+    ).cast("long")
+    d = (
+        t["documents"]
+        .join(F.broadcast(epochs), ["lang", "source"])
+        .select("doc_id", "lang", "source", n_copies.alias("n_copies"))
+        .where(F.col("n_copies") >= 1)
+    )
+    return d.select(
+        "doc_id", "lang", "source", "n_copies",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias("copy_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # incremental ingest dedup (new batch vs historical fingerprint index)
 # ---------------------------------------------------------------------------
 

@@ -234,6 +234,7 @@ _HOSTILE_QUERIES = (
     "text_c4_heuristics",
     "domain_mixture_weights",
     "dedup_incremental_new_docs",
+    "corpus_training_mix",
 )
 
 
