@@ -725,3 +725,74 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("total_hours_to_convert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# daily cohort retention
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH first_ev AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+), cohort AS (
+  SELECT user_id, date_trunc('day', first_ts) AS cohort_day FROM first_ev
+), act AS (
+  SELECT c.cohort_day, e.user_id,
+         CAST(date_diff('day', c.cohort_day, date_trunc('day', e.ts)) AS BIGINT)
+           AS day_offset
+  FROM events e JOIN cohort c USING (user_id)
+), a AS (
+  SELECT cohort_day, day_offset, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM act GROUP BY 1, 2
+), s AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM cohort GROUP BY 1
+)
+SELECT CAST(a.cohort_day AS TIMESTAMP) AS cohort_day, day_offset, n_active, n_cohort,
+       CAST(FLOOR(10000.0 * n_active / n_cohort) AS BIGINT) AS retention_bp
+FROM a JOIN s USING (cohort_day)
+"""
+
+
+@register("events_cohort_retention", oracle=_COHORT_ORACLE,
+          description="daily cohort retention matrix: first-event cohort × "
+                      "day offset → distinct active users + retention bp")
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics retention matrix: users are cohorted by
+    the day of their first event; each (cohort, day-offset) cell
+    counts the cohort's users active that day, with retention in
+    basis points against cohort size.
+
+    Shape: one user-keyed aggregate builds the cohort dim (uniform
+    keys); joining it back to events is user-keyed too, so on a
+    cluster both sides share one hash partitioning and the join
+    reuses the aggregate's exchange. The cell aggregate shuffles on
+    (cohort, offset) — a few hundred uniform keys — and the cohort-size
+    side is an aggregated |cohorts|-row broadcast. Offsets divide
+    exactly by 7 (both weeks are Monday-truncated), so the arithmetic
+    is integer-exact on both engines.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    cohort = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", F.date_trunc("day", F.col("first_ts")).alias("cohort_day"))
+    )
+    act = ev.join(cohort, "user_id").select(
+        "cohort_day", "user_id",
+        F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+        .cast("long").alias("day_offset"),
+    )
+    cells = act.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+    sizes = cohort.groupBy("cohort_day").agg(F.count(F.lit(1)).cast("long").alias("n_cohort"))
+    return (
+        cells.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            "day_offset", "n_active", "n_cohort",
+            F.floor(10000.0 * F.col("n_active") / F.col("n_cohort")).cast("long")
+            .alias("retention_bp"),
+        )
+    )

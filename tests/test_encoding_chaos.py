@@ -313,7 +313,8 @@ def hostile_events_dir(tmp_path_factory):
 
 @pytest.mark.parametrize(
     "qname",
-    ["events_hourly_rollup", "events_sessionize", "events_sliding_window", "events_asof_last_click"],
+    ["events_hourly_rollup", "events_sessionize", "events_sliding_window",
+     "events_asof_last_click", "events_cohort_retention"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
     problems = _oracle_compare(spark, hostile_events_dir, qname)
