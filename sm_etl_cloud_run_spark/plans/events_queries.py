@@ -796,3 +796,46 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch aggregates (HLL / approximate quantiles) — the 100 TB
+# observability path where exact distinct/percentile is too expensive
+# ---------------------------------------------------------------------------
+
+
+@register("events_sketch_profile", oracle=None,
+          description="sketch aggregates per event_type: HLL++ approximate "
+                      "distinct users + GK approximate p50/p90 (rows-only: "
+                      "DuckDB's sketch algorithms differ by design; accuracy "
+                      "is bounded vs exact in tests/test_plans.py)")
+def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profile of the event stream: approx_count_distinct
+    (HyperLogLog++, rsd 2%) and percentile_approx (Greenwald-Khanna,
+    accuracy 10000) per event type.
+
+    This is the observability shape that REPLACES exact distinct/
+    percentile at 100 TB: HLL registers and GK summaries are tiny,
+    merge associatively (one map-side-combined aggregate, no giant
+    distinct shuffle), and their error is bounded. No SQL oracle —
+    DuckDB's approx algorithms are different implementations with
+    different estimates — so this entry is rows-only at the driver;
+    the accuracy bound (±5% of exact) is asserted in pytest instead.
+    """
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        t["events"]
+        .select("event_type", "user_id", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).cast("long")
+            .alias("approx_users"),
+            (F.percentile_approx("cents", F.lit(0.5), F.lit(10000)).cast("double") / 100.0)
+            .alias("approx_median"),
+            (F.percentile_approx("cents", F.lit(0.9), F.lit(10000)).cast("double") / 100.0)
+            .alias("approx_p90"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )

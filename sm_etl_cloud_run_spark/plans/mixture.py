@@ -89,7 +89,7 @@ FROM documents d LEFT JOIN perdoc p USING (doc_id)
 """
 
 
-@register("text_dup_ngram_fraction", oracle=_DUP_NGRAM_ORACLE,
+@register("text_dup_ngram_fraction", oracle=_DUP_NGRAM_ORACLE, bench=True,
           description="cross-corpus duplicate 4-gram fraction per document "
                       "(Lee-et-al dedup signal via inverted n-gram index)")
 def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,7 +334,7 @@ WHERE n_copies >= 1
 """
 
 
-@register("corpus_training_mix", oracle=_MIX_ORACLE,
+@register("corpus_training_mix", oracle=_MIX_ORACLE, bench=True,
           description="materialize the training mix: per-domain epoch factor → "
                       "deterministic per-doc repetition (explode) / md5 down-sample")
 def corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

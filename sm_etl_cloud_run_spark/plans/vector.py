@@ -247,7 +247,7 @@ FROM ranked WHERE rn <= {_GRAPH_K}
 """
 
 
-@register("knn_graph_lsh", oracle=_GRAPH_LSH_ORACLE,
+@register("knn_graph_lsh", oracle=_GRAPH_LSH_ORACLE, bench=True,
           description="LSH-bucketed k-NN graph: hash join on hyperplane bucket "
                       "(no nested loop) + per-query window")
 def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

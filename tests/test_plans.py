@@ -142,3 +142,38 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
             offenders_nlj.append(name)
     assert not offenders_py, f"row-wise Python crept into: {offenders_py}"
     assert not offenders_nlj, f"nested-loop joins crept into: {offenders_nlj}"
+
+
+def test_sketch_profile_accuracy_vs_exact(spark, sf_dir):
+    """events_sketch_profile has no SQL oracle (DuckDB's sketches are
+    different algorithms) — bound its error against exact aggregates
+    instead: HLL distinct within 5%, GK percentiles within 5% of the
+    exact percentile values."""
+    from pyspark.sql import functions as F
+
+    from sm_etl_cloud_run_spark.plans import get
+    from sm_etl_cloud_run_spark.tables import load_tables
+
+    approx = {r["event_type"]: r for r in get("events_sketch_profile").fn(spark, sf_dir).collect()}
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    exact = {
+        r["event_type"]: r
+        for r in (
+            t["events"]
+            .select("event_type", "user_id", cents.alias("cents"))
+            .groupBy("event_type")
+            .agg(
+                F.countDistinct("user_id").alias("users"),
+                (F.percentile("cents", F.lit(0.5)).cast("double") / 100.0).alias("median"),
+                (F.percentile("cents", F.lit(0.9)).cast("double") / 100.0).alias("p90"),
+            )
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a["approx_users"] - e["users"]) <= max(1, 0.05 * e["users"]), et
+        assert abs(a["approx_median"] - e["median"]) <= max(0.5, abs(0.05 * e["median"])), et
+        assert abs(a["approx_p90"] - e["p90"]) <= max(0.5, abs(0.05 * e["p90"])), et

@@ -45,6 +45,14 @@ QUERIES = (
     "training_pack_sequences",
     "training_stratified_sample",
     "training_temperature_sample",
+    # round-5 additions: inverted n-gram index, LSH-bucketed k-NN graph,
+    # anti-join ingest dedup, bounded-explode mix materialization, and
+    # the exchange-reusing cohort matrix.
+    "text_dup_ngram_fraction",
+    "knn_graph_lsh",
+    "dedup_incremental_new_docs",
+    "corpus_training_mix",
+    "events_cohort_retention",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
