@@ -446,3 +446,60 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "fingerprint", F.col("n_batch_copies").cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# overlapping chunk windows (RAG / long-document splitting)
+# ---------------------------------------------------------------------------
+
+_CHUNK_K = 32   # chunk size (tokens)
+_CHUNK_S = 24   # stride (tokens) → 8-token overlap
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+st AS (
+  SELECT doc_id, w, unnest(range(1, len(w) + 1, {_CHUNK_S})) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST((start - 1) // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start_token,
+       CAST(len(list_slice(w, start, start + {_CHUNK_K} - 1)) AS BIGINT) AS chunk_len,
+       array_to_string(list_slice(w, start, start + {_CHUNK_K} - 1), ' ') AS chunk_text,
+       md5(array_to_string(list_slice(w, start, start + {_CHUNK_K} - 1), ' ')) AS chunk_fp
+FROM st
+"""
+
+
+@register("text_chunk_windows", oracle=_CHUNK_ORACLE,
+          description="overlapping token-window chunking (32-token chunks, "
+                      "24-token stride) with per-chunk fingerprints")
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    RAG-indexing / long-document-splitting materialization: each doc
+    yields ceil(n/stride) chunks of up to 32 tokens with 8-token
+    overlap, plus an md5 fingerprint per chunk (the key a chunk-level
+    dedup or embedding index would use downstream).
+
+    Shape: pure explode over a sequence of window starts — row
+    amplification n/stride, zero shuffle; the scanner pipelines the
+    whole query. Chunk indices derive arithmetically from the start
+    offset ((start-1)/stride), so no positional explode state is
+    needed and both engines compute identical integers.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    d = t["documents"].select(
+        "doc_id", toks.alias("w"),
+        F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_S))).alias("start"),
+    )
+    chunk = F.slice(F.col("w"), F.col("start"), F.lit(_CHUNK_K))
+    chunk_text = F.array_join(chunk, " ")
+    return d.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / _CHUNK_S).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        chunk_text.alias("chunk_text"),
+        F.md5(chunk_text).alias("chunk_fp"),
+    )

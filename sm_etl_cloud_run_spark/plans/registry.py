@@ -106,6 +106,8 @@ _CHANGED_OR_NEVER_CHECKED = (
     "knn_pq_adc",
     "corpus_training_mix",
     "events_cohort_retention",
+    "events_sketch_profile",
+    "text_chunk_windows",
     # the round-4 tier (no CORRECTNESS_r04 artifact ever landed in the
     # repo, so none of these has a confirmed driver row yet either):
     "j1_period_bucketed_range_join",

@@ -235,6 +235,7 @@ _HOSTILE_QUERIES = (
     "domain_mixture_weights",
     "dedup_incremental_new_docs",
     "corpus_training_mix",
+    "text_chunk_windows",
 )
 
 
@@ -400,3 +401,44 @@ _HOSTILE_FACT_QUERIES = (
 def test_null_fact_rows_keep_oracle_parity(spark, hostile_facts_dir, qname):
     problems = _oracle_compare(spark, hostile_facts_dir, qname)
     assert not problems, f"{qname} with NULL fact rows: {problems}"
+
+
+@pytest.fixture(scope="module")
+def hostile_dims_dir(tmp_path_factory):
+    """customer/part/supplier with NULL-key and NULL-attribute rows.
+    Dims need NO load contract: every consumer reaches them through
+    equi-joins (NULL keys match nothing, identically on both engines)
+    or through aggregates with SQL NULL semantics — this fixture proves
+    that claim holds query-by-query."""
+    d = tmp_path_factory.mktemp("hostile_dims")
+    mutations = {
+        "customer": [{"c_custkey": None}, {"c_nationkey": None, "c_custkey": 777777}],
+        "part": [{"p_partkey": None}, {"p_brand": None, "p_type": None, "p_partkey": 777777}],
+        "supplier": [{"s_suppkey": None}, {"s_nationkey": None, "s_suppkey": 777777}],
+    }
+    for t in TABLE_NAMES:
+        src = os.path.join(SRC, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        table = pq.read_table(src)
+        if t in mutations:
+            rows = []
+            for overrides in mutations[t]:
+                base = {c: table.column(c)[0].as_py() for c in table.column_names}
+                base.update(overrides)
+                rows.append(base)
+            extra = pa.Table.from_pylist(rows, schema=table.schema)
+            table = pa.concat_tables([table, extra])
+        pq.write_table(table, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q3_shipping_priority", "q5_region_revenue", "q9_product_profit",
+     "q13_custdist_outer", "q2_min_cost_supplier", "flagship_panel_enrichment",
+     "q10_returned_items", "q16_supplier_anti"],
+)
+def test_null_dim_rows_keep_oracle_parity(spark, hostile_dims_dir, qname):
+    problems = _oracle_compare(spark, hostile_dims_dir, qname)
+    assert not problems, f"{qname} with NULL dim rows: {problems}"
