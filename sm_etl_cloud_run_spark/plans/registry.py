@@ -108,6 +108,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_cohort_retention",
     "events_sketch_profile",
     "text_chunk_windows",
+    "kmeans_embedding_clusters",
     # the round-4 tier (no CORRECTNESS_r04 artifact ever landed in the
     # repo, so none of these has a confirmed driver row yet either):
     "j1_period_bucketed_range_join",

@@ -269,6 +269,112 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_lsh(emb, queries, planes, k=_GRAPH_K)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(CAST({_dot_sql(a, b)} AS DOUBLE) / "
+        f"(sqrt(CAST({_dot_sql(a, a)} AS DOUBLE)) * sqrt(CAST({_dot_sql(b, b)} AS DOUBLE))), 6)"
+    )
+
+
+_KM_K = 4          # k-means clusters (seeds = IVF centroid ranks 6-9)
+_KM_DIM = 64
+
+_KMEANS_ORACLE = f"""
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_KM_K} OFFSET 5)
+),
+a0 AS (
+  SELECT e.vec_id, s.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_cos_sql('e.embedding', 's.cv')} DESC, s.cid ASC) AS rn
+  FROM embeddings e, seeds s
+),
+a0f AS (SELECT vec_id, cid FROM a0 WHERE rn = 1),
+d1 AS (
+  SELECT a.cid, t.i,
+         CAST(SUM(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000000) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings e JOIN a0f a USING (vec_id),
+       LATERAL (SELECT unnest(range(1, {_KM_DIM} + 1)) AS i) t
+  GROUP BY a.cid, t.i
+),
+c1 AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / 1000000000.0 / n ORDER BY i) AS cv
+  FROM d1 GROUP BY cid
+),
+a1 AS (
+  SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.cv')} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid ASC) AS rn
+  FROM embeddings e, c1 c
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, cosine
+FROM a1 WHERE rn = 1
+"""
+
+
+@register("kmeans_embedding_clusters", oracle=_KMEANS_ORACLE,
+          description="Lloyd's k-means, 2 unrolled iterations: assign → "
+                      "scaled-integer centroid recompute → reassign (the real "
+                      "codebook/IVF trainer)")
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd's iteration of k-means (k=4, cosine metric) with
+    the final reassignment — the trainer that produces REAL IVF
+    centroids / PQ codebooks instead of rank-picked stand-ins.
+
+    The numerically hard part is the centroid recompute: a mean of
+    floats is partition-order-dependent, so each dimension is summed as
+    round(x·1e9) longs (exact, order-free) and divided back in a fixed
+    operation order (s / 1e9 / n) that Python, Spark, and the SQL
+    oracle all execute identically in IEEE doubles. Assignment ties
+    break toward the lower cluster id on both engines.
+
+    Shape: iteration = one codegen assignment pass (centroids are
+    literal arrays, k×d ≪ data) + one (cluster, dim)-keyed aggregate
+    whose output is parameter-sized (k·d rows) — the driver collect
+    between iterations is the standard Lloyd's synchronization point,
+    same class as dedup_lsh_components' convergence counter. At 100 TB
+    each iteration is one scan + one map-side-combined aggregate; the
+    explode amplifies by d but aggregates immediately.
+    """
+    from ..operators.similarity import ivf_assign
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = _seed_rows(emb, 9)
+    centroids0 = [[float(x) for x in r["embedding"]] for r in seeds[5:9]]
+
+    assigned = ivf_assign(emb, centroids0, cluster_col="cid")
+    dims = assigned.select(
+        "cid", F.posexplode("embedding").alias("i", "x")
+    ).groupBy("cid", "i").agg(
+        F.sum(F.round(F.col("x").cast("double") * 1000000000.0, 0).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # k·d rows — parameter-sized driver sync (Lloyd's step barrier)
+    rows = dims.collect()
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], {})[r["i"]] = r["s"] / 1000000000.0 / r["n"]
+    centroids1 = {
+        cid: [vals[i] for i in sorted(vals)] for cid, vals in by_cid.items()
+    }
+    pairs = [
+        F.struct(
+            cosine_similarity(F.col("embedding"), F.array(*[F.lit(v) for v in cv])).alias("sim"),
+            F.lit(-cid).alias("neg_cid"),
+        )
+        for cid, cv in sorted(centroids1.items())
+    ]
+    best = F.array_max(F.array(*pairs))
+    return emb.select(
+        "vec_id",
+        (-best["neg_cid"]).cast("long").alias("cluster"),
+        best["sim"].alias("cosine"),
+    )
+
+
 _PQ_M = 4          # subspaces (64-dim → 16-dim subvectors)
 _PQ_K = 4          # codewords per subspace (code vectors at ranks 10-13)
 _PQ_SHORTLIST = 20
@@ -351,12 +457,6 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_CENTROIDS_SQL = _rank_ids_sql(4, 5)   # ranks 6-9
 
-
-def _cos_sql(a: str, b: str) -> str:
-    return (
-        f"round(CAST({_dot_sql(a, b)} AS DOUBLE) / "
-        f"(sqrt(CAST({_dot_sql(a, a)} AS DOUBLE)) * sqrt(CAST({_dot_sql(b, b)} AS DOUBLE))), 6)"
-    )
 
 
 _IVF_ORACLE = f"""

@@ -268,7 +268,8 @@ def renumbered_embeddings_dir(tmp_path_factory):
 @pytest.mark.parametrize(
     "qname",
     ["knn_brute_force", "knn_lsh_bucketed", "knn_ivf", "dedup_semantic_clusters",
-     "knn_graph_brute", "knn_graph_lsh", "knn_pq_adc"],
+     "knn_graph_brute", "knn_graph_lsh", "knn_pq_adc",
+     "kmeans_embedding_clusters"],
 )
 def test_renumbered_vec_ids_keep_oracle_parity(spark, renumbered_embeddings_dir, qname):
     problems = _oracle_compare(spark, renumbered_embeddings_dir, qname)
