@@ -219,15 +219,15 @@ def text_c4_heuristics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # domain mixture weights (sqrt-temperature target, 4-epoch cap)
 # ---------------------------------------------------------------------------
 
-_MIXTURE_ORACLE = f"""
-WITH g AS (
+_WEIGHTS_CTE = """g AS (
   SELECT lang, source,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang, source
 ), cum AS (
   SELECT *, SUM(sqrt(CAST(n_tokens AS DOUBLE)))
-              OVER (ORDER BY lang, source ROWS UNBOUNDED PRECEDING) AS cum_w,
+              OVER (ORDER BY lang NULLS LAST, source NULLS LAST
+                    ROWS UNBOUNDED PRECEDING) AS cum_w,
             SUM(n_tokens) OVER () AS total_tokens
   FROM g
 ), w AS (
@@ -236,7 +236,46 @@ WITH g AS (
          sqrt(CAST(n_tokens AS DOUBLE)) AS wt,
          MAX(cum_w) OVER () AS total_w
   FROM cum
-)
+)"""
+
+
+def _domain_weights(docs: DataFrame) -> DataFrame:
+    """Shared sqrt-temperature weight table (the Spark twin of
+    `_WEIGHTS_CTE`): per (lang, source) domain, token counts plus the
+    sqrt weight and its cum-sum-ordered normalizer. The cum-sum fixes
+    the double-summation order so both engines add sqrt weights in the
+    same sequence; ordering is NULLS LAST explicitly on BOTH engines —
+    Spark's default is NULLS FIRST while DuckDB's is NULLS LAST, so a
+    hostile NULL-lang/source row would otherwise reorder the additions
+    and shift every floor() downstream by an ulp."""
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    w_cum = Window.orderBy(
+        F.col("lang").asc_nulls_last(), F.col("source").asc_nulls_last()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = g.withColumn("cum_w", F.sum(F.sqrt(F.col("n_tokens").cast("double"))).over(w_cum)) \
+           .withColumn("total_tokens", F.sum("n_tokens").over(w_all).cast("long"))
+    return cum.select(
+        "lang", "source", "n_docs", "n_tokens", "total_tokens",
+        F.sqrt(F.col("n_tokens").cast("double")).alias("wt"),
+        F.max("cum_w").over(w_all).alias("total_w"),
+    )
+
+
+def _epochs_micro() -> "F.Column":
+    """Capped resampling weight over a `_domain_weights` row."""
+    return F.least(
+        F.floor(1000000.0 * F.col("wt") * F.col("total_tokens")
+                / (F.col("total_w") * F.col("n_tokens"))),
+        F.lit(_MIXTURE_EPOCH_CAP_MICRO),
+    ).cast("long")
+
+
+_MIXTURE_ORACLE = f"""
+WITH {_WEIGHTS_CTE}
 SELECT lang, source, n_docs, n_tokens,
        CAST(FLOOR(10000.0 * n_tokens / total_tokens) AS BIGINT) AS actual_share_bp,
        CAST(FLOOR(10000.0 * wt / total_w) AS BIGINT) AS target_share_bp,
@@ -259,29 +298,12 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     it helps — the data-constrained scaling rule).
 
     Shape: one map-side-combined corpus aggregate down to |domains|
-    rows; every window after that runs over the tiny aggregate (the
-    cum-sum fixes the double-summation order so both engines add
-    sqrt weights in the same sequence — same trick as
-    training_temperature_sample). A consumer broadcasts this table.
+    rows; every window after that runs over the tiny aggregate (see
+    `_domain_weights` for the summation-order and NULL-ordering
+    contract). A consumer broadcasts this table.
     """
     t = load_tables(spark, sf_dir)
-    g = (
-        t["documents"]
-        .groupBy("lang", "source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
-        )
-    )
-    w_cum = Window.orderBy("lang", "source").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cum = g.withColumn("cum_w", F.sum(F.sqrt(F.col("n_tokens").cast("double"))).over(w_cum)) \
-           .withColumn("total_tokens", F.sum("n_tokens").over(w_all).cast("long"))
-    w = cum.select(
-        "lang", "source", "n_docs", "n_tokens", "total_tokens",
-        F.sqrt(F.col("n_tokens").cast("double")).alias("wt"),
-        F.max("cum_w").over(w_all).alias("total_w"),
-    )
+    w = _domain_weights(t["documents"])
     weight_micro = F.floor(
         1000000.0 * F.col("wt") * F.col("total_tokens") / (F.col("total_w") * F.col("n_tokens"))
     ).cast("long")
@@ -291,7 +313,7 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("actual_share_bp"),
         F.floor(10000.0 * F.col("wt") / F.col("total_w")).cast("long").alias("target_share_bp"),
         weight_micro.alias("weight_micro"),
-        F.least(weight_micro, F.lit(_MIXTURE_EPOCH_CAP_MICRO)).cast("long").alias("epochs_micro"),
+        _epochs_micro().alias("epochs_micro"),
     )
 
 
@@ -300,22 +322,7 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MIX_ORACLE = f"""
-WITH g AS (
-  SELECT lang, source,
-         CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY lang, source
-), cum AS (
-  SELECT *, SUM(sqrt(CAST(n_tokens AS DOUBLE)))
-              OVER (ORDER BY lang, source ROWS UNBOUNDED PRECEDING) AS cum_w,
-            SUM(n_tokens) OVER () AS total_tokens
-  FROM g
-), w AS (
-  SELECT lang, source, n_tokens,
-         CAST(total_tokens AS BIGINT) AS total_tokens,
-         sqrt(CAST(n_tokens AS DOUBLE)) AS wt,
-         MAX(cum_w) OVER () AS total_w
-  FROM cum
-), t AS (
+WITH {_WEIGHTS_CTE}, t AS (
   SELECT lang, source,
          CAST(LEAST(FLOOR(1000000.0 * wt * total_tokens / (total_w * n_tokens)),
                     {_MIXTURE_EPOCH_CAP_MICRO}) AS BIGINT) AS epochs_micro
@@ -345,34 +352,16 @@ def corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and identically on any engine. Domains weighted down below 1 epoch
     become a plain md5 down-sample.
 
-    Shape: the |domains|-row epoch table broadcasts onto the corpus;
-    copies come from explode(sequence(1, n_copies)) — row amplification
-    bounded by the 4-epoch cap, no shuffle anywhere (the output
-    inherits the scan's partitioning; a downstream pack/shuffle stage
-    is where the copies get separated across workers).
+    Shape: the |domains|-row epoch table (shared `_domain_weights`
+    pipeline) broadcasts onto the corpus; copies come from
+    explode(sequence(1, n_copies)) — row amplification bounded by the
+    4-epoch cap, no shuffle anywhere (the output inherits the scan's
+    partitioning; a downstream pack/shuffle stage is where the copies
+    get separated across workers).
     """
     t = load_tables(spark, sf_dir)
-    g = (
-        t["documents"]
-        .groupBy("lang", "source")
-        .agg(F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"))
-    )
-    w_cum = Window.orderBy("lang", "source").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cum = g.withColumn("cum_w", F.sum(F.sqrt(F.col("n_tokens").cast("double"))).over(w_cum)) \
-           .withColumn("total_tokens", F.sum("n_tokens").over(w_all).cast("long"))
-    w = cum.select(
-        "lang", "source", "n_tokens", "total_tokens",
-        F.sqrt(F.col("n_tokens").cast("double")).alias("wt"),
-        F.max("cum_w").over(w_all).alias("total_w"),
-    )
-    epochs = w.select(
-        "lang", "source",
-        F.least(
-            F.floor(1000000.0 * F.col("wt") * F.col("total_tokens")
-                    / (F.col("total_w") * F.col("n_tokens"))),
-            F.lit(_MIXTURE_EPOCH_CAP_MICRO),
-        ).cast("long").alias("epochs_micro"),
+    epochs = _domain_weights(t["documents"]).select(
+        "lang", "source", _epochs_micro().alias("epochs_micro")
     )
     h32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
     n_copies = (

@@ -327,8 +327,9 @@ def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
 def hostile_facts_dir(tmp_path_factory):
     """lineitem/orders with hostile NULL rows appended: NULL primary
     keys, NULL dates, NULL measures, NULL attributes. The fact-row
-    contract (a row without its PK or date column is not a valid fact
-    row — dropped at load; attribute/measure NULLs stay) exists because
+    contract (a row without its DATE column is not a valid fact row —
+    dropped at load; key/attribute/measure NULLs STAY and every query
+    must handle them with SQL semantics) exists because
     (a) Spark when/otherwise decodes and array_join aggregates treat
     NULL inputs differently from SQL CASE/string_agg, and (b) a NULL in
     a window ORDER BY key makes even DuckDB's parallel window
