@@ -308,7 +308,7 @@ WITH counts AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY lang
 ), cum AS (
   SELECT lang, c, SUM(sqrt(CAST(c AS DOUBLE)))
-           OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cum_w
+           OVER (ORDER BY lang NULLS LAST ROWS UNBOUNDED PRECEDING) AS cum_w
   FROM counts
 ), weights AS (
   SELECT lang, c, sqrt(CAST(c AS DOUBLE)) AS w,
@@ -349,7 +349,13 @@ def training_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     counts = t["documents"].groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w_cum = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, 0)
+    # NULLS LAST explicitly on BOTH engines: Spark defaults NULLS
+    # FIRST, DuckDB NULLS LAST — a hostile NULL-lang row would
+    # otherwise reorder the sqrt-weight summation (see
+    # mixture._domain_weights for the full story).
+    w_cum = Window.orderBy(F.col("lang").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     cum = counts.withColumn("cum_w", F.sum(F.sqrt(F.col("c").cast("double"))).over(w_cum))
     weights = cum.select(
         "lang", "c",

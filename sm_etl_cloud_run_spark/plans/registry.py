@@ -35,8 +35,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # No oracle uses table-qualified bare references (`documents.x`), so
 # the unaliased subqueries are drop-ins; aliased refs keep the alias.
 _TABLE_CONTRACTS = {
-    "documents": "(SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)",
+    # NULL text is an empty document; a document without an id is not
+    # addressable (doc_id feeds rank orderings and md5 coins, where
+    # Spark's NULLS FIRST vs DuckDB's NULLS LAST would diverge) —
+    # dropped. Every documents consumer already reads doc_id, so the
+    # IsNotNull adds no ReadSchema cost.
+    "documents": "(SELECT * REPLACE (coalesce(text, '') AS text) FROM documents"
+                 " WHERE doc_id IS NOT NULL)",
     "events": "(SELECT * FROM events WHERE ts IS NOT NULL)",
+    # a vector without an id or payload can be neither ranked (seed
+    # selection is ORDER BY vec_id) nor scored — dropped.
+    "embeddings": "(SELECT * FROM embeddings"
+                  " WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)",
     # A fact row without its date is not a valid fact row (see
     # tables.load_tables — date-only so column pruning survives):
     # key/attribute NULLs stay and queries handle them SQL-identically.

@@ -96,9 +96,17 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         # the oracles read through the same normalization): NULL text
         # is an empty document; a NULL-ts event is not an event.
         if name == "documents" and "text" in df.columns:
+            # NULL text is an empty document; a document without an id
+            # is not addressable (doc_id feeds rank orderings and md5
+            # coins where Spark/DuckDB NULL ordering diverges).
             df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+            df = df.where(F.col("doc_id").isNotNull())
         if name == "events" and "ts" in df.columns:
             df = df.where(F.col("ts").isNotNull())
+        if name == "embeddings" and "vec_id" in df.columns:
+            # a vector without an id or payload can be neither ranked
+            # (seed selection is ORDER BY vec_id) nor scored.
+            df = df.where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
         # A fact row without its DATE column is not a valid fact row —
         # it can't be period-joined, watermark-gated, or
         # retention-filtered (same contract as events.ts). Only the

@@ -199,11 +199,14 @@ def hostile_docs_dir(tmp_path_factory):
     table = pq.read_table(os.path.join(SRC, "documents.parquet"))
     extra = pa.table(
         {
-            "doc_id": pa.array([900001, 900002, 900003], pa.int64()),
-            "text": pa.array(["", "   ", None], pa.string()),
-            "lang": pa.array(["en", "en", None], pa.string()),
-            "source": pa.array(["web", "web", "web"], pa.string()),
-            "n_chars": pa.array([0, 3, None], pa.int64()),
+            # 900001/900002: empty + whitespace text; 900003: NULL text
+            # AND NULL lang (exercises the NULLS LAST mixture ordering);
+            # None: NULL doc_id — dropped by the addressability contract.
+            "doc_id": pa.array([900001, 900002, 900003, None], pa.int64()),
+            "text": pa.array(["", "   ", None, "stray row"], pa.string()),
+            "lang": pa.array(["en", "en", None, "en"], pa.string()),
+            "source": pa.array(["web", "web", "web", "web"], pa.string()),
+            "n_chars": pa.array([0, 3, None, 9], pa.int64()),
         }
     )
     pq.write_table(
@@ -444,3 +447,38 @@ def hostile_dims_dir(tmp_path_factory):
 def test_null_dim_rows_keep_oracle_parity(spark, hostile_dims_dir, qname):
     problems = _oracle_compare(spark, hostile_dims_dir, qname)
     assert not problems, f"{qname} with NULL dim rows: {problems}"
+
+
+@pytest.fixture(scope="module")
+def hostile_embeddings_dir(tmp_path_factory):
+    """embeddings with a NULL-vec_id row and a NULL-embedding row.
+    Both are dropped by the load contract: vec_id feeds the rank-based
+    seed selection (ORDER BY vec_id — Spark sorts NULLS FIRST, DuckDB
+    NULLS LAST, so a NULL id would give the two engines different seed
+    vectors), and a NULL payload cannot be scored."""
+    d = tmp_path_factory.mktemp("hostile_emb")
+    for t in TABLE_NAMES:
+        src = os.path.join(SRC, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        table = pq.read_table(src)
+        if t == "embeddings":
+            base = {c: table.column(c)[0].as_py() for c in table.column_names}
+            rows = [
+                dict(base, vec_id=None),
+                dict(base, vec_id=900001, embedding=None),
+            ]
+            extra = pa.Table.from_pylist(rows, schema=table.schema)
+            table = pa.concat_tables([table, extra])
+        pq.write_table(table, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["knn_brute_force", "knn_lsh_bucketed", "knn_graph_lsh", "knn_pq_adc",
+     "kmeans_embedding_clusters", "embedding_label_centroids"],
+)
+def test_null_embedding_rows_keep_oracle_parity(spark, hostile_embeddings_dir, qname):
+    problems = _oracle_compare(spark, hostile_embeddings_dir, qname)
+    assert not problems, f"{qname} with NULL embedding rows: {problems}"
