@@ -173,17 +173,29 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Malformed-props contract: Spark's get_json_object returns NULL for
+# unparseable JSON, but DuckDB's json_extract_string THROWS — the
+# oracle must gate on json_valid or a single hostile props row turns
+# the whole oracle red. "Malformed props carries no fields" on both
+# engines.
 _JSON_ORACLE = """
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS k
+  FROM events
+)
 SELECT event_type,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
-FROM events
+       CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(k) AS BIGINT) AS n_k
+FROM p
 GROUP BY event_type
 """
 
 
 @register("events_json_extract", oracle=_JSON_ORACLE,
-          description="semi-structured props: JSON field extraction + agg")
+          description="semi-structured props: JSON field extraction + agg "
+                      "(malformed props extracts as NULL on both engines)")
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("long")

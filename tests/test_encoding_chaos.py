@@ -292,15 +292,18 @@ def hostile_events_dir(tmp_path_factory):
     table = pq.read_table(os.path.join(SRC, "events.parquet"))
     extra = pa.table(
         {
-            "event_id": pa.array([9000001, 9000002], pa.int64()),
+            "event_id": pa.array([9000001, 9000002, 9000003, 9000004], pa.int64()),
             "ts": pa.array(
-                [None, pa.scalar(datetime.datetime(2024, 8, 1, 12, 0), pa.timestamp("us"))],
+                [None] + [pa.scalar(datetime.datetime(2024, 8, 1, 12, m), pa.timestamp("us"))
+                          for m in (0, 1, 2)],
                 pa.timestamp("us"),
             ),
-            "user_id": pa.array([1, None], pa.int64()),
-            "event_type": pa.array(["click", None], pa.string()),
-            "value": pa.array([None, 1.5], pa.float64()),
-            "props": pa.array([None, "{}"], pa.string()),
+            "user_id": pa.array([1, None, 2, 3], pa.int64()),
+            "event_type": pa.array(["click", None, "click", "click"], pa.string()),
+            "value": pa.array([None, 1.5, 2.5, 3.5], pa.float64()),
+            # {bad json and '' are malformed: Spark extracts NULL,
+            # DuckDB would THROW without the oracle's json_valid gate.
+            "props": pa.array([None, "{}", "{bad json", ""], pa.string()),
         }
     )
     pq.write_table(
@@ -319,7 +322,8 @@ def hostile_events_dir(tmp_path_factory):
 @pytest.mark.parametrize(
     "qname",
     ["events_hourly_rollup", "events_sessionize", "events_sliding_window",
-     "events_asof_last_click", "events_cohort_retention"],
+     "events_asof_last_click", "events_cohort_retention",
+     "events_json_extract"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
     problems = _oracle_compare(spark, hostile_events_dir, qname)
