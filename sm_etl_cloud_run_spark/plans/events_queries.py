@@ -186,8 +186,8 @@ WITH p AS (
   FROM events
 )
 SELECT event_type,
-       CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(COUNT(k) AS BIGINT) AS n_k
+       CAST(SUM(TRY_CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(TRY_CAST(k AS BIGINT)) AS BIGINT) AS n_k
 FROM p
 GROUP BY event_type
 """

@@ -292,18 +292,20 @@ def hostile_events_dir(tmp_path_factory):
     table = pq.read_table(os.path.join(SRC, "events.parquet"))
     extra = pa.table(
         {
-            "event_id": pa.array([9000001, 9000002, 9000003, 9000004], pa.int64()),
+            "event_id": pa.array([9000001, 9000002, 9000003, 9000004, 9000005], pa.int64()),
             "ts": pa.array(
                 [None] + [pa.scalar(datetime.datetime(2024, 8, 1, 12, m), pa.timestamp("us"))
-                          for m in (0, 1, 2)],
+                          for m in (0, 1, 2, 3)],
                 pa.timestamp("us"),
             ),
-            "user_id": pa.array([1, None, 2, 3], pa.int64()),
-            "event_type": pa.array(["click", None, "click", "click"], pa.string()),
-            "value": pa.array([None, 1.5, 2.5, 3.5], pa.float64()),
-            # {bad json and '' are malformed: Spark extracts NULL,
-            # DuckDB would THROW without the oracle's json_valid gate.
-            "props": pa.array([None, "{}", "{bad json", ""], pa.string()),
+            "user_id": pa.array([1, None, 2, 3, 4], pa.int64()),
+            "event_type": pa.array(["click", None, "click", "click", "click"], pa.string()),
+            "value": pa.array([None, 1.5, 2.5, 3.5, 4.5], pa.float64()),
+            # {bad json and '' are malformed (Spark extracts NULL,
+            # DuckDB would THROW without the oracle's json_valid gate);
+            # {"k":"xyz"} is valid JSON whose k is non-numeric (Spark's
+            # cast NULLs, DuckDB CAST would throw without TRY_CAST).
+            "props": pa.array([None, "{}", "{bad json", "", '{"k": "xyz"}'], pa.string()),
         }
     )
     pq.write_table(
