@@ -323,9 +323,16 @@ def hostile_events_dir(tmp_path_factory):
 
 @pytest.mark.parametrize(
     "qname",
-    ["events_hourly_rollup", "events_sessionize", "events_sliding_window",
-     "events_asof_last_click", "events_cohort_retention",
-     "events_json_extract"],
+    # the full events family — every oracle reading FROM events
+    ["c13_c17_timestamp_roundtrip", "dedup_last_write",
+     "events_anomaly_zscore", "events_asof_last_click",
+     "events_cohort_retention", "events_conversion_funnel",
+     "events_cume_dist", "events_daily_from_hourly",
+     "events_hourly_gapfill", "events_hourly_rollup",
+     "events_json_extract", "events_pivot_type_counts",
+     "events_running_balance", "events_sessionize",
+     "events_sliding_window", "events_value_histogram",
+     "f4_watermark_gate", "percentile_metrics", "skew_salted_user_join"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
     problems = _oracle_compare(spark, hostile_events_dir, qname)
