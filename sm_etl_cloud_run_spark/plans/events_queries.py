@@ -851,3 +851,69 @@ def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# native session_window twin of events_sessionize
+# ---------------------------------------------------------------------------
+
+_SESSION_WINDOW_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts, cents,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
+FROM s
+GROUP BY user_id, session_no
+"""
+
+
+@register("events_session_window_native", oracle=_SESSION_WINDOW_ORACLE,
+          description="Spark-native session_window sessionization (30-min gap) — "
+                      "the built-in operator twin of events_sessionize")
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's built-in ``session_window`` — the
+    same 30-minute-gap semantics as events_sessionize's lag+cumsum
+    formulation, expressed as the native operator Structured Streaming
+    also accepts (merging session aggregation, no window function at
+    all). The oracle reproduces it with the classic gap-islands SQL:
+    session_end is last event + gap, exactly session_window's
+    definition.
+
+    Shape: one hash aggregation keyed by (user, session) with Spark's
+    dedicated session-merge exec — on a cluster this is a single
+    user-keyed exchange; no sort-based window pass exists in the plan.
+    Values aggregate in integer cents (order-free).
+    """
+    t = load_tables(spark, sf_dir)
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        t["events"]
+        .select("user_id", "ts", F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+        .groupBy(sw, "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

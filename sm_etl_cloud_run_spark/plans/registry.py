@@ -119,6 +119,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_sketch_profile",
     "text_chunk_windows",
     "kmeans_embedding_clusters",
+    "events_session_window_native",
     # the round-4 tier (no CORRECTNESS_r04 artifact ever landed in the
     # repo, so none of these has a confirmed driver row yet either):
     "j1_period_bucketed_range_join",

@@ -332,6 +332,7 @@ def hostile_events_dir(tmp_path_factory):
      "events_json_extract", "events_pivot_type_counts",
      "events_running_balance", "events_sessionize",
      "events_sliding_window", "events_value_histogram",
+     "events_session_window_native",
      "f4_watermark_gate", "percentile_metrics", "skew_salted_user_join"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
