@@ -1,0 +1,87 @@
+"""Graph analytics over similarity graphs (scale layer; not in the
+reference — the companion of operators/dedup.py's transitive
+components: once a near-duplicate graph exists, centrality ranks the
+canonical representative and surfaces hub documents).
+
+Determinism for oracle parity: PageRank mass is integer micro-units
+(1e12 scale) and every division is integer `DIV`, so each iteration is
+exact and partition-order-free on both engines — iterating IEEE
+doubles would drift across engines after one round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000_000   # 1e12 micro-pagerank units
+_DAMP_NUM = 85                 # damping 0.85 as an integer percentage
+
+
+def pagerank_undirected(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iterations: int = 2,
+) -> DataFrame:
+    """Integer-exact PageRank over an undirected edge list.
+
+    `pairs` holds each undirected edge once (id_a < id_b by
+    convention); nodes are the edge participants (every node therefore
+    has degree ≥ 1 — no dangling-mass term). Returns
+    (id, deg, pr_micro): PageRank mass in 1e12 micro-units after
+    `iterations` rounds from the uniform start.
+
+    All arithmetic is BIGINT: pr₀ = SCALE DIV n, each node's
+    per-neighbor contribution is pr DIV deg, and
+    prₜ₊₁ = (15·(SCALE DIV n)) DIV 100 + (85·Σ contribs) DIV 100.
+    Truncating division loses < 1 micro-unit per op — invisible at the
+    1e12 scale, and identically invisible on both engines.
+
+    Scale shape: one groupBy for degrees, then per iteration one
+    src-keyed hash join (edges × parameter-free contribs) and one
+    dst-keyed map-side-combined aggregate — Pregel's message pass as
+    two shuffles on the node key, which AQE co-locates across
+    iterations. No driver sync: a fixed iteration count keeps the
+    whole chain one lazy plan (convergence-tested variants add the
+    1-row counter collect, as dedup_lsh_components does).
+    """
+    edges = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    base = deg.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.expr(f"{PR_SCALE} DIV n").alias("pr0"),
+        F.expr(f"(15 * ({PR_SCALE} DIV n)) DIV 100").alias("teleport"),
+    )
+    cur = deg.crossJoin(F.broadcast(base)).select(
+        "id", "deg", F.col("pr0").alias("pr"), "teleport"
+    )
+    for _ in range(iterations):
+        contribs = cur.select(
+            F.col("id").alias("src"), F.expr("pr DIV deg").alias("c")
+        )
+        inbox = (
+            edges.join(contribs, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        cur = (
+            deg.join(inbox, "id", "left")
+            .crossJoin(F.broadcast(base))
+            .select(
+                "id",
+                "deg",
+                (
+                    F.col("teleport")
+                    + F.expr(f"({_DAMP_NUM} * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+                ).cast("long").alias("pr"),
+                "teleport",
+            )
+        )
+    return cur.select("id", "deg", F.col("pr").alias("pr_micro"))

@@ -241,6 +241,76 @@ def pq_adc_topk(
     )
 
 
+def pq_train_codebook(
+    embeddings: DataFrame,
+    code_vecs: list[list[float]],
+    *,
+    num_subspaces: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd's iteration of per-subspace k-means — the trainer that
+    turns `pq_adc_topk`'s stand-in code vectors into a REAL product-
+    quantization codebook (Jégou et al. §III: independent k-means in
+    each subspace).
+
+    Each vector splits into `num_subspaces` subvectors; each subvector
+    is assigned to its nearest initial codeword (fixed-point dot,
+    argmax via the array_max-over-structs trick, ties to the lower
+    codeword id); the new codeword is the assigned subvectors' mean,
+    computed as 1e9-scaled long sums so the result is exact and
+    partition-order-free (same discipline as kmeans_embedding_clusters).
+    Returns the trained codebook in long format:
+    (m, cw, pos, centroid, n) — `num_subspaces·K·sub_dim` rows.
+
+    Scale shape: assignment is a pure codegen pass (codewords are
+    literals, K·d ≪ data); the recompute is posexplode (×sub_dim) into
+    one map-side-combined hash aggregate whose output is
+    parameter-sized. Chain calls for more Lloyd's rounds — the
+    between-rounds sync is a parameter-sized collect, the Lloyd's
+    barrier, exactly as in kmeans_embedding_clusters.
+    """
+    from functools import reduce
+
+    dim = len(code_vecs[0])
+    sub = dim // num_subspaces
+
+    def _sub_lit(vec: list[float], m: int) -> Column:
+        return F.array(*[F.lit(float(x)) for x in vec[m * sub:(m + 1) * sub]])
+
+    per_m = []
+    for m in range(num_subspaces):
+        sv = F.slice(F.col(vec_col), m * sub + 1, sub)
+        pairs = [
+            F.struct(
+                _fixed_point_dot(sv, _sub_lit(cv, m)).alias("dot"),
+                F.lit(-j).alias("neg_k"),
+            )
+            for j, cv in enumerate(code_vecs)
+        ]
+        cw = -F.array_max(F.array(*pairs))["neg_k"]
+        per_m.append(
+            embeddings.select(
+                F.lit(m).cast("int").alias("m"),
+                cw.cast("long").alias("cw"),
+                sv.alias("__sv"),
+            )
+        )
+    assigned = reduce(DataFrame.unionByName, per_m)
+    dims = assigned.select(
+        "m", "cw", F.posexplode("__sv").alias("pos0", "x")
+    ).groupBy("m", "cw", (F.col("pos0") + 1).cast("int").alias("pos")).agg(
+        F.sum(F.round(F.col("x").cast("double") * F.lit(_SCALE), 0).cast("long")).alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return dims.select(
+        "m", "cw", "pos",
+        F.round(
+            F.col("__s").cast("double") / F.lit(_SCALE) / F.col("n").cast("double"), 6
+        ).alias("centroid"),
+        "n",
+    )
+
+
 def knn_join_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -9,6 +9,7 @@ this package populates the registry.
 from . import (  # noqa: F401
     corpus_stats,
     events_queries,
+    graph_train,
     mixture,
     pipeline,
     pipeline_fact,

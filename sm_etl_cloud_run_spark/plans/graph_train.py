@@ -1,0 +1,327 @@
+"""Codebook training, similarity-graph analytics, and DSIR sampling.
+
+Third tranche of the training-data curation layer (after
+plans/corpus_stats.py and plans/mixture.py):
+
+- **PQ codebook training** — per-subspace Lloyd's k-means (Jégou et
+  al.), graduating `knn_pq_adc`'s rank-picked stand-in code vectors to
+  a trained codebook. The iterative-trainer pattern proven by
+  kmeans_embedding_clusters, applied per subspace.
+- **PageRank over the near-duplicate graph** — once a similarity graph
+  exists (embedding_dup_pairs), centrality picks canonical
+  representatives and surfaces hub documents; the iterative-graph
+  pattern (Pregel message passing as join + aggregate), integer-exact
+  so two engines agree after any number of rounds.
+- **DSIR importance sampling** (Xie et al., "Data Selection for
+  Language Models via Importance Resampling"): score every document by
+  the hashed-unigram log-likelihood ratio between a target domain and
+  the raw corpus, keep the top quartile — the model-free way to tilt a
+  100 TB crawl toward a target distribution.
+
+Determinism: the registry conventions (scaled integers, md5 hashing,
+tiebreakers) plus two module-local rules — PageRank mass lives in
+integer micro-units with `DIV` everywhere (operators/graph.py), and
+DSIR log-probs are 1e6-scaled floored longs (the text_unigram_logprob
+pattern) so per-doc sums are order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens
+from ..tables import load_tables
+from .registry import register
+from .vector import _dot_sql, _seed_rows
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook training (per-subspace Lloyd's)
+# ---------------------------------------------------------------------------
+
+_PQT_M = 4        # subspaces (64-dim → 16-dim subvectors)
+_PQT_K = 4        # codewords per subspace; init = ranks 10-13 sliced
+_PQT_SUB = 16
+
+_PQT_ORACLE = f"""
+WITH sk AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cw, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+        LIMIT {_PQT_K} OFFSET 9)
+),
+ms AS (SELECT unnest(range(0, {_PQT_M})) AS m),
+cb AS (
+  SELECT ms.m, sk.cw,
+         list_slice(sk.embedding, ms.m * {_PQT_SUB} + 1, ms.m * {_PQT_SUB} + {_PQT_SUB}) AS cv
+  FROM sk, ms
+),
+sub AS (
+  SELECT e.vec_id, ms.m,
+         list_slice(e.embedding, ms.m * {_PQT_SUB} + 1, ms.m * {_PQT_SUB} + {_PQT_SUB}) AS sv
+  FROM embeddings e, ms
+),
+assign AS (
+  SELECT sub.vec_id, sub.m, cb.cw, sub.sv,
+         ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+                            ORDER BY {_dot_sql('sub.sv', 'cb.cv')} DESC, cb.cw ASC) AS rn
+  FROM sub JOIN cb ON cb.m = sub.m
+),
+d1 AS (
+  SELECT m, cw, t.i AS pos,
+         CAST(SUM(CAST(round(CAST(sv[t.i] AS DOUBLE) * 1000000000) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM assign, LATERAL (SELECT unnest(range(1, {_PQT_SUB} + 1)) AS i) t
+  WHERE rn = 1
+  GROUP BY m, cw, t.i
+)
+SELECT CAST(m AS INT) AS m, CAST(cw AS BIGINT) AS cw, CAST(pos AS INT) AS pos,
+       round(CAST(s AS DOUBLE) / 1000000000.0 / n, 6) AS centroid, n
+FROM d1
+"""
+
+
+@register("pq_codebook_train", oracle=_PQT_ORACLE,
+          description="per-subspace Lloyd's k-means: train the REAL PQ codebook "
+                      "(assign to nearest init codeword, scaled-integer centroid "
+                      "recompute, long format)")
+def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the product-quantization codebook knn_pq_adc consumes:
+    one Lloyd's round of independent k-means in each of 4 subspaces,
+    initialized from the same rank-10-13 code vectors the search query
+    uses, emitting (m, cw, pos, centroid, n).
+
+    The assignment metric is the fixed-point dot (exact longs, ties to
+    the lower codeword) and centroid means are 1e9-scaled long sums —
+    both engines agree bit-for-bit, which is what lets a trained
+    codebook replace the stand-in without re-deriving oracles.
+
+    Scale: one codegen assignment pass over the corpus + one
+    map-side-combined aggregate to a parameter-sized (M·K·sub) result;
+    more rounds chain the same plan (see operators/similarity.
+    pq_train_codebook).
+    """
+    from ..operators.similarity import pq_train_codebook
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = _seed_rows(emb, 13)
+    code_vecs = [[float(x) for x in seeds[i]["embedding"]] for i in range(9, 13)]
+    return pq_train_codebook(emb, code_vecs, num_subspaces=_PQT_M)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the embedding near-duplicate graph
+# ---------------------------------------------------------------------------
+
+_PR_THRESHOLD = 0.40   # same edge set as embedding_dup_pairs
+_PR_SCALE = 1_000_000_000_000
+
+_PAGERANK_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(CAST({_dot_sql('a.embedding', 'b.embedding')} AS DOUBLE)
+              / (sqrt(CAST({_dot_sql('a.embedding', 'a.embedding')} AS DOUBLE))
+                 * sqrt(CAST({_dot_sql('b.embedding', 'b.embedding')} AS DOUBLE))), 6)
+        >= {_PR_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+base AS (
+  SELECT {_PR_SCALE} // n AS pr0, (15 * ({_PR_SCALE} // n)) // 100 AS teleport
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)
+),
+c1 AS (SELECT d.id, base.pr0 // d.deg AS c FROM deg d, base),
+s1 AS (
+  SELECT e.dst AS id, CAST(SUM(c1.c) AS BIGINT) AS s
+  FROM edges e JOIN c1 ON c1.id = e.src GROUP BY e.dst
+),
+p1 AS (
+  SELECT d.id, d.deg, base.teleport + (85 * COALESCE(s1.s, 0)) // 100 AS pr
+  FROM deg d LEFT JOIN s1 USING (id), base
+),
+c2 AS (SELECT id, pr // deg AS c FROM p1),
+s2 AS (
+  SELECT e.dst AS id, CAST(SUM(c2.c) AS BIGINT) AS s
+  FROM edges e JOIN c2 ON c2.id = e.src GROUP BY e.dst
+),
+p2 AS (
+  SELECT d.id, d.deg, base.teleport + (85 * COALESCE(s2.s, 0)) // 100 AS pr
+  FROM deg d LEFT JOIN s2 USING (id), base
+)
+SELECT id AS vec_id, deg, CAST(pr AS BIGINT) AS pr_micro FROM p2
+"""
+
+
+@register("knn_graph_pagerank", oracle=_PAGERANK_ORACLE,
+          description="integer-exact PageRank (2 rounds) over the cosine "
+                      "near-duplicate graph — hub/canonical scoring")
+def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the embedding near-duplicate graph: nodes are the
+    participants of cosine-≥-0.40 pairs, two damped rounds from the
+    uniform start, in 1e12 integer micro-units (operators/graph.py).
+
+    Edge discovery here is the exact self-join (the test-scale twin of
+    embedding_dup_pairs); at 100 TB the edge list comes from the
+    LSH-bucketed candidate path (`embedding_cosine_dup_pairs` with
+    hyperplanes) and the PageRank plan itself — two node-keyed
+    shuffles per round, no driver sync — is unchanged.
+    """
+    from ..operators.graph import pagerank_undirected
+    from ..operators.similarity import embedding_cosine_dup_pairs
+
+    t = load_tables(spark, sf_dir)
+    pairs = embedding_cosine_dup_pairs(
+        t["embeddings"], id_col="vec_id", vec_col="embedding",
+        threshold=_PR_THRESHOLD,
+    )
+    pr = pagerank_undirected(pairs, iterations=2)
+    return pr.select(F.col("id").alias("vec_id"), "deg", "pr_micro")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance sampling (hashed-unigram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64            # hashed feature buckets
+_DSIR_TARGET = "en"     # target domain: English documents
+_DSIR_KEEP_QUARTER = 4  # keep rank·4 ≤ total → top 25%
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {_DSIR_B} AS b,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2, 3
+),
+cs AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS c_src FROM tf GROUP BY b),
+ct AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS c_tgt FROM tf
+       WHERE lang = '{_DSIR_TARGET}' GROUP BY b),
+tots AS (
+  SELECT (SELECT CAST(SUM(c_src) AS BIGINT) FROM cs) AS t_src,
+         (SELECT CAST(COALESCE(SUM(c_tgt), 0) AS BIGINT) FROM ct) AS t_tgt
+),
+lr AS (
+  SELECT cs.b,
+         CAST(FLOOR(1000000.0 * ln(CAST(COALESCE(ct.c_tgt, 0) + 1 AS DOUBLE)
+                                   / CAST(tots.t_tgt + {_DSIR_B} AS DOUBLE)))
+            - FLOOR(1000000.0 * ln(CAST(cs.c_src + 1 AS DOUBLE)
+                                   / CAST(tots.t_src + {_DSIR_B} AS DOUBLE)))
+              AS BIGINT) AS lr_micro
+  FROM cs LEFT JOIN ct USING (b), tots
+),
+doc AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf.tf * lr.lr_micro) AS BIGINT) AS score_micro
+  FROM tf JOIN lr USING (b) GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, n_tokens, score_micro,
+         ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER () AS total
+  FROM doc
+)
+SELECT doc_id, n_tokens, score_micro,
+       CAST(CASE WHEN rn * {_DSIR_KEEP_QUARTER} <= total THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+FROM ranked
+"""
+
+
+@register("training_dsir_sample", oracle=_DSIR_ORACLE,
+          description="DSIR importance sampling: hashed-unigram log-likelihood "
+                      "ratio vs the 'en' target domain, top-quartile keep")
+def training_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by the DSIR importance weight — the
+    log-likelihood ratio of its hashed unigrams under the target-domain
+    ('en') model vs the raw-corpus model (add-1 smoothing over 64 md5
+    buckets) — and keep the top quartile.
+
+    Log-probs are 1e6-scaled floored longs (the text_unigram_logprob
+    discipline) so the per-doc tf·lr sum is exact integer arithmetic;
+    the keep gate is rank·4 ≤ total, integer-exact on both engines.
+
+    Scale shape: the bucket table is 64 rows — a broadcast join, not
+    the |vocab|-sized shuffle of the unhashed variant (that IS the
+    point of DSIR's hashing); the rest is two map-side-combined
+    aggregates and one doc-keyed aggregate. The global rank is the
+    only total-order op; at 100 TB it becomes an approx-quantile
+    threshold on score_micro instead of a full sort.
+    """
+    t = load_tables(spark, sf_dir)
+    tf = (
+        t["documents"]
+        .select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .select(
+            "doc_id", "lang",
+            (F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+             % _DSIR_B).alias("b"),
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cs = tf.groupBy("b").agg(F.sum("tf").cast("long").alias("c_src"))
+    ct = (
+        tf.where(F.col("lang") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.sum("tf").cast("long").alias("c_tgt"))
+    )
+    tots = cs.agg(F.sum("c_src").cast("long").alias("t_src")).crossJoin(
+        ct.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).cast("long").alias("t_tgt"))
+    )
+    # 64-row bucket table: broadcast side of every downstream join
+    lr = (
+        cs.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.floor(
+                    1000000.0
+                    * F.log(
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast("double")
+                        / (F.col("t_tgt") + _DSIR_B).cast("double")
+                    )
+                )
+                - F.floor(
+                    1000000.0
+                    * F.log(
+                        (F.col("c_src") + 1).cast("double")
+                        / (F.col("t_src") + _DSIR_B).cast("double")
+                    )
+                )
+            ).cast("long").alias("lr_micro"),
+        )
+    )
+    doc = (
+        tf.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lr_micro")).cast("long").alias("score_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    wall = Window.partitionBy()
+    return (
+        doc.select(
+            "doc_id", "n_tokens", "score_micro",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("total"),
+        )
+        .select(
+            "doc_id", "n_tokens", "score_micro",
+            F.when(F.col("rn") * _DSIR_KEEP_QUARTER <= F.col("total"), 1)
+            .otherwise(0).cast("long").alias("keep"),
+        )
+    )

@@ -106,6 +106,10 @@ def register(
 #     NTZ testdata in r4 (operators/windows.py, tables.py);
 #   - training_*: registered in r3 after the rotation cut, never checked.
 _CHANGED_OR_NEVER_CHECKED = (
+    # registered in round 6, never driver-checked:
+    "pq_codebook_train",
+    "knn_graph_pagerank",
+    "training_dsir_sample",
     # registered in round 5, never driver-checked:
     "text_dup_ngram_fraction",
     "text_c4_heuristics",

@@ -239,6 +239,7 @@ _HOSTILE_QUERIES = (
     "dedup_incremental_new_docs",
     "corpus_training_mix",
     "text_chunk_windows",
+    "training_dsir_sample",
 )
 
 
@@ -272,7 +273,7 @@ def renumbered_embeddings_dir(tmp_path_factory):
     "qname",
     ["knn_brute_force", "knn_lsh_bucketed", "knn_ivf", "dedup_semantic_clusters",
      "knn_graph_brute", "knn_graph_lsh", "knn_pq_adc",
-     "kmeans_embedding_clusters"],
+     "kmeans_embedding_clusters", "pq_codebook_train", "knn_graph_pagerank"],
 )
 def test_renumbered_vec_ids_keep_oracle_parity(spark, renumbered_embeddings_dir, qname):
     problems = _oracle_compare(spark, renumbered_embeddings_dir, qname)
@@ -491,7 +492,8 @@ def hostile_embeddings_dir(tmp_path_factory):
 @pytest.mark.parametrize(
     "qname",
     ["knn_brute_force", "knn_lsh_bucketed", "knn_graph_lsh", "knn_pq_adc",
-     "kmeans_embedding_clusters", "embedding_label_centroids"],
+     "kmeans_embedding_clusters", "embedding_label_centroids",
+     "pq_codebook_train", "knn_graph_pagerank"],
 )
 def test_null_embedding_rows_keep_oracle_parity(spark, hostile_embeddings_dir, qname):
     problems = _oracle_compare(spark, hostile_embeddings_dir, qname)
