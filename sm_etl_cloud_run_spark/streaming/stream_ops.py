@@ -66,6 +66,43 @@ def streaming_sessions(
     )
 
 
+def windowed_sketch_profile(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-window sketch profile: HLL++ distinct users + GK median —
+    the streaming twin of the batch `events_sketch_profile` query.
+
+    Both sketches are mergeable, which is exactly what makes them
+    streaming-legal: partial HLL registers / GK summaries combine
+    across micro-batches and partitions without holding raw values in
+    state, so per-window state is O(sketch), not O(events) — the whole
+    point of sketch aggregates at 100 TB/stream. Works on batch frames
+    too (same expression, no watermark), which is how the test pins
+    stream output to the batch answer exactly: identical sketch, same
+    merge algebra, deterministic result.
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.approx_count_distinct(user_col, rsd).cast("long").alias("approx_users"),
+            F.percentile_approx(value_col, 0.5, 10000).alias("median_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events", "approx_users", "median_value",
+        )
+    )
+
+
 def running_totals_stateful(
     events: DataFrame,
     *,

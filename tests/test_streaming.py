@@ -14,7 +14,39 @@ from sm_etl_cloud_run_spark.streaming.stream_ops import (
     running_totals_stateful,
     streaming_sessions,
     windowed_counts,
+    windowed_sketch_profile,
 )
+
+
+def test_windowed_sketch_profile_stream_matches_batch(spark, tmp_path):
+    """Sketches are mergeable, so the streaming answer must equal the
+    batch answer EXACTLY (same HLL registers / GK summary, same merge
+    algebra) — and the HLL estimate must sit within its rsd of truth."""
+    base = dt.datetime(2024, 3, 1, 9, 5)
+    rows = [
+        (base + dt.timedelta(minutes=i % 55), i % 37, float(i % 101))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    path = str(tmp_path / "sketch_events")
+    df.coalesce(1).write.parquet(path)
+
+    batch = windowed_sketch_profile(spark.read.parquet(path))
+    stream = windowed_sketch_profile(read_events_stream(spark, path, df.schema))
+    q = run_stream_to_memory(stream, "sketch_out", output_mode="complete")
+    try:
+        got = spark.sql("SELECT * FROM sketch_out")
+        b = {r["window_start"]: (r["n_events"], r["approx_users"], r["median_value"])
+             for r in batch.collect()}
+        s = {r["window_start"]: (r["n_events"], r["approx_users"], r["median_value"])
+             for r in got.collect()}
+        assert b == s and len(b) == 1
+        (n_events, approx_users, median) = next(iter(b.values()))
+        assert n_events == 400
+        assert abs(approx_users - 37) <= max(2, int(37 * 0.05))
+        assert 0.0 <= median <= 101.0
+    finally:
+        q.stop()
 
 
 def _control(spark):
