@@ -117,6 +117,10 @@ _NESTED_LOOP_OK = {
     "set_intersect_except",  # three 1-row aggs crossJoined into one output row
     "text_tfidf_topterms",   # 1-row corpus-size scalar broadcast (N for idf)
     "text_unigram_logprob",  # 1-row total-token scalar broadcast
+    # exact dup-pair self-join edge discovery (small-input twin of the
+    # LSH candidate path) + 1-row pr0/teleport scalar broadcast:
+    "knn_graph_pagerank",
+    "training_dsir_sample",  # 1-row t_src/t_tgt scalar broadcast
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.
