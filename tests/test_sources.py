@@ -88,3 +88,69 @@ def test_read_jdbc_table_argument_contract(spark):
             spark, "jdbc:postgresql://h/db", "t", user="u", password="p",
             partition_column="id",  # bounds missing
         )
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL write → read roundtrip, plus malformed-line quarantine:
+    broken lines land in _corrupt_record verbatim, clean rows parse
+    fully, and nothing is silently dropped."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sm_etl_cloud_run_spark.sources.jsonl import (
+        read_jsonl, split_corrupt, write_jsonl,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "olá 世界", "pt")], schema
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, out)
+    clean, quarantine = split_corrupt(read_jsonl(spark, out, schema))
+    assert quarantine.count() == 0
+    got = sorted((r["doc_id"], r["text"], r["lang"]) for r in clean.collect())
+    assert got == [(1, "hello world", "en"), (2, "olá 世界", "pt")]
+
+    # hand-written file with two broken lines among good ones
+    raw = tmp_path / "drop" ; raw.mkdir()
+    (raw / "part-0.jsonl").write_text(
+        '{"doc_id": 10, "text": "ok", "lang": "en"}\n'
+        '{"doc_id": 11, "text": "unterminated\n'
+        'not json at all\n'
+        '{"doc_id": 12, "text": "also ok", "lang": "de"}\n'
+    )
+    clean2, quarantine2 = split_corrupt(read_jsonl(spark, str(raw), schema))
+    assert sorted(r["doc_id"] for r in clean2.collect()) == [10, 12]
+    bad = sorted(r["raw_line"] for r in quarantine2.collect())
+    assert bad == ["not json at all", '{"doc_id": 11, "text": "unterminated']
+
+
+def test_jsonl_stream_matches_batch(spark, tmp_path):
+    """The streaming JSONL reader is the same schema/corrupt contract
+    as the batch one: identical rows arrive through a memory sink."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sm_etl_cloud_run_spark.sources.jsonl import read_jsonl_stream, split_corrupt
+    from sm_etl_cloud_run_spark.streaming.stream_ops import run_stream_to_memory
+
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    drop = tmp_path / "stream_drop" ; drop.mkdir()
+    (drop / "a.jsonl").write_text('{"doc_id": 1, "text": "x"}\nbroken\n')
+    (drop / "b.jsonl").write_text('{"doc_id": 2, "text": "y"}\n')
+    clean, _ = split_corrupt(read_jsonl_stream(spark, str(drop), schema))
+    q = run_stream_to_memory(clean, "jsonl_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["doc_id"], r["text"])
+            for r in spark.sql("SELECT * FROM jsonl_out").collect()
+        )
+        assert got == [(1, "x"), (2, "y")]
+    finally:
+        q.stop()

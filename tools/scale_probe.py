@@ -53,6 +53,12 @@ QUERIES = (
     "dedup_incremental_new_docs",
     "corpus_training_mix",
     "events_cohort_retention",
+    # round-6 additions: per-subspace codebook trainer (explode+agg to a
+    # parameter-sized result), DSIR's 64-bucket broadcast join, and the
+    # LSH-bucketed PageRank (bucket hash join + 2 Pregel rounds).
+    "pq_codebook_train",
+    "training_dsir_sample",
+    "knn_graph_pagerank",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
