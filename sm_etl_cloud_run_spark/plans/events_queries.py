@@ -853,6 +853,45 @@ def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_sketch_rollup_merge", oracle=None,
+          description="two-level sketch rollup: daily Datasketches-HLL user "
+                      "sketches merged into per-type totals WITHOUT re-reading "
+                      "raw events (rows-only; merge-exactness asserted in pytest)")
+def events_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-PERSISTENCE pattern events_sketch_profile stops short
+    of: materialize a (day, event_type) → HLL-sketch table (what a
+    daily job would store — kilobytes per cell), then answer the
+    per-type all-time distinct-users question by merging the stored
+    sketches with hll_union_agg, never touching raw events again.
+
+    This is the 100 TB observability architecture: the raw scan happens
+    once per day over that day's partition; every later rollup
+    (weekly/monthly/all-time, any grouping coarser than the stored one)
+    is an aggregate over sketch blobs. Datasketches HLL is buildable,
+    storable, and mergeable as a first-class column — and the merge is
+    EXACT: union-of-registers gives byte-identical estimates to a
+    single pass over the union (asserted in tests/test_plans.py). No
+    SQL oracle — DuckDB has no Datasketches-compatible HLL — so the
+    driver row is rows-only by design.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .select(F.to_date("ts").alias("day"), "event_type", "user_id")
+        .groupBy("day", "event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("user_sketch"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("user_sketch"))
+            .cast("long").alias("approx_total_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # native session_window twin of events_sessionize
 # ---------------------------------------------------------------------------

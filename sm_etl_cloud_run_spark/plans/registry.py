@@ -110,6 +110,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "pq_codebook_train",
     "knn_graph_pagerank",
     "training_dsir_sample",
+    "events_sketch_rollup_merge",
     # registered in round 5, never driver-checked:
     "text_dup_ngram_fraction",
     "text_c4_heuristics",

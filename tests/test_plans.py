@@ -181,3 +181,38 @@ def test_sketch_profile_accuracy_vs_exact(spark, sf_dir):
         assert abs(a["approx_users"] - e["users"]) <= max(1, 0.05 * e["users"]), et
         assert abs(a["approx_median"] - e["median"]) <= max(0.5, abs(0.05 * e["median"])), et
         assert abs(a["approx_p90"] - e["p90"]) <= max(0.5, abs(0.05 * e["p90"])), et
+
+
+def test_sketch_rollup_merge_exact_vs_single_pass(spark, sf_dir):
+    """events_sketch_rollup_merge must give the SAME estimate as one
+    direct HLL pass over raw events (union-of-registers is exact — the
+    property that makes stored daily sketches trustworthy), and that
+    estimate must sit within 5% of the true distinct count."""
+    from pyspark.sql import functions as F
+
+    from sm_etl_cloud_run_spark.plans import get
+    from sm_etl_cloud_run_spark.tables import load_tables
+
+    merged = {r["event_type"]: r for r in
+              get("events_sketch_rollup_merge").fn(spark, sf_dir).collect()}
+    t = load_tables(spark, sf_dir)
+    direct = {
+        r["event_type"]: r
+        for r in (
+            t["events"]
+            .groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+                .cast("long").alias("est"),
+                F.countDistinct("user_id").alias("truth"),
+                F.countDistinct(F.to_date("ts")).alias("days"),
+            )
+            .collect()
+        )
+    }
+    assert set(merged) == set(direct)
+    for et, m in merged.items():
+        d = direct[et]
+        assert m["approx_total_users"] == d["est"], et          # merge exactness
+        assert abs(m["approx_total_users"] - d["truth"]) <= max(1, 0.05 * d["truth"]), et
+        assert m["n_days"] == d["days"], et
