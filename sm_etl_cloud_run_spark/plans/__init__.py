@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     mixture,
     pipeline,
     pipeline_fact,
+    quality,
     relational,
     relational2,
     textops,

