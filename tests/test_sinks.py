@@ -126,3 +126,61 @@ def test_merge_upsert_null_condition_keeps_target_row(spark, tmp_path):
     )
     rows = {r["nome"]: r["payload"] for r in spark.read.parquet(path).collect()}
     assert rows == {"A": "tgt-a", "B": "tgt-b"}
+
+
+def test_compact_parquet_dir_bin_packs_and_preserves_rows(spark, tmp_path):
+    from sm_etl_cloud_run_spark.sinks.compact import compact_parquet_dir, dir_stats
+
+    path = str(tmp_path / "smallfiles")
+    df = spark.range(20000).selectExpr("id", "id % 97 as k", "CAST(id AS STRING) as s")
+    df.repartition(64).write.parquet(path)
+    files_before, bytes_before = dir_stats(path)
+    assert files_before == 64
+
+    report = compact_parquet_dir(
+        spark, path, target_file_bytes=max(1, bytes_before // 4),
+    )
+    assert not report["skipped"]
+    assert report["files_after"] <= 8 < files_before
+    assert report["rows"] == 20000
+    got = spark.read.parquet(path)
+    assert got.count() == 20000
+    assert got.selectExpr("sum(id)").first()[0] == sum(range(20000))
+
+
+def test_compact_with_range_sort_clusters_keys(spark, tmp_path):
+    """Range-sorted compaction: each output file covers a disjoint id
+    range, so parquet min/max stats can prune point scans."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from sm_etl_cloud_run_spark.sinks.compact import compact_parquet_dir
+
+    path = str(tmp_path / "sortme")
+    spark.range(10000).selectExpr("id", "id % 7 as v").repartition(16).write.parquet(path)
+    report = compact_parquet_dir(
+        spark, path, target_file_bytes=1, sort_cols=["id"],
+    )
+    # target=1 byte caps at ceil(bytes) files but repartitionByRange is
+    # bounded by the partition count requested; just require multiple
+    # files with disjoint [min, max] id ranges
+    files = [f for f in _glob.glob(path + "/*.parquet")]
+    assert len(files) >= 2 and report["rows"] == 10000
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["id"])
+        if t.num_rows:
+            ids = t["id"].to_pylist()
+            ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file id ranges overlap — range clustering failed"
+
+
+def test_compact_skips_single_file_dirs(spark, tmp_path):
+    from sm_etl_cloud_run_spark.sinks.compact import compact_parquet_dir
+
+    path = str(tmp_path / "onefile")
+    spark.range(100).coalesce(1).write.parquet(path)
+    report = compact_parquet_dir(spark, path)
+    assert report["skipped"] and report["files_before"] == 1
