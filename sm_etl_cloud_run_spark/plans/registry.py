@@ -112,6 +112,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "training_dsir_sample",
     "events_sketch_rollup_merge",
     "dq_expectations_report",
+    "training_weighted_sample",
     # registered in round 5, never driver-checked:
     "text_dup_ngram_fraction",
     "text_c4_heuristics",

@@ -153,3 +153,70 @@ def training_shuffle_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
     )
+
+
+_AES_K = 100
+_AES_SEED = "aes-seed-1:"
+
+
+_WEIGHTED_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS wt
+  FROM documents
+),
+u AS (
+  SELECT doc_id, wt,
+         (CAST(('0x' || substr(md5('{_AES_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) + 1) / 4294967296.0 AS u
+  FROM w
+),
+k AS (
+  SELECT doc_id, wt,
+         CAST(FLOOR(1000000.0 * ln(u) / wt) AS BIGINT) AS key_micro
+  FROM u
+)
+SELECT doc_id, wt, key_micro,
+       CAST(ROW_NUMBER() OVER (ORDER BY key_micro DESC, doc_id ASC) AS BIGINT) AS rn
+FROM k
+QUALIFY rn <= {_AES_K}
+"""
+
+
+@register("training_weighted_sample", oracle=_WEIGHTED_ORACLE,
+          description="Efraimidis-Spirakis weighted sampling without replacement: "
+                      "token-count weights, md5 coins, deterministic top-k keys")
+def training_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis-Spirakis A-ES scheme (key = u^(1/w), equivalently rank
+    by ln(u)/w) with md5-derived uniforms, so every engine and every
+    rerun draws the same sample. Weights are token counts — sampling
+    documents proportional to their token mass is how a budgeted
+    sub-corpus preserves the token-level distribution.
+
+    ln(u)/w is computed once per doc and floored at 1e6 (the
+    text_unigram_logprob discipline); selection is a top-k on that
+    integer key. Scale shape: one expression-only pass + a TakeOrdered
+    top-k — no shuffle except the k-sized result; the classic
+    distributed one-pass weighted sampler (A-ES is a single reduce of
+    per-partition top-k, exactly what TakeOrdered does).
+    """
+    from ..functions.text import tokens
+
+    t = load_tables(spark, sf_dir)
+    wt = F.size(tokens(F.col("text"))).cast("long")
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(_AES_SEED), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    u = (h32 + 1) / F.lit(4294967296.0)
+    scored = t["documents"].select(
+        "doc_id",
+        wt.alias("wt"),
+        F.floor(1000000.0 * F.log(u) / wt).cast("long").alias("key_micro"),
+    )
+    # selection via TakeOrdered (per-partition top-k + k-sized reduce);
+    # the rank window then orders only the k surviving rows
+    top = scored.orderBy(F.col("key_micro").desc(), F.col("doc_id").asc()).limit(_AES_K)
+    w = Window.orderBy(F.col("key_micro").desc(), F.col("doc_id").asc())
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))

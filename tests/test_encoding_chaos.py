@@ -240,6 +240,7 @@ _HOSTILE_QUERIES = (
     "corpus_training_mix",
     "text_chunk_windows",
     "training_dsir_sample",
+    "training_weighted_sample",
 )
 
 
