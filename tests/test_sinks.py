@@ -184,3 +184,52 @@ def test_compact_skips_single_file_dirs(spark, tmp_path):
     spark.range(100).coalesce(1).write.parquet(path)
     report = compact_parquet_dir(spark, path)
     assert report["skipped"] and report["files_before"] == 1
+
+
+def test_scd2_apply_versions_changes_and_is_idempotent(spark):
+    import datetime as dt
+
+    from sm_etl_cloud_run_spark.sinks.scd2 import scd2_apply
+
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 2, 1)
+    history = spark.createDataFrame(
+        [
+            (1, "Alice", "BR", d1, None, True),
+            (2, "Bob", "AR", d1, None, True),
+            (3, "Carol", "CL", d1, None, True),
+        ],
+        "id long, name string, country string, valid_from date, valid_to date, is_current boolean",
+    )
+    snapshot = spark.createDataFrame(
+        [
+            (1, "Alice", "PT", d2),   # changed country → new version
+            (2, "Bob", "AR", d2),     # unchanged → untouched
+            (4, "Dave", "UY", d2),    # new key → first version
+            # key 3 absent → untouched (no-news, not a delete)
+        ],
+        "id long, name string, country string, effective_date date",
+    )
+    kw = dict(key_cols=["id"], compare_cols=["name", "country"])
+    v1 = scd2_apply(history, snapshot, **kw)
+    rows = {(r["id"], r["valid_from"]): r for r in v1.collect()}
+    assert len(rows) == 5
+    closed = rows[(1, d1)]
+    assert closed["valid_to"] == d2 and not closed["is_current"] and closed["country"] == "BR"
+    opened = rows[(1, d2)]
+    assert opened["valid_to"] is None and opened["is_current"] and opened["country"] == "PT"
+    assert rows[(2, d1)]["is_current"] and rows[(2, d1)]["valid_to"] is None
+    assert rows[(3, d1)]["is_current"]
+    assert rows[(4, d2)]["is_current"] and rows[(4, d2)]["country"] == "UY"
+
+    # idempotency: the same snapshot applied to the new history changes nothing
+    v2 = scd2_apply(v1, snapshot, **kw)
+    a = sorted(map(tuple, v1.collect()))
+    b = sorted(map(tuple, v2.collect()))
+    assert a == b
+
+    # as-of correctness: facts dated d1 see BR, facts dated d2 see PT
+    asof = {
+        r["valid_from"]: r["country"]
+        for r in v2.where("id = 1").collect()
+    }
+    assert asof == {d1: "BR", d2: "PT"}
