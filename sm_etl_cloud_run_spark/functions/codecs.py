@@ -1,12 +1,14 @@
-"""Dependency-free media codecs: 24-bit BMP and 16-bit PCM WAV.
+"""Dependency-free media codecs: 24-bit BMP, 8-bit PNG, 16-bit PCM WAV.
 
 Real decode for the multimodal layer (SURVEY §2 scale additions) built
 from the public file formats alone — no PIL/librosa/ffmpeg, which this
 container lacks. BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB,
-bottom-up padded rows) and RIFF/WAVE (fmt + data chunks, PCM int16)
-cover one image and one audio codec end-to-end; compressed formats
-(JPEG/PNG/MP3/video) still require external libraries and raise
-`UnsupportedMediaError` with a clear message.
+bottom-up padded rows), PNG (IHDR/IDAT/IEND chunks, stdlib-zlib
+inflate, full None/Sub/Up/Average/Paeth filter reconstruction), and
+RIFF/WAVE (fmt + data chunks, PCM int16) cover two image codecs and
+one audio codec end-to-end; formats whose compression is not in the
+stdlib (JPEG/MP3/video) raise `UnsupportedMediaError` with a clear
+message.
 
 Encoders exist so pipelines (and tests) can synthesize valid payloads;
 decoders return numpy arrays, and `media_feature_decoder` maps any
@@ -138,6 +140,120 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 
 # ---------------------------------------------------------------------------
+# PNG (8-bit grayscale / RGB / RGBA, non-interlaced) — stdlib zlib only
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array → PNG bytes (8-bit truecolor,
+    filter 0 rows, zlib-compressed, non-interlaced)."""
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_png expects an (h, w, 3) RGB array")
+    h, w, _ = arr.shape
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB array.
+
+    Supports the formats this engine's encoder and common tools emit:
+    8-bit depth, color types 0 (grayscale, broadcast to RGB),
+    2 (truecolor), 6 (truecolor+alpha, alpha dropped), non-interlaced,
+    with full filter reconstruction (None/Sub/Up/Average/Paeth —
+    the per-row filter is decoder-mandatory in the spec)."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise UnsupportedMediaError("not a PNG payload")
+    pos, w = len(_PNG_SIG), 0
+    h = bit_depth = color_type = interlace = 0
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None or bit_depth != 8 or interlace != 0 or not w or not h:
+        raise UnsupportedMediaError(
+            f"unsupported PNG variant (color_type={color_type}, "
+            f"bit_depth={bit_depth}, interlace={interlace})"
+        )
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise UnsupportedMediaError("PNG scanline data is truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:   # Up — vectorized
+            rec = (line + prev) & 0xFF
+        else:          # Sub / Average / Paeth need the left neighbor
+            rec = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    rec[i] = (line[i] + a) & 0xFF
+                elif f == 3:
+                    rec[i] = (line[i] + (a + b) // 2) & 0xFF
+                elif f == 4:
+                    rec[i] = (line[i] + _paeth(a, b, c)) & 0xFF
+                else:
+                    raise UnsupportedMediaError(f"bad PNG filter type {f}")
+        out[r] = rec.astype(np.uint8)
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3]
+
+
+# ---------------------------------------------------------------------------
 # Unified feature decode
 # ---------------------------------------------------------------------------
 
@@ -147,13 +263,18 @@ FEATURE_DIM = 8
 def media_feature_decoder(payload: bytes) -> list[float]:
     """Sniff the payload magic and decode to a fixed 8-float vector.
 
-    BMP → [1, width, height, mean_r, mean_g, mean_b, n_pixels, 0]
+    BMP/PNG → [1, width, height, mean_r, mean_g, mean_b, n_pixels, 0]
     WAV → [2, sample_rate, channels, duration_ms, rms, peak, n_samples, 0]
-    Anything else raises `UnsupportedMediaError` (JPEG/PNG/MP3/video
-    need codec libraries absent from this container).
+    Anything else raises `UnsupportedMediaError` (JPEG/MP3/video need
+    codec libraries absent from this container).
     """
     if payload[:2] == b"BM":
         px = decode_bmp(payload)
+        h, w, _ = px.shape
+        means = px.reshape(-1, 3).mean(axis=0)
+        return [1.0, float(w), float(h), float(means[0]), float(means[1]), float(means[2]), float(h * w), 0.0]
+    if payload[:8] == _PNG_SIG:
+        px = decode_png(payload)
         h, w, _ = px.shape
         means = px.reshape(-1, 3).mean(axis=0)
         return [1.0, float(w), float(h), float(means[0]), float(means[1]), float(means[2]), float(h * w), 0.0]
@@ -166,5 +287,6 @@ def media_feature_decoder(payload: bytes) -> list[float]:
         return [2.0, float(rate), float(channels), n * 1000.0 / rate, rms, peak, float(n), 0.0]
     raise UnsupportedMediaError(
         "unrecognized media payload (dependency-free codecs support 24-bit "
-        "BMP and PCM-16 WAV; JPEG/PNG/MP3/video require PIL/librosa/ffmpeg)"
+        "BMP, 8-bit PNG, and PCM-16 WAV; JPEG/MP3/video require "
+        "PIL/librosa/ffmpeg)"
     )

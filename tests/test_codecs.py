@@ -74,3 +74,107 @@ def test_media_feature_decoder_dispatch():
     assert f_wav[3] == 10.0 and f_wav[4] == 300.0 and f_wav[5] == 300.0
     with pytest.raises(UnsupportedMediaError):
         media_feature_decoder(b"\x89PNG....")
+
+
+def test_png_roundtrip_rgb():
+    import numpy as np
+
+    from sm_etl_cloud_run_spark.functions.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    got = decode_png(encode_png(px))
+    assert got.shape == (13, 17, 3) and (got == px).all()
+
+
+def test_png_filter_reconstruction_all_types():
+    """Hand-filter known scanlines with Sub/Up/Average/Paeth (the test
+    implements the FORWARD filters; the decoder must invert them) and
+    check exact reconstruction."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sm_etl_cloud_run_spark.functions.codecs import (
+        _paeth, _png_chunk, _PNG_SIG, decode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w, ch = 5, 7, 3
+    px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    raw = b""
+    for r, f in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[r]
+        prev = flat[r - 1] if r else np.zeros(w * ch, np.int32)
+        line = np.zeros(w * ch, np.int32)
+        for i in range(w * ch):
+            a = cur[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                line[i] = cur[i]
+            elif f == 1:
+                line[i] = (cur[i] - a) % 256
+            elif f == 2:
+                line[i] = (cur[i] - b) % 256
+            elif f == 3:
+                line[i] = (cur[i] - (a + b) // 2) % 256
+            else:
+                line[i] = (cur[i] - _paeth(a, b, c)) % 256
+        raw += bytes([f]) + bytes(line.astype(np.uint8))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    assert (got == px).all()
+
+
+def test_png_grayscale_and_rgba_variants():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sm_etl_cloud_run_spark.functions.codecs import (
+        _png_chunk, _PNG_SIG, decode_png,
+    )
+
+    def build(color_type, channels, arr):
+        h, w = arr.shape[:2]
+        raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+        )
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    g = decode_png(build(0, 1, gray[..., None]))
+    assert g.shape == (3, 4, 3) and (g[..., 0] == gray).all() and (g[..., 2] == gray).all()
+
+    rgba = np.zeros((2, 2, 4), np.uint8)
+    rgba[..., 0] = 200; rgba[..., 3] = 7   # alpha must be dropped
+    c = decode_png(build(6, 4, rgba))
+    assert c.shape == (2, 2, 3) and (c[..., 0] == 200).all() and (c[..., 2] == 0).all()
+
+
+def test_png_feature_decoder_and_unsupported():
+    import numpy as np
+    import pytest
+
+    from sm_etl_cloud_run_spark.functions.codecs import (
+        UnsupportedMediaError, encode_png, media_feature_decoder,
+    )
+
+    px = np.zeros((4, 6, 3), np.uint8)
+    px[..., 0] = 10; px[..., 1] = 20; px[..., 2] = 30
+    feats = media_feature_decoder(encode_png(px))
+    assert feats == [1.0, 6.0, 4.0, 10.0, 20.0, 30.0, 24.0, 0.0]
+
+    with pytest.raises(UnsupportedMediaError, match="JPEG"):
+        media_feature_decoder(b"\xff\xd8\xff\xe0 not decodable jpeg")
