@@ -492,3 +492,99 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_text.alias("chunk_text"),
         F.md5(chunk_text).alias("chunk_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span REMOVAL (the rewrite step of Lee et al. dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8   # a token is removed if any corpus-duplicated 8-gram covers it
+
+
+_REMOVE_SPANS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, t[i] AS tok, i AS p
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) x
+),
+grams AS (
+  SELECT doc_id, i AS p, {_kgram_expr(_SPAN_K)} AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - {_SPAN_K - 1}, 0) + 1)) AS i) x
+),
+cnt AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g),
+starts AS (
+  SELECT doc_id, p, CAST(CASE WHEN c > 1 THEN 1 ELSE 0 END AS INT) AS dup
+  FROM grams JOIN cnt USING (g)
+),
+flags AS (
+  SELECT pos.doc_id, pos.p, pos.tok, COALESCE(s.dup, 0) AS dup_start
+  FROM pos LEFT JOIN starts s ON s.doc_id = pos.doc_id AND s.p = pos.p
+),
+cov AS (
+  SELECT doc_id, p, tok,
+         MAX(dup_start) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN {_SPAN_K - 1} PRECEDING AND CURRENT ROW)
+           AS covered
+  FROM flags
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(covered) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY p), ''))
+         AS cleaned_md5
+FROM cov GROUP BY doc_id
+"""
+
+
+@register("text_remove_dup_spans", oracle=_REMOVE_SPANS_ORACLE,
+          description="Lee-et-al span REMOVAL: rewrite each doc with tokens "
+                      "covered by corpus-duplicated 8-grams deleted (cleaned "
+                      "text md5 + removal counts)")
+def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite step `text_dup_ngram_fraction` stops short of:
+    actually DELETE duplicated spans from every document. A token is
+    covered iff some corpus-wide duplicated 8-gram starts within the
+    previous 7 positions; covered tokens are dropped and the surviving
+    tokens re-joined (the driver compares the md5 of the rewritten
+    text — full strings would bloat the hash compare).
+
+    Shape: one gram-keyed count + join-back (the dup_ngram inverted
+    index), one doc-keyed 8-row sliding window for coverage, one
+    doc-keyed aggregate whose ordered re-join uses
+    sort_array(collect_list(struct(pos, tok))) — order is explicit in
+    the data, not the partition layout, so the rewrite is
+    deterministic. At 100 TB this is exactly Lee et al.'s ExactSubstr
+    dedup quantized to k-gram granularity: every stage is a uniform
+    hash shuffle; no suffix array, no global order.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    pos = toks.select("doc_id", F.posexplode("t").alias("p", "tok"))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("text"), _SPAN_K)).alias("p", "g"),
+    )
+    cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    starts = grams.join(cnt, "g").select(
+        "doc_id", "p", (F.col("c") > 1).cast("int").alias("dup"),
+    )
+    flags = pos.join(starts, ["doc_id", "p"], "left").select(
+        "doc_id", "p", "tok", F.coalesce(F.col("dup"), F.lit(0)).alias("dup_start"),
+    )
+    w = (
+        Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(-(_SPAN_K - 1), Window.currentRow)
+    )
+    cov = flags.withColumn("covered", F.max("dup_start").over(w))
+    kept = F.when(F.col("covered") == 0, F.struct("p", "tok"))
+    return cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("covered").cast("long").alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(F.sort_array(F.collect_list(kept)), lambda s: s["tok"]),
+            )
+        ).alias("cleaned_md5"),
+    )

@@ -113,6 +113,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_sketch_rollup_merge",
     "dq_expectations_report",
     "training_weighted_sample",
+    "text_remove_dup_spans",
     # registered in round 5, never driver-checked:
     "text_dup_ngram_fraction",
     "text_c4_heuristics",

@@ -241,6 +241,7 @@ _HOSTILE_QUERIES = (
     "text_chunk_windows",
     "training_dsir_sample",
     "training_weighted_sample",
+    "text_remove_dup_spans",
 )
 
 
