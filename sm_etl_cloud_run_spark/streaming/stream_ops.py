@@ -103,6 +103,52 @@ def windowed_sketch_profile(
     )
 
 
+def stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    user_col: str = "user_id",
+    click_ts: str = "click_ts",
+    purchase_ts: str = "purchase_ts",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the clicks
+    of the same user within the preceding `horizon` (last-touch
+    attribution's candidate set).
+
+    The streaming-legal shape: BOTH sides are watermarked and the join
+    condition carries an explicit event-time range
+    (click ≤ purchase ≤ click + horizon) — that bound is what lets
+    Spark expire per-key state instead of buffering both streams
+    forever; an unbounded-condition stream-stream join cannot clean up
+    and dies by state growth at any real scale. Matched rows emit
+    immediately (inner join); the watermark governs only state
+    eviction. Works identically on batch frames (no watermark, same
+    condition), which is how the test pins stream output to the batch
+    answer.
+    """
+    c = clicks.withWatermark(click_ts, watermark) if clicks.isStreaming else clicks
+    p = (
+        purchases.withWatermark(purchase_ts, watermark)
+        if purchases.isStreaming else purchases
+    )
+    c, p = c.alias("c"), p.alias("p")
+    cond = (
+        (F.col(f"c.{user_col}") == F.col(f"p.{user_col}"))
+        & (F.col(f"p.{purchase_ts}") >= F.col(f"c.{click_ts}"))
+        & (
+            F.col(f"p.{purchase_ts}")
+            <= F.col(f"c.{click_ts}") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return c.join(p, cond).select(
+        F.col(f"c.{user_col}").alias(user_col),
+        F.col(f"c.{click_ts}").alias(click_ts),
+        F.col(f"p.{purchase_ts}").alias(purchase_ts),
+    )
+
+
 def running_totals_stateful(
     events: DataFrame,
     *,

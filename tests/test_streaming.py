@@ -327,3 +327,55 @@ def test_streaming_corpus_ingestion_dedup_upsert(spark, tmp_path):
     again = {r["fingerprint"]: r["doc_id"] for r in spark.read.parquet(target).collect()}
     assert set(again) == set(got)
     assert all(v in (got[k], max(got[k], v)) for k, v in again.items())
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join with a time-range bound:
+    the streaming answer must equal the batch twin exactly."""
+    from sm_etl_cloud_run_spark.streaming.stream_ops import stream_attribution_join
+
+    base = dt.datetime(2024, 5, 1, 10, 0)
+    clicks = spark.createDataFrame(
+        [
+            (1, base),                                # → purchase at +30min
+            (1, base + dt.timedelta(minutes=50)),     # → same purchase (in horizon)
+            (2, base),                                # purchase too late (+2h)
+            (3, base + dt.timedelta(hours=1)),        # no purchase
+        ],
+        "user_id long, click_ts timestamp",
+    )
+    purchases = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=55)),
+            (2, base + dt.timedelta(hours=2)),
+            (4, base),                                # no click
+        ],
+        "user_id long, purchase_ts timestamp",
+    )
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.coalesce(1).write.parquet(cdir)
+    purchases.coalesce(1).write.parquet(pdir)
+
+    batch = stream_attribution_join(
+        spark.read.parquet(cdir), spark.read.parquet(pdir)
+    )
+    stream = stream_attribution_join(
+        read_events_stream(spark, cdir, clicks.schema),
+        read_events_stream(spark, pdir, purchases.schema),
+    )
+    q = run_stream_to_memory(stream, "attr_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["user_id"], r["click_ts"], r["purchase_ts"])
+            for r in spark.sql("SELECT * FROM attr_out").collect()
+        )
+        want = sorted(
+            (r["user_id"], r["click_ts"], r["purchase_ts"])
+            for r in batch.collect()
+        )
+        assert got == want
+        # user 1 matched twice (two in-horizon clicks), users 2/3/4 never
+        assert [u for u, _, _ in got] == [1, 1]
+    finally:
+        q.stop()
