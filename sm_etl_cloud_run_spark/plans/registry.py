@@ -114,6 +114,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "dq_expectations_report",
     "training_weighted_sample",
     "text_remove_dup_spans",
+    "events_variant_extract",
     # registered in round 5, never driver-checked:
     "text_dup_ngram_fraction",
     "text_c4_heuristics",

@@ -332,7 +332,8 @@ def hostile_events_dir(tmp_path_factory):
      "events_cohort_retention", "events_conversion_funnel",
      "events_cume_dist", "events_daily_from_hourly",
      "events_hourly_gapfill", "events_hourly_rollup",
-     "events_json_extract", "events_pivot_type_counts",
+     "events_json_extract", "events_variant_extract",
+     "events_pivot_type_counts",
      "events_running_balance", "events_sessionize",
      "events_sliding_window", "events_value_histogram",
      "events_session_window_native",

@@ -31,7 +31,13 @@ def test_registry_shapes():
     # sketch profile (HLL/GK estimates differ across engines by design;
     # accuracy bounded vs exact in test_plans) are legitimately
     # non-SQL-expressible
-    assert rows_only <= {"multimodal_feature_extract", "events_sketch_profile"}
+    assert rows_only <= {
+        "multimodal_feature_extract",
+        "events_sketch_profile",
+        # Datasketches-HLL blobs have no DuckDB twin; merge exactness
+        # is asserted vs a single-pass sketch in test_plans instead
+        "events_sketch_rollup_merge",
+    }
 
 
 def test_queries_run_at_smallest_sf(spark, sf_dir):
