@@ -998,3 +998,68 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+_CONCURRENCY_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                OR LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+), b AS (
+  SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM s GROUP BY user_id, sid
+), hours AS (
+  SELECT user_id,
+         unnest(generate_series(date_trunc('hour', s_start),
+                                date_trunc('hour', s_end),
+                                INTERVAL 1 HOUR)) AS hour
+  FROM b
+)
+SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_active_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+FROM hours GROUP BY hour
+"""
+
+
+@register("events_concurrency_profile", oracle=_CONCURRENCY_ORACLE,
+          description="interval-to-grid coverage: sessions exploded onto the "
+                      "hour grid they overlap → concurrent sessions/users per hour")
+def events_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many sessions (and distinct users) were ACTIVE in each hour —
+    the interval-overlap aggregation, solved without an interval join:
+    each session interval explodes onto the hour-grid cells it covers
+    (amplification = session duration in hours, bounded by the session
+    gap), then one hash aggregate per cell. The pairwise formulation
+    ("which sessions overlap which") is quadratic in concurrency; the
+    grid formulation is linear in session-hours and is how dashboards
+    actually consume concurrency. Session numbering reuses sessionize's
+    lag+cumsum; equal-timestamp peers can renumber across engines, but
+    interval BOUNDS per (user, session-set) are order-free, so the
+    profile is deterministic.
+    """
+    t = load_tables(spark, sf_dir)
+    sess = sessionize(t["events"], user_col="user_id", ts_col="ts", gap_minutes=30)
+    bounds = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end"),
+    )
+    hours = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s_start")),
+                F.date_trunc("hour", F.col("s_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
+    )
+    return hours.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n_active_sessions"),
+        F.countDistinct("user_id").alias("n_active_users"),
+    )

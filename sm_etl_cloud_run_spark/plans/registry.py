@@ -115,6 +115,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "training_weighted_sample",
     "text_remove_dup_spans",
     "events_variant_extract",
+    "events_concurrency_profile",
     # registered in round 5, never driver-checked:
     "text_dup_ngram_fraction",
     "text_c4_heuristics",
