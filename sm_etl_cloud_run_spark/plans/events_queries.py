@@ -1063,3 +1063,136 @@ def events_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_active_sessions"),
         F.countDistinct("user_id").alias("n_active_users"),
     )
+
+
+_TREND_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, cents,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(day AS DATE)) AS BIGINT) AS x
+  FROM daily
+), sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(cents) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * cents) AS BIGINT) AS sxy
+  FROM idx GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope_per_day,
+       round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                                   * CAST(sx AS DOUBLE) / n) / n / 100.0, 6)
+         AS intercept
+FROM sums
+"""
+
+
+@register("events_trend_regression", oracle=_TREND_ORACLE,
+          description="per-type OLS trend: slope/intercept of daily revenue vs "
+                      "day index from exact integer moment sums")
+def events_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend per event type — the normal equations
+    computed from five exact integer moments (n, Σx, Σy, Σxx, Σxy),
+    the same discipline as `corr_qty_discount`: sums of longs are
+    partition-order-free, the only doubles are the final two
+    divisions executed in one fixed order on both engines. One daily
+    pre-aggregate + one per-type aggregate; regression over a 100 TB
+    fact costs two map-side-combined hash aggs, no fit loop.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    )
+    idx = daily.select(
+        "event_type", "cents",
+        F.datediff(F.col("day").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long").alias("x"),
+    )
+    sums = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("cents").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+    )
+    slope_raw = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    intercept = F.round(
+        (
+            F.col("sy").cast("double")
+            - slope_raw * F.col("sx").cast("double") / F.col("n")
+        ) / F.col("n") / 100.0,
+        6,
+    )
+    return sums.select(
+        "event_type", "n",
+        F.round(slope_raw / 100.0, 6).alias("slope_per_day"),
+        intercept.alias("intercept"),
+    )
+
+
+_AQP_PCT = 10   # 10% deterministic sample
+
+
+_AQP_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE CAST(('0x' || substr(md5('aqp-seed-1:' || CAST(event_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 100 < {_AQP_PCT}
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(COUNT(*) * {100 // _AQP_PCT} AS BIGINT) AS est_total_rows,
+       round(CAST(SUM(cents) * {100 // _AQP_PCT} AS DOUBLE) / 100.0, 2) AS est_total_value
+FROM s GROUP BY event_type
+"""
+
+
+@register("events_sample_estimate", oracle=_AQP_ORACLE,
+          description="AQP: deterministic 10% md5 sample scaled to population "
+                      "estimates (error bound vs truth asserted in pytest)")
+def events_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing on a deterministic sample: rows
+    whose md5(event_id) lands in the first 10% of hash space are the
+    sample (reproducible across engines and reruns — no RNG), and
+    count/sum estimates scale by 1/rate. The 100 TB shape: the sample
+    gate is a pushable scan filter, so a dashboard estimate reads ~10%
+    of the data; the same hash gate at a finer grain is how
+    progressive/online aggregation refines. Accuracy (±10% on these
+    uniform-ish aggregates) is bounded against the exact answer in
+    tests/test_plans.py — the driver compares exactness of the
+    ESTIMATES themselves, which are deterministic.
+    """
+    t = load_tables(spark, sf_dir)
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("aqp-seed-1:"), F.col("event_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 100
+        < _AQP_PCT
+    )
+    scale = 100 // _AQP_PCT
+    return (
+        t["events"]
+        .where(gate)
+        .select("event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            (F.count(F.lit(1)) * scale).cast("long").alias("est_total_rows"),
+            F.round((F.sum("cents") * scale).cast("double") / 100.0, 2)
+            .alias("est_total_value"),
+        )
+    )

@@ -116,6 +116,8 @@ _CHANGED_OR_NEVER_CHECKED = (
     "text_remove_dup_spans",
     "events_variant_extract",
     "events_concurrency_profile",
+    "events_trend_regression",
+    "events_sample_estimate",
     # registered in round 5, never driver-checked:
     "text_dup_ngram_fraction",
     "text_c4_heuristics",

@@ -216,3 +216,38 @@ def test_sketch_rollup_merge_exact_vs_single_pass(spark, sf_dir):
         assert m["approx_total_users"] == d["est"], et          # merge exactness
         assert abs(m["approx_total_users"] - d["truth"]) <= max(1, 0.05 * d["truth"]), et
         assert m["n_days"] == d["days"], et
+
+
+def test_sample_estimate_accuracy_vs_exact(spark):
+    """events_sample_estimate's scaled 10%-sample estimates must land
+    within 25% of the exact per-type totals. Uses sf0.01 (≈10k events):
+    at sf0.001 a per-type sample is ~20 rows and the value column is
+    skewed enough that a 10% sample legitimately misses by >50% — the
+    bound is a property of sample SIZE, which is the point of AQP."""
+    from pyspark.sql import functions as F
+
+    from sm_etl_cloud_run_spark.plans import get
+    from sm_etl_cloud_run_spark.tables import load_tables
+
+    sf_dir = "/root/testdata/sf0.01"
+    est = {r["event_type"]: r for r in
+           get("events_sample_estimate").fn(spark, sf_dir).collect()}
+    t = load_tables(spark, sf_dir)
+    exact = {
+        r["event_type"]: r
+        for r in (
+            t["events"]
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double")
+                 / 100.0).alias("total"),
+            )
+            .collect()
+        )
+    }
+    assert set(est) == set(exact)
+    for et, e in est.items():
+        x = exact[et]
+        assert abs(e["est_total_rows"] - x["rows"]) <= 0.25 * x["rows"], et
+        assert abs(e["est_total_value"] - x["total"]) <= 0.25 * abs(x["total"]), et
