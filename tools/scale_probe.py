@@ -59,6 +59,8 @@ QUERIES = (
     "pq_codebook_train",
     "training_dsir_sample",
     "knn_graph_pagerank",
+    "text_remove_dup_spans",
+    "events_concurrency_profile",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
