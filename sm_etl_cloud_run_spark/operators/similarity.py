@@ -162,6 +162,51 @@ def ivf_topk(
     )
 
 
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    code_vecs: list[list[float]],
+    *,
+    num_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 20,
+) -> DataFrame:
+    """The full FAISS-style IVF-PQ pipeline: coarse-quantize to prune
+    the candidate set to `nprobe` clusters (IVF), score survivors by
+    PQ/ADC table lookups, exactly re-rank a small shortlist.
+
+    This is the composition production ANN actually runs — IVF bounds
+    the SCAN (read ~nprobe/k_coarse of the index partitions), PQ bounds
+    the ARITHMETIC (num_subspaces lookups instead of a d-dim dot per
+    candidate), and the re-rank restores exact ordering where it
+    matters. Pure composition of `ivf_assign` + `pq_adc_topk`; at
+    warehouse scale the cluster id is the storage partition key and the
+    codes are precomputed columns, so the whole query is a partition-
+    pruned scan + codegen lookups + one TakeOrdered.
+    """
+    import math
+
+    def fp_dot(a: list[float], b: list[float]) -> int:
+        return sum(int(round(x * y * _SCALE)) for x, y in zip(a, b))
+
+    def cos(a: list[float], b: list[float]) -> float:
+        return round(fp_dot(a, b) / math.sqrt(float(fp_dot(a, a)) * float(fp_dot(b, b))), 6)
+
+    ranked = sorted(range(len(centroids)), key=lambda i: (-cos(query_vec, centroids[i]), i))
+    probe = ranked[:nprobe]
+    assigned = ivf_assign(embeddings, centroids, vec_col=vec_col)
+    candidates = assigned.where(F.col("ivf_cluster").isin(probe)).drop("ivf_cluster")
+    return pq_adc_topk(
+        candidates, query_vec, code_vecs,
+        num_subspaces=num_subspaces, id_col=id_col, vec_col=vec_col,
+        k=k, shortlist=shortlist,
+    )
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     query_vec: list[float],

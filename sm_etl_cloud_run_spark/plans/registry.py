@@ -118,6 +118,8 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_concurrency_profile",
     "events_trend_regression",
     "events_sample_estimate",
+    "text_quality_zscore_by_lang",
+    "knn_ivf_pq",
     # registered in round 5, never driver-checked:
     "text_dup_ngram_fraction",
     "text_c4_heuristics",

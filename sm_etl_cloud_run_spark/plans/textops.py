@@ -737,3 +737,95 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
     )
+
+
+_ZSCORE_ORACLE = """
+WITH f AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+                              w -> w IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop
+  FROM documents
+), q AS (
+  SELECT doc_id, lang,
+         (500000 * n_distinct) // n_tokens
+         + 300000 - (300000 * n_stop) // n_tokens
+         + CASE WHEN n_tokens >= 20 THEN 200000 ELSE 10000 * n_tokens END AS q_micro
+  FROM f
+), m AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q_micro) AS BIGINT) AS s,
+         CAST(SUM(q_micro * q_micro) AS BIGINT) AS ss
+  FROM q GROUP BY lang
+)
+SELECT q.doc_id, q.lang, CAST(q.q_micro AS BIGINT) AS q_micro,
+       CASE WHEN m.n * m.ss - m.s * m.s > 0
+            THEN round((CAST(q.q_micro AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n) * m.n
+                       / sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE)), 6)
+            ELSE 0.0 END AS z,
+       CAST(CASE WHEN m.n * m.ss - m.s * m.s > 0
+                  AND round((CAST(q.q_micro AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n) * m.n
+                            / sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE)), 6) < -1.0
+            THEN 0 ELSE 1 END AS BIGINT) AS keep
+FROM q JOIN m ON q.lang IS NOT DISTINCT FROM m.lang
+"""
+
+
+@register("text_quality_zscore_by_lang", oracle=_ZSCORE_ORACLE,
+          description="per-language quality z-scores (integer-exact moments): "
+                      "normalize before thresholding so no language is "
+                      "filtered for being itself")
+def text_quality_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multilingual-fairness correction for quality filtering: a
+    raw quality threshold calibrated on English guts other languages
+    (different stopword densities, different TTR baselines), so scores
+    are z-normalized WITHIN language before the keep gate (drop only
+    z < −1, i.e. each language's own bottom tail).
+
+    The quality basis is pure-integer (DIV arithmetic), per-lang
+    mean/std come from exact integer moment sums (the
+    corr_qty_discount discipline), and the degenerate one-doc /
+    zero-variance group z-scores to 0 on both engines instead of
+    dividing by zero. Shape: one doc pass, one lang-keyed aggregate
+    (≈|languages| rows — broadcast side), one broadcast join back.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    f = t["documents"].select(
+        "doc_id", "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).cast("long").alias("n_stop"),
+    )
+    q = f.select(
+        "doc_id", "lang",
+        (
+            F.expr("(500000 * n_distinct) DIV n_tokens")
+            + 300000
+            - F.expr("(300000 * n_stop) DIV n_tokens")
+            + F.when(F.col("n_tokens") >= 20, 200000).otherwise(10000 * F.col("n_tokens"))
+        ).cast("long").alias("q_micro"),
+    )
+    m = q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q_micro").alias("s"),
+        F.sum(F.col("q_micro") * F.col("q_micro")).alias("ss"),
+    )
+    joined = q.join(
+        F.broadcast(m.withColumnRenamed("lang", "__mlang")),
+        q["lang"].eqNullSafe(F.col("__mlang")),
+    )
+    d = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    z = F.round(
+        (F.col("q_micro").cast("double") - F.col("s").cast("double") / F.col("n"))
+        * F.col("n") / F.sqrt(d.cast("double")),
+        6,
+    )
+    z_safe = F.when(d > 0, z).otherwise(F.lit(0.0))
+    return joined.select(
+        "doc_id", "lang", "q_micro",
+        z_safe.alias("z"),
+        F.when((d > 0) & (z < -1.0), 0).otherwise(1).cast("long").alias("keep"),
+    )

@@ -673,3 +673,96 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, centroids, id_col="vec_id", vec_col="embedding",
         threshold=_SEMDEDUP_THRESHOLD, cluster_col="sem_cluster",
     )
+
+
+_IVFPQ_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id IN {_IVF_CENTROIDS_SQL}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QID_SQL}),
+qrank AS (
+  SELECT cid, ROW_NUMBER() OVER (ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC, cid ASC) AS rn
+  FROM c, q
+),
+probe AS (SELECT cid FROM qrank WHERE rn <= 2),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c
+    WHERE e.vec_id <> {_QID_SQL}
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT vec_id, embedding FROM assigned
+  WHERE cid IN (SELECT cid FROM probe)
+),
+sk AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cw, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K} OFFSET 9)
+),
+ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+cb AS (
+  SELECT m, cw, list_slice(embedding, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB}) AS cv
+  FROM sk, ms
+),
+qs AS (
+  SELECT cb.m, cb.cw,
+         {_dot_sql(f"list_slice(q.qv, cb.m * {_PQ_SUB} + 1, cb.m * {_PQ_SUB} + {_PQ_SUB})", 'cb.cv')} AS qdot
+  FROM q, cb
+),
+assignpq AS (
+  SELECT cand.vec_id, cb.m, cb.cw,
+         ROW_NUMBER() OVER (
+           PARTITION BY cand.vec_id, cb.m
+           ORDER BY {_dot_sql(f"list_slice(cand.embedding, cb.m * {_PQ_SUB} + 1, cb.m * {_PQ_SUB} + {_PQ_SUB})", 'cb.cv')} DESC,
+                    cb.cw ASC
+         ) AS rn
+  FROM cand, cb
+),
+scores AS (
+  SELECT a.vec_id, CAST(SUM(qs.qdot) AS BIGINT) AS pq_score
+  FROM assignpq a JOIN qs ON qs.m = a.m AND qs.cw = a.cw
+  WHERE a.rn = 1
+  GROUP BY a.vec_id
+),
+short AS (
+  SELECT vec_id, pq_score FROM scores
+  ORDER BY pq_score DESC, vec_id ASC LIMIT {_PQ_SHORTLIST}
+),
+rer AS (
+  SELECT s.vec_id, s.pq_score, {_cos_sql('e.embedding', 'q.qv')} AS cosine
+  FROM short s JOIN embeddings e USING (vec_id), q
+)
+SELECT vec_id, pq_score, cosine,
+       CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
+FROM rer
+QUALIFY rn <= {_TOPK}
+"""
+
+
+@register("knn_ivf_pq", oracle=_IVFPQ_ORACLE,
+          description="composed IVF-PQ search: coarse-probe pruning, ADC lookup "
+                      "scoring of survivors, exact shortlist re-rank (the "
+                      "production ANN pipeline)")
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (the FAISS IVFPQ shape): IVF bounds the scan
+    (probe 2 of 4 coarse clusters), PQ/ADC bounds the per-candidate
+    arithmetic (4 lookups instead of a 64-dim dot), the top-20
+    shortlist re-ranks exactly. Same rank-based seeds as the component
+    queries: centroids = ranks 6-9, codebook = ranks 10-13."""
+    from ..operators.similarity import ivf_pq_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = _seed_rows(emb, 13)
+    qid = seeds[0]["vec_id"]
+    qv = [float(x) for x in seeds[0]["embedding"]]
+    centroids = [[float(x) for x in r["embedding"]] for r in seeds[5:9]]
+    code_vecs = [[float(x) for x in seeds[i]["embedding"]] for i in range(9, 13)]
+    return ivf_pq_topk(
+        emb.where(F.col("vec_id") != qid), qv, centroids, code_vecs,
+        num_subspaces=_PQ_M, k=_TOPK, nprobe=2, shortlist=_PQ_SHORTLIST,
+    )

@@ -242,6 +242,7 @@ _HOSTILE_QUERIES = (
     "training_dsir_sample",
     "training_weighted_sample",
     "text_remove_dup_spans",
+    "text_quality_zscore_by_lang",
 )
 
 
@@ -275,7 +276,8 @@ def renumbered_embeddings_dir(tmp_path_factory):
     "qname",
     ["knn_brute_force", "knn_lsh_bucketed", "knn_ivf", "dedup_semantic_clusters",
      "knn_graph_brute", "knn_graph_lsh", "knn_pq_adc",
-     "kmeans_embedding_clusters", "pq_codebook_train", "knn_graph_pagerank"],
+     "kmeans_embedding_clusters", "pq_codebook_train", "knn_graph_pagerank",
+     "knn_ivf_pq"],
 )
 def test_renumbered_vec_ids_keep_oracle_parity(spark, renumbered_embeddings_dir, qname):
     problems = _oracle_compare(spark, renumbered_embeddings_dir, qname)
@@ -498,7 +500,7 @@ def hostile_embeddings_dir(tmp_path_factory):
     "qname",
     ["knn_brute_force", "knn_lsh_bucketed", "knn_graph_lsh", "knn_pq_adc",
      "kmeans_embedding_clusters", "embedding_label_centroids",
-     "pq_codebook_train", "knn_graph_pagerank"],
+     "pq_codebook_train", "knn_graph_pagerank", "knn_ivf_pq"],
 )
 def test_null_embedding_rows_keep_oracle_parity(spark, hostile_embeddings_dir, qname):
     problems = _oracle_compare(spark, hostile_embeddings_dir, qname)
