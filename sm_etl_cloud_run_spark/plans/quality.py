@@ -10,6 +10,7 @@ so runs can be diffed and alerted on.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.expectations import Expectation, run_expectations
 from ..tables import load_tables
@@ -75,3 +76,89 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the report is bit-stable across engines and runs."""
     t = load_tables(spark, sf_dir)
     return run_expectations(t["lineitem"], _SUITE)
+
+
+_PROFILE_ORACLE = """
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+         CAST(COUNT(l_orderkey) AS BIGINT) AS c1,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d1,
+         CAST(MIN(l_orderkey) AS BIGINT) AS mn1, CAST(MAX(l_orderkey) AS BIGINT) AS mx1,
+         CAST(COUNT(l_quantity) AS BIGINT) AS c2,
+         CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS d2,
+         CAST(MIN(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS mn2,
+         CAST(MAX(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS mx2,
+         CAST(COUNT(l_extendedprice) AS BIGINT) AS c3,
+         CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS d3,
+         CAST(MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS mn3,
+         CAST(MAX(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS mx3,
+         CAST(COUNT(l_returnflag) AS BIGINT) AS c4,
+         CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS d4,
+         CAST(COUNT(l_shipdate) AS BIGINT) AS c5,
+         CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS d5,
+         CAST(MIN(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS BIGINT) AS mn5,
+         CAST(MAX(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS BIGINT) AS mx5
+  FROM lineitem
+)
+SELECT 'l_orderkey' AS col_name, nr AS n_rows, nr - c1 AS n_null, d1 AS n_distinct,
+       mn1 AS min_rep, mx1 AS max_rep FROM a
+UNION ALL
+SELECT 'l_quantity', nr, nr - c2, d2, mn2, mx2 FROM a
+UNION ALL
+SELECT 'l_extendedprice', nr, nr - c3, d3, mn3, mx3 FROM a
+UNION ALL
+SELECT 'l_returnflag', nr, nr - c4, d4, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM a
+UNION ALL
+SELECT 'l_shipdate', nr, nr - c5, d5, mn5, mx5 FROM a
+"""
+
+
+@register("lineitem_column_profile", oracle=_PROFILE_ORACLE,
+          description="ANALYZE-style column statistics (rows/nulls/NDV/min/max) "
+                      "for five fact columns in ONE aggregate pass")
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics harvesting — the inputs a cost-based optimizer
+    (or a human sizing a join) needs: row count, null count, exact NDV,
+    and min/max per column, computed for five columns in ONE
+    map-side-combined aggregate pass (never a pass per column).
+    Numeric min/max are LONG representations (cents / epoch days) so
+    the report is bit-stable cross-engine; categorical columns carry
+    NDV only. At 100 TB swap exact NDV for HLL
+    (events_sketch_rollup_merge shows the mergeable-sketch plumbing) —
+    the plan shape is unchanged.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    days = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+    a = li.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.count("l_orderkey").alias("c1"), F.countDistinct("l_orderkey").alias("d1"),
+        F.min("l_orderkey").alias("mn1"), F.max("l_orderkey").alias("mx1"),
+        F.count("l_quantity").alias("c2"), F.countDistinct("l_quantity").alias("d2"),
+        F.min(cents("l_quantity")).alias("mn2"), F.max(cents("l_quantity")).alias("mx2"),
+        F.count("l_extendedprice").alias("c3"), F.countDistinct("l_extendedprice").alias("d3"),
+        F.min(cents("l_extendedprice")).alias("mn3"), F.max(cents("l_extendedprice")).alias("mx3"),
+        F.count("l_returnflag").alias("c4"), F.countDistinct("l_returnflag").alias("d4"),
+        F.count("l_shipdate").alias("c5"), F.countDistinct("l_shipdate").alias("d5"),
+        F.min(days).alias("mn5"), F.max(days).alias("mx5"),
+    )
+    null_long = F.lit(None).cast("long")
+    rows = [
+        ("l_orderkey", "c1", "d1", F.col("mn1").cast("long"), F.col("mx1").cast("long")),
+        ("l_quantity", "c2", "d2", F.col("mn2"), F.col("mx2")),
+        ("l_extendedprice", "c3", "d3", F.col("mn3"), F.col("mx3")),
+        ("l_returnflag", "c4", "d4", null_long, null_long),
+        ("l_shipdate", "c5", "d5", F.col("mn5"), F.col("mx5")),
+    ]
+    structs = [
+        F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("nr").alias("n_rows"),
+            (F.col("nr") - F.col(c)).cast("long").alias("n_null"),
+            F.col(d).cast("long").alias("n_distinct"),
+            mn.alias("min_rep"), mx.alias("max_rep"),
+        )
+        for name, c, d, mn, mx in rows
+    ]
+    return a.select(F.explode(F.array(*structs)).alias("r")).select("r.*")

@@ -421,6 +421,7 @@ _HOSTILE_FACT_QUERIES = (
     "flagship_panel_enrichment",
     "pipeline_fact_transform",
     "dq_expectations_report",
+    "lineitem_column_profile",
 )
 
 
