@@ -15,11 +15,42 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .merge import _atomic_replace
 
 _PARQUET_EXT = ".parquet"
+
+_MORTON_BITS = 16
+
+
+def morton_code(a: Column, b: Column, *, bits: int = _MORTON_BITS) -> Column:
+    """Interleave the low `bits` bits of two non-negative integer
+    columns into one Z-order key (a's bits at even positions).
+
+    Sorting by this key clusters rows that are close in BOTH
+    dimensions, so a compaction sorted by it gives every output file a
+    small bounding box in (a, b) — parquet min/max footers then prune
+    2-D point/range scans, which a single-column sort can only do for
+    its leading column. Pure bit arithmetic (shiftleft/or), stays in
+    whole-stage codegen. Values are clamped to the `bits` low bits —
+    rescale/bucket inputs upstream if their range exceeds 2^bits.
+    """
+    mask = (1 << bits) - 1
+    x = F.col(a) if isinstance(a, str) else a
+    y = F.col(b) if isinstance(b, str) else b
+    x = x.cast("long").bitwiseAND(F.lit(mask))
+    y = y.cast("long").bitwiseAND(F.lit(mask))
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        bit = F.lit(1 << i).cast("long")
+        code = (
+            code
+            .bitwiseOR(F.shiftleft(x.bitwiseAND(bit), i))
+            .bitwiseOR(F.shiftleft(y.bitwiseAND(bit), i + 1))
+        )
+    return code
 
 
 def dir_stats(path: str) -> tuple[int, int]:
@@ -39,6 +70,7 @@ def compact_parquet_dir(
     *,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_cols: list[str] | None = None,
+    zorder_cols: tuple[str, str] | None = None,
     min_files_to_compact: int = 2,
 ) -> dict:
     """Rewrite `path` into ceil(bytes / target) files; returns a report
@@ -64,7 +96,18 @@ def compact_parquet_dir(
     # hundred-thousand-partition shuffle (one compaction pass writes at
     # most 4096 files; run again for pathological inputs)
     n_out = min(4096, max(1, math.ceil(bytes_before / target_file_bytes)))
-    if sort_cols:
+    if zorder_cols:
+        # OPTIMIZE ... ZORDER: range-partition and sort by the Morton
+        # interleave of two columns so each file's (a, b) bounding box
+        # is small and parquet footer stats prune 2-D scans
+        z = morton_code(*zorder_cols)
+        out = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif sort_cols:
         out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         out = df.repartition(n_out)

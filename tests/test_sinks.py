@@ -233,3 +233,55 @@ def test_scd2_apply_versions_changes_and_is_idempotent(spark):
         for r in v2.where("id = 1").collect()
     }
     assert asof == {d1: "BR", d2: "PT"}
+
+
+def test_morton_code_interleaves_bits(spark):
+    from sm_etl_cloud_run_spark.sinks.compact import morton_code
+
+    df = spark.createDataFrame([(3, 2), (0, 0), (1, 0), (0, 1)], "a long, b long")
+    got = {(r["a"], r["b"]): r["z"] for r in
+           df.select("a", "b", morton_code("a", "b").alias("z")).collect()}
+    # bit i of a lands at position 2i, bit i of b at 2i+1
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
+    assert got[(3, 2)] == 0b1101
+
+
+def test_compact_zorder_clusters_two_dimensions(spark, tmp_path):
+    """Z-order compaction: per-file (x, y) bounding boxes must be far
+    smaller than a plain bin-packed layout's — the property that makes
+    parquet footer stats prune 2-D scans."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from sm_etl_cloud_run_spark.sinks.compact import compact_parquet_dir
+
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long, payload long")
+
+    def bbox_area_sum(path):
+        total = 0
+        for f in _glob.glob(path + "/*.parquet"):
+            t = pq.read_table(f, columns=["x", "y"])
+            if t.num_rows:
+                xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+                total += (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+        return total
+
+    zpath = str(tmp_path / "zorder")
+    df.orderBy(F.rand(seed=7)).repartition(16).write.parquet(zpath)
+    _, bytes_before = __import__(
+        "sm_etl_cloud_run_spark.sinks.compact", fromlist=["dir_stats"]
+    ).dir_stats(zpath)
+    report = compact_parquet_dir(
+        spark, zpath, target_file_bytes=max(1, bytes_before // 8),
+        zorder_cols=("x", "y"),
+    )
+    assert report["rows"] == 64 * 64 and report["files_after"] >= 4
+
+    plain = str(tmp_path / "plain")
+    df.orderBy(F.rand(seed=7)).repartition(report["files_after"]).write.parquet(plain)
+    z_area, p_area = bbox_area_sum(zpath), bbox_area_sum(plain)
+    # random layout: every file spans ~the whole 64x64 square; z-order
+    # files cover disjoint-ish tiles
+    assert z_area < 0.5 * p_area, (z_area, p_area)
