@@ -251,3 +251,25 @@ def test_sample_estimate_accuracy_vs_exact(spark):
         x = exact[et]
         assert abs(e["est_total_rows"] - x["rows"]) <= 0.25 * x["rows"], et
         assert abs(e["est_total_value"] - x["total"]) <= 0.25 * abs(x["total"]), et
+
+
+def test_dsir_bucket_table_broadcasts(spark, sf_dir):
+    """DSIR's 64-row likelihood-ratio table must broadcast — the point
+    of hashing features is that the model side is parameter-sized."""
+    plan = _plan(spark, "training_dsir_sample", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_codebook_train_stays_codegen(spark, sf_dir):
+    """Codebook assignment is literal-array arithmetic: no Python, no
+    nested loop, no join at all before the final aggregate."""
+    plan = _plan(spark, "pq_codebook_train", sf_dir, mode="simple")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    """Five columns' stats in one pass — the plan reads lineitem once."""
+    plan = _plan(spark, "lineitem_column_profile", sf_dir, mode="simple")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("lineitem.parquet") <= 1
