@@ -154,3 +154,50 @@ def test_jsonl_stream_matches_batch(spark, tmp_path):
         assert got == [(1, "x"), (2, "y")]
     finally:
         q.stop()
+
+
+def test_manifest_prunes_range_sorted_files(spark, tmp_path):
+    """Footer-stats manifest + data skipping on plain parquet: after a
+    range-sorted compaction, a narrow id predicate must open only a
+    fraction of the files and still return exactly the full-scan answer."""
+    from sm_etl_cloud_run_spark.sinks.compact import compact_parquet_dir, dir_stats
+    from sm_etl_cloud_run_spark.sources.manifest import (
+        build_manifest, prune_files, read_pruned,
+    )
+
+    path = str(tmp_path / "skipme")
+    spark.range(40000).selectExpr("id", "id % 13 as v").repartition(16).write.parquet(path)
+    _, nbytes = dir_stats(path)
+    compact_parquet_dir(spark, path, target_file_bytes=max(1, nbytes // 8),
+                        sort_cols=["id"])
+    files_total = len(
+        [f for f in __import__("glob").glob(path + "/*.parquet")]
+    )
+    assert files_total >= 4
+
+    manifest = build_manifest(spark, path, ["id"])
+    assert manifest.where("min_str IS NULL").count() == 0
+
+    kept = prune_files(manifest, "id", 1000, 1999)
+    assert 0 < len(kept) < files_total          # actually skipped files
+
+    got = read_pruned(spark, manifest, "id", 1000, 1999).where(
+        "id BETWEEN 1000 AND 1999"
+    )
+    assert got.count() == 1000
+    assert got.selectExpr("sum(id)").first()[0] == sum(range(1000, 2000))
+
+    # pruning must be a SUPERSET guarantee: every row of the full scan
+    # under the predicate appears in the pruned scan
+    full = spark.read.parquet(path).where("id BETWEEN 1000 AND 1999")
+    assert full.exceptAll(got).count() == 0
+
+
+def test_manifest_empty_prune_returns_typed_empty(spark, tmp_path):
+    from sm_etl_cloud_run_spark.sources.manifest import build_manifest, read_pruned
+
+    path = str(tmp_path / "allpruned")
+    spark.range(100).coalesce(1).write.parquet(path)
+    manifest = build_manifest(spark, path, ["id"])
+    out = read_pruned(spark, manifest, "id", 10_000, 20_000)
+    assert out.count() == 0 and "id" in out.columns
