@@ -575,3 +575,99 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("cum_before") / _CURATION_BUDGET).cast("long").alias("seq_id"),
         (F.col("cum_before") % _CURATION_BUDGET).cast("long").alias("offset_in_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# adjacent-bigram PMI collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+_PMI_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+uni AS (
+  SELECT t[i] AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) x
+  GROUP BY t[i]
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+bi AS (
+  SELECT t[i] AS w1, t[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i) x
+  GROUP BY t[i], t[i+1]
+),
+scored AS (
+  SELECT bi.w1, bi.w2, bi.c12,
+         CAST(FLOOR(1000000.0 * ln(
+             (CAST(bi.c12 AS DOUBLE) * tot.n)
+             / (CAST(u1.c AS DOUBLE) * u2.c)
+         )) AS BIGINT) AS pmi_micro
+  FROM bi
+  JOIN uni u1 ON u1.w = bi.w1
+  JOIN uni u2 ON u2.w = bi.w2, tot
+  WHERE bi.c12 >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, c12, pmi_micro,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS BIGINT) AS rn
+FROM scored
+QUALIFY rn <= {_PMI_TOPK}
+"""
+
+
+@register("text_pmi_collocations", oracle=_PMI_ORACLE,
+          description="top PMI collocations over ADJACENT bigrams (linear in "
+                      "tokens, no pair explosion; 1e6-floored log scores)")
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations — the corpus-statistics
+    signal behind phrase mining and tokenizer-merge candidates. Pairs
+    are ADJACENT bigrams only, so the pair table is linear in corpus
+    tokens (window-co-occurrence PMI is the quadratic trap); PMI =
+    ln(c12·N / (c1·c2)) floored at 1e6 (the unigram-logprob
+    discipline), thresholded at count ≥ 5, top-50 with full
+    tiebreakers. Shape: two token-keyed map-side-combined aggregates,
+    two joins against the |vocab|-sized unigram table, one TakeOrdered.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select("doc_id", tokens(F.col("text")).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    n_bi = F.greatest(F.size("t") - 1, F.lit(0))
+    bi = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, n_bi).alias("w1"),
+                    F.slice("t", 2, n_bi).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .where(F.col("c12") >= _PMI_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c12",
+            F.floor(
+                1000000.0
+                * F.log(
+                    (F.col("c12").cast("double") * F.col("n"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                )
+            ).cast("long").alias("pmi_micro"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(_PMI_TOPK)
+    w = Window.orderBy(F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))

@@ -121,6 +121,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "text_quality_zscore_by_lang",
     "knn_ivf_pq",
     "lineitem_column_profile",
+    "text_pmi_collocations",
     # registered in round 5, never driver-checked:
     "text_dup_ngram_fraction",
     "text_c4_heuristics",

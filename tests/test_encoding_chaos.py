@@ -243,6 +243,7 @@ _HOSTILE_QUERIES = (
     "training_weighted_sample",
     "text_remove_dup_spans",
     "text_quality_zscore_by_lang",
+    "text_pmi_collocations",
 )
 
 
