@@ -121,6 +121,7 @@ _NESTED_LOOP_OK = {
     # LSH candidate path) + 1-row pr0/teleport scalar broadcast:
     "knn_graph_pagerank",
     "training_dsir_sample",  # 1-row t_src/t_tgt scalar broadcast
+    "text_pmi_collocations",  # 1-row total-token scalar broadcast (N for PMI)
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.
