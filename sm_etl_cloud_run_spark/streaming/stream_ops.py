@@ -235,6 +235,78 @@ def stream_upsert_sink(
     return q
 
 
+def sessionize_stateful_timeout(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUT: a user's
+    session accumulates in the state store and is EMITTED (then
+    cleared) only once the event-time watermark passes its close —
+    the `applyInPandasWithState` upgrade of `session_window` for when
+    the output must be one final record per closed session (billing,
+    session logs) rather than an updating aggregate.
+
+    Mechanics: each key's state holds (start, last_seen, n). Every
+    batch extends the open session with its events and re-arms an
+    event-time timeout at last_seen + gap; when the watermark crosses
+    that without new events, Spark calls the function with
+    `state.hasTimedOut` and the closed session is yielded. State per
+    key is three scalars — bounded regardless of stream length — and
+    eviction is watermark-driven, the only state-cleanup contract that
+    survives unbounded streams.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # parse "<n> seconds|minutes|hours" without dateutil
+    qty, unit = gap.split()
+    gap_millis = int(qty) * {"seconds": 1, "minutes": 60, "hours": 3600}[unit] * 1000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            batch_min = int(ts.min().value // 1_000_000)
+            batch_max = int(ts.max().value // 1_000_000)
+            start_ms = batch_min if start_ms is None else min(start_ms, batch_min)
+            last_ms = batch_max if last_ms is None else max(last_ms, batch_max)
+            n += len(pdf)
+        state.update((start_ms, last_ms, n))
+        state.setTimeoutTimestamp(last_ms + gap_millis)
+        yield from ()
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, session_start timestamp, "
+                "session_end timestamp, n_events long"
+            ),
+            stateStructType="start_ms long, last_ms long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     *,

@@ -426,3 +426,44 @@ def test_checkpoint_recovery_no_loss_no_double_count(spark, tmp_path):
 
     got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
     assert got == [1, 2, 3, 4]          # nothing lost, nothing re-emitted
+
+
+def test_stateful_timeout_sessionization_emits_closed_sessions(spark, tmp_path):
+    """Event-time-timeout sessionization: a user's session emits ONCE,
+    as a final record, when the watermark passes last_event + gap."""
+    from sm_etl_cloud_run_spark.streaming.stream_ops import sessionize_stateful_timeout
+
+    base = dt.datetime(2024, 6, 1, 9, 0)
+    src = str(tmp_path / "sess_src")
+    schema = "user_id long, ts timestamp"
+    # file 1: user 1's two-event session; user 2's single event
+    spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(minutes=10)), (2, base)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = sessionize_stateful_timeout(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        gap="30 minutes",
+    )
+    q = stream.writeStream.outputMode("append").format("memory") \
+        .queryName("sess_to_out").start()
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM sess_to_out").count() == 0  # nothing closed yet
+        # file 2: an event 3 hours later pushes the watermark past both
+        # open sessions' (last_seen + gap) timeouts
+        spark.createDataFrame([(3, base + dt.timedelta(hours=3))], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # one more nudge so the batch AFTER the watermark advance fires timeouts
+        spark.createDataFrame([(3, base + dt.timedelta(hours=3, minutes=1))], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r["user_id"]: r for r in spark.sql("SELECT * FROM sess_to_out").collect()}
+        assert set(got) >= {1, 2}
+        assert got[1]["n_events"] == 2
+        assert got[1]["session_start"] == base
+        assert got[1]["session_end"] == base + dt.timedelta(minutes=10)
+        assert got[2]["n_events"] == 1
+    finally:
+        q.stop()
