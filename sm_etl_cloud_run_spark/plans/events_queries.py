@@ -1196,3 +1196,46 @@ def events_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_total_value"),
         )
     )
+
+
+_SEASONAL_ORACLE = """
+WITH base AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, hod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((100 * SUM(cents)) // COUNT(*) AS DOUBLE) / 10000.0 AS mean_value,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM base GROUP BY event_type, hod
+"""
+# mean at 1e-4 precision via integer division — round() of the double
+# quotient sat exactly on a half-boundary at sf0.001 and the engines
+# rounded it apart; truncated integer arithmetic cannot diverge.
+
+
+@register("events_seasonal_baseline", oracle=_SEASONAL_ORACLE,
+          description="hour-of-day seasonal baseline per event type (the "
+                      "deseasonalization table for anomaly scoring)")
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality extraction: per (event_type, hour-of-day) volume and
+    mean value — the baseline an anomaly detector subtracts before
+    z-scoring (pairs with events_anomaly_zscore, which works on the
+    raw series; deseasonalized scoring joins THIS parameter-sized
+    table back, broadcast). One map-side-combined aggregate;
+    means via exact integer cent sums, fixed division order.
+    """
+    t = load_tables(spark, sf_dir)
+    base = t["events"].select(
+        "event_type", F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return base.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.expr("(100 * sum(cents)) DIV count(1)").cast("double") / 10000.0)
+        .alias("mean_value"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )

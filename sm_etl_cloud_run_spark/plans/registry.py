@@ -122,6 +122,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "knn_ivf_pq",
     "lineitem_column_profile",
     "text_pmi_collocations",
+    "events_seasonal_baseline",
     # registered in round 5, never driver-checked:
     "text_dup_ngram_fraction",
     "text_c4_heuristics",

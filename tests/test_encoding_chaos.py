@@ -337,7 +337,8 @@ def hostile_events_dir(tmp_path_factory):
      "events_hourly_gapfill", "events_hourly_rollup",
      "events_json_extract", "events_variant_extract",
      "events_concurrency_profile", "events_trend_regression",
-     "events_sample_estimate", "events_pivot_type_counts",
+     "events_sample_estimate", "events_seasonal_baseline",
+     "events_pivot_type_counts",
      "events_running_balance", "events_sessionize",
      "events_sliding_window", "events_value_histogram",
      "events_session_window_native",

@@ -467,3 +467,27 @@ def test_stateful_timeout_sessionization_emits_closed_sessions(spark, tmp_path):
         assert got[2]["n_events"] == 1
     finally:
         q.stop()
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension frame — the dim broadcasts per micro-batch, no state."""
+    src = str(tmp_path / "ss_events")
+    schema = "user_id long, value double"
+    spark.createDataFrame([(1, 10.0), (2, 20.0), (9, 90.0)], schema) \
+        .coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], "user_id long, tier string")
+
+    stream = (
+        spark.readStream.schema(schema).parquet(src)
+        .join(dim, "user_id", "left")
+        .withColumn("tier", F.coalesce(F.col("tier"), F.lit("unknown")))
+    )
+    q = stream.writeStream.outputMode("append").format("memory") \
+        .queryName("ss_out").start()
+    try:
+        q.processAllAvailable()
+        got = {r["user_id"]: r["tier"] for r in spark.sql("SELECT * FROM ss_out").collect()}
+        assert got == {1: "gold", 2: "silver", 9: "unknown"}
+    finally:
+        q.stop()
