@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     quality,
     relational,
     relational2,
+    search,
     textops,
     tpch_extra,
     training,
