@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     relational,
     relational2,
     search,
+    sequence,
     textops,
     tpch_extra,
     training,

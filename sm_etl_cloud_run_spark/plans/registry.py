@@ -106,6 +106,15 @@ def register(
 #     NTZ testdata in r4 (operators/windows.py, tables.py);
 #   - training_*: registered in r3 after the rotation cut, never checked.
 _CHANGED_OR_NEVER_CHECKED = (
+    # registered in round 7, never driver-checked:
+    "text_bm25_topk",
+    "search_hybrid_rrf",
+    "events_transition_matrix",
+    "events_top_paths",
+    "events_cdc_snapshot",
+    "events_ewma",
+    "events_value_ntile",
+    "events_seasonal_anomaly",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

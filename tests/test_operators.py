@@ -492,3 +492,39 @@ def test_expectations_single_pass_report(spark):
         report.explain("simple")
     plan = buf.getvalue().split("Initial Plan")[0]   # AQE prints the plan twice
     assert plan.count("Scan ExistingRDD") <= 1 and "BatchEvalPython" not in plan
+
+
+def test_apply_cdc_delete_and_incremental_equivalence(spark):
+    from sm_etl_cloud_run_spark.operators.cdc import apply_cdc
+
+    rows = [
+        # (key, seq, op, payload)
+        (1, 1, "U", "a"), (1, 2, "U", "b"),              # live, latest = b
+        (2, 1, "U", "x"), (2, 2, "D", None),             # deleted
+        (3, 1, "D", None), (3, 2, "U", "resurrected"),   # delete then re-insert
+        (4, 1, "U", "only"),
+    ]
+    log = spark.createDataFrame(rows, "k long, seq long, op string, v string")
+    snap = {r["k"]: r["v"] for r in apply_cdc(log, ["k"], ["seq"]).collect()}
+    assert snap == {1: "b", 3: "resurrected", 4: "only"}
+
+    # applying log[seq<=1] then re-applying the union equals one-shot apply
+    # (the incremental contract: monotonic seq per key => order-insensitive)
+    first = apply_cdc(log.where(F.col("seq") <= 1), ["k"], ["seq"])
+    replay = {r["k"]: r["v"] for r in apply_cdc(log, ["k"], ["seq"]).collect()}
+    assert replay == snap and first.count() == 3  # k=3 deleted in the prefix
+
+
+def test_apply_cdc_single_shuffle_plan(spark):
+    import contextlib
+    import io
+
+    from sm_etl_cloud_run_spark.operators.cdc import apply_cdc
+
+    log = spark.createDataFrame([(1, 1, "U", "a")], "k long, seq long, op string, v string")
+    out = apply_cdc(log, ["k"], ["seq"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue().split("Initial Plan")[0]
+    assert plan.count("Exchange") <= 1 and "BatchEvalPython" not in plan
