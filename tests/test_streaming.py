@@ -491,3 +491,54 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
         assert got == {1: "gold", 2: "silver", 9: "unknown"}
     finally:
         q.stop()
+
+
+def test_stream_cdc_apply_converges_and_never_regresses(spark, tmp_path):
+    from sm_etl_cloud_run_spark.operators.cdc import apply_cdc
+    from sm_etl_cloud_run_spark.streaming.stream_ops import (
+        read_cdc_snapshot,
+        stream_cdc_apply,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    batch1 = [(1, 1, "U", "a"), (2, 1, "U", "x"), (3, 1, "U", "m")]
+    batch2 = [(1, 2, "U", "b"), (2, 2, "D", None), (4, 2, "U", "new")]
+    src = tmp_path / "changes"
+    src.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    target = str(tmp_path / "snapshot")
+
+    def run(tag: str, glob: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / glob))
+        )
+        q = stream_cdc_apply(
+            stream, target, ("k",), seq_col="seq",
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"), query_name=f"cdc_{tag}",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("a", "*/*.parquet")
+    full_log = spark.createDataFrame(batch1 + batch2, schema)
+    expected = {
+        r["k"]: r["v"] for r in apply_cdc(full_log, ["k"], ["seq"]).collect()
+    }
+    got = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
+    assert got == expected == {1: "b", 3: "m", 4: "new"}
+
+    # at-least-once redelivery of a STALE batch (fresh checkpoint, only
+    # batch1): the seq guard must keep every newer row and the delete
+    run("replay_stale", "b1/*.parquet")
+    again = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
+    assert again == expected
+
+    # full replay from scratch also converges (idempotency)
+    run("replay_all", "*/*.parquet")
+    final = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
+    assert final == expected
