@@ -290,3 +290,45 @@ def media_feature_decoder(payload: bytes) -> list[float]:
         "BMP, 8-bit PNG, and PCM-16 WAV; JPEG/MP3/video require "
         "PIL/librosa/ffmpeg)"
     )
+
+
+# ---------------------------------------------------------------------------
+# audio DSP features (numpy FFT; no external audio libs)
+# ---------------------------------------------------------------------------
+
+def audio_spectral_features(payload: bytes, *, n_bands: int = 8) -> list[float]:
+    """PCM-16 WAV → fixed-width spectral feature vector.
+
+    [rms, zero_crossing_rate, spectral_centroid_hz, rolloff85_hz,
+     band_0..band_{n-1}] where the bands are energy FRACTIONS over
+    `n_bands` equal slices of [0, Nyquist]. Pure numpy rFFT — the
+    Arrow-batched kernel for `operators.multimodal.extract_features`
+    when audio rows need real DSP features rather than envelope stats.
+    Deterministic for a given payload (no windows, no dither).
+    """
+    samples, rate, channels = decode_wav(payload)
+    if channels > 1:
+        n = len(samples) // channels
+        mono = samples[: n * channels].astype(np.float64).reshape(n, channels).mean(axis=1)
+    else:
+        mono = samples.astype(np.float64)
+    if len(mono) == 0:
+        return [0.0, 0.0, 0.0, 0.0] + [0.0] * n_bands
+    rms = float(np.sqrt(np.mean(mono * mono)))
+    signs = np.signbit(mono)
+    zcr = float(np.count_nonzero(signs[1:] != signs[:-1])) / max(len(mono) - 1, 1)
+    spec = np.abs(np.fft.rfft(mono))
+    power = spec * spec
+    freqs = np.fft.rfftfreq(len(mono), d=1.0 / rate)
+    total = float(power.sum())
+    if total <= 0.0:
+        return [rms, zcr, 0.0, 0.0] + [0.0] * n_bands
+    centroid = float((freqs * power).sum() / total)
+    cumulative = np.cumsum(power)
+    rolloff = float(freqs[int(np.searchsorted(cumulative, 0.85 * total))])
+    nyquist = rate / 2.0
+    edges = np.linspace(0.0, nyquist, n_bands + 1)
+    idx = np.clip(np.digitize(freqs, edges[1:-1]), 0, n_bands - 1)
+    bands = np.zeros(n_bands)
+    np.add.at(bands, idx, power)
+    return [rms, zcr, centroid, rolloff] + [float(b / total) for b in bands]

@@ -178,3 +178,52 @@ def test_png_feature_decoder_and_unsupported():
 
     with pytest.raises(UnsupportedMediaError, match="JPEG"):
         media_feature_decoder(b"\xff\xd8\xff\xe0 not decodable jpeg")
+
+
+def test_audio_spectral_features_pure_tone():
+    """A 1 kHz sine at 16 kHz: centroid ≈ 1 kHz, its band holds ~all the
+    energy, ZCR = 2·f/rate, rolloff at the tone."""
+    import numpy as np
+
+    from sm_etl_cloud_run_spark.functions.codecs import (
+        audio_spectral_features,
+        encode_wav_pcm16,
+    )
+
+    rate, f0, dur = 16000, 1000.0, 0.5
+    t = np.arange(int(rate * dur)) / rate
+    samples = (0.6 * 32767 * np.sin(2 * np.pi * f0 * t)).astype(np.int16)
+    payload = encode_wav_pcm16(samples, rate)
+    feats = audio_spectral_features(payload, n_bands=8)
+    rms, zcr, centroid, rolloff = feats[:4]
+    bands = feats[4:]
+    assert abs(rms - 0.6 * 32767 / np.sqrt(2)) / (0.6 * 32767) < 0.01
+    assert abs(zcr - 2 * f0 / rate) < 0.01
+    assert abs(centroid - f0) < 25.0
+    assert abs(rolloff - f0) < 40.0
+    # 1 kHz lives in band 1 of [0,8k) split into 8 × 1 kHz slices
+    assert bands[1] > 0.99 and abs(sum(bands) - 1.0) < 1e-9
+
+
+def test_audio_spectral_features_stereo_and_silence():
+    import numpy as np
+
+    from sm_etl_cloud_run_spark.functions.codecs import (
+        audio_spectral_features,
+        encode_wav_pcm16,
+    )
+
+    silent = encode_wav_pcm16(np.zeros(256, dtype=np.int16), 8000)
+    feats = audio_spectral_features(silent)
+    assert feats == [0.0, 0.0, 0.0, 0.0] + [0.0] * 8
+
+    # stereo: L=tone, R=-tone → mono mean cancels to silence
+    rate = 8000
+    t = np.arange(1024) / rate
+    tone = (10000 * np.sin(2 * np.pi * 500 * t)).astype(np.int16)
+    inter = np.empty(2048, dtype=np.int16)
+    inter[0::2] = tone
+    inter[1::2] = -tone
+    payload = encode_wav_pcm16(inter, rate, channels=2)
+    feats = audio_spectral_features(payload)
+    assert feats[0] <= 1.0  # rms ~0 (int16 rounding noise)
