@@ -91,3 +91,65 @@ def pagerank_undirected(
             )
         )
     return cur.select("id", "deg", F.col("pr").alias("pr_micro"))
+
+
+def min_label_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an explicit edge list by min-label
+    propagation (Pregel-style fixpoint; the general-graph sibling of
+    `dedup.lsh_dedup_components`, which is specialized to the bipartite
+    doc↔bucket graph).
+
+    `nodes` seeds every vertex — including isolated ones, which come
+    back as their own singleton component (an entity-resolution
+    requirement: an unmatched record is still an entity). Labels must
+    be orderable; the component representative is the minimum label
+    reachable. Each round is two keyed shuffles + a 1-row convergence
+    read; `localCheckpoint` truncates lineage so plans stay linear.
+    Converges in O(component diameter) rounds.
+
+    Returns (node_col, component_rep).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("__a"), F.col(dst_col).alias("__b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("__a"), F.col(src_col).alias("__b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # scanned every round
+    )
+    labels = nodes.select(F.col(node_col)).distinct().withColumn(
+        "__label", F.col(node_col)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["__a"] == labels[node_col])
+            .groupBy("__b")
+            .agg(F.min("__label").alias("__new"))
+        )
+        nxt = (
+            labels.join(nbr_min, labels[node_col] == nbr_min["__b"], "left")
+            .select(
+                F.col(node_col),
+                F.least(F.col("__label"), F.coalesce("__new", "__label")).alias("__label"),
+                (F.coalesce("__new", "__label") < F.col("__label")).cast("int").alias("__chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.agg(F.sum("__chg")).collect()[0][0]
+        labels = nxt.drop("__chg")
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"min_label_components did not converge in {max_iter} rounds; "
+            "raise max_iter (component diameter exceeds the bound)"
+        )
+    return labels.withColumnRenamed("__label", "component_rep")

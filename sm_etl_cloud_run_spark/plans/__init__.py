@@ -8,6 +8,7 @@ this package populates the registry.
 
 from . import (  # noqa: F401
     corpus_stats,
+    entity,
     events_queries,
     graph_train,
     mixture,

@@ -115,6 +115,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_ewma",
     "events_value_ntile",
     "events_seasonal_anomaly",
+    "er_entity_clusters",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

@@ -110,3 +110,16 @@ def test_kmeans_train_converges_on_blobs(spark):
     assert it2 == 1 and all(
         abs(a - b) < 1e-9 for ca, cb in zip(c2, centroids) for a, b in zip(ca, cb)
     )
+
+
+def test_min_label_components_chain_and_singleton(spark):
+    from sm_etl_cloud_run_spark.operators.graph import min_label_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    # chain 0-1-2-3 (diameter 3), pair 4-5, isolated 6
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (4, 5)], "src long, dst long"
+    )
+    got = {r["node"]: r["component_rep"]
+           for r in min_label_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
