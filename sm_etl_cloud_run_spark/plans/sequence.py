@@ -83,8 +83,12 @@ WITH ranked AS (
   FROM events
 ),
 paths AS (
+  -- coalesce BEFORE aggregating: string_agg skips NULL elements (and
+  -- returns NULL for all-NULL groups) while Spark's concat_ws drops
+  -- them (returning '') — an explicit '' token makes both engines
+  -- render a NULL-typed event identically inside the path.
   SELECT user_id,
-         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         string_agg(coalesce(event_type, ''), '>' ORDER BY ts, event_id) AS path
   FROM ranked WHERE rn <= {_PATH_LEN}
   GROUP BY user_id
 )
@@ -111,7 +115,12 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ranked = (
         t["events"]
-        .select("user_id", "event_type", "ts", "event_id")
+        .select(
+            "user_id", "ts", "event_id",
+            # NULL-typed events render as an explicit empty token (see
+            # the oracle comment: concat_ws vs string_agg NULL handling)
+            F.coalesce(F.col("event_type"), F.lit("")).alias("event_type"),
+        )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _PATH_LEN)
     )

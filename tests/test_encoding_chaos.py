@@ -342,6 +342,9 @@ def hostile_events_dir(tmp_path_factory):
      "events_running_balance", "events_sessionize",
      "events_sliding_window", "events_value_histogram",
      "events_session_window_native",
+     "events_transition_matrix", "events_top_paths",
+     "events_cdc_snapshot", "events_ewma",
+     "events_value_ntile", "events_seasonal_anomaly",
      "f4_watermark_gate", "percentile_metrics", "skew_salted_user_join"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
