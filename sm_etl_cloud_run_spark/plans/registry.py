@@ -116,6 +116,10 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_value_ntile",
     "events_seasonal_anomaly",
     "er_entity_clusters",
+    "events_user_coherent_sample",
+    "events_winsorized_stats",
+    "events_grouping_sets",
+    "events_asof_tolerance",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

@@ -264,7 +264,8 @@ _NTILE_ORACLE = """
 WITH binned AS (
   SELECT event_type,
          CAST(round(value * 100) AS BIGINT) AS cents,
-         CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS quartile
+         CAST(ntile(4) OVER (PARTITION BY event_type
+                             ORDER BY value ASC NULLS LAST, event_id) AS BIGINT) AS quartile
   FROM events
 )
 SELECT event_type, quartile,
@@ -284,7 +285,12 @@ def events_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the window's partitioning.
     """
     t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # NULLS LAST explicitly on BOTH engines: Spark defaults ASC NULLS
+    # FIRST, DuckDB NULLS LAST — a hostile NULL measure would silently
+    # shift every bin boundary apart (the round-5 NULL-ordering lesson).
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     binned = t["events"].select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
@@ -367,3 +373,224 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.abs(F.col("z")).desc(), F.col("event_id").asc()).limit(_ANOM_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# coherent (user-consistent) sampling
+# ---------------------------------------------------------------------------
+
+_COHERENT_MOD = 10  # keep ~1/10 of users
+
+_COHERENT_ORACLE = f"""
+WITH sampled AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % {_COHERENT_MOD} = 0
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM sampled GROUP BY user_id
+"""
+
+
+@register("events_user_coherent_sample", oracle=_COHERENT_ORACLE,
+          description="coherent sampling: hash-select users, keep ALL their events")
+def events_user_coherent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-coherent sampling — the holdout shape a training pipeline
+    needs: selecting 10% of USERS (not 10% of rows) keeps every
+    sampled user's history intact, so sequence models and per-user
+    metrics stay unbiased. The selector is a pure md5 hash of the key:
+    deterministic, seedless, and computable on any engine or at any
+    later date (a new events partition lands in the same side of the
+    split). Pure filter + hash agg — no shuffle beyond the aggregate,
+    and the filter pushes into the scan.
+    """
+    t = load_tables(spark, sf_dir)
+    h32 = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
+    return (
+        t["events"]
+        .where(h32 % _COHERENT_MOD == 0)
+        .select("user_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# winsorized statistics (rank-based p05/p95 clipping)
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC NULLS LAST, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = CAST(floor(0.05 * n) AS BIGINT) + 1 THEN cents END) AS lo,
+         MIN(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN cents END) AS hi
+  FROM ranked GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       b.lo AS lo_cents, b.hi AS hi_cents,
+       CAST(SUM(CASE WHEN r.cents < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN r.cents > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       CAST((10000 * SUM(least(greatest(r.cents, b.lo), b.hi))) // COUNT(*) AS BIGINT)
+         AS winsor_mean_e4
+FROM ranked r JOIN bounds b USING (event_type)
+GROUP BY r.event_type, b.lo, b.hi
+"""
+
+
+@register("events_winsorized_stats", oracle=_WINSOR_ORACLE,
+          description="winsorized mean per event type (rank-exact p05/p95 clipping)")
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics by winsorization: clip each type's values at
+    the EXACT rank-based 5th/95th percentile positions (deterministic —
+    row_number with an event_id tiebreaker; approx_percentile would
+    neither be deterministic nor cross-engine), then an integer-exact
+    clipped mean at 1e-4 precision. One shuffle for the rank window;
+    the per-type bounds relation is |types| rows and broadcasts back.
+    """
+    t = load_tables(spark, sf_dir)
+    # explicit NULLS LAST — same cross-engine ordering contract as the
+    # ntile window above
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = t["events"].select(
+        "event_type", "event_id", "value",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    ).select(
+        "event_type", "event_id", "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == F.floor(0.05 * F.col("n")).cast("long") + 1, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"), F.col("cents"))).alias("hi"),
+    )
+    clipped = ranked.join(F.broadcast(bounds), "event_type")
+    return (
+        clipped.groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum((F.col("cents") < F.col("lo")).cast("long")).alias("n_clipped_low"),
+            F.sum((F.col("cents") > F.col("hi")).cast("long")).alias("n_clipped_high"),
+            F.expr(
+                "CAST((10000 * sum(least(greatest(cents, lo), hi))) div count(*) AS BIGINT)"
+            ).alias("winsor_mean_e4"),
+        )
+        .select(
+            "event_type", "n",
+            F.col("lo").alias("lo_cents"), F.col("hi").alias("hi_cents"),
+            "n_clipped_low", "n_clipped_high", "winsor_mean_e4",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (the cube/rollup family's general form, via the SQL surface)
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(month(ts) AS BIGINT), -1) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY GROUPING SETS ((event_type), (month(ts)), ())
+"""
+
+
+@register("events_grouping_sets", oracle=_GSETS_ORACLE,
+          description="GROUPING SETS aggregate (cube/rollup family, arbitrary set list)")
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping-set aggregation through the engine's SQL
+    surface (`spark.sql`) — the general form that cube_aggregate /
+    rollup_aggregate specialize. Spark expands the sets in ONE Expand +
+    hash-aggregate pass (no per-set re-scan). NULL group labels are
+    coalesced to sentinels so a hostile NULL event_type can't collide
+    with the set-marker NULLs ambiguously on either engine.
+    """
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(month(ts) AS BIGINT), -1) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (month(ts)), ())
+    """)
+
+
+# ---------------------------------------------------------------------------
+# as-of join with tolerance (stale matches nulled)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_ORACLE = """
+WITH attached AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         last_value(CASE WHEN event_type = 'click'
+                         THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+           OVER w AS last_click_cents,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w AS last_click_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts, value_cents,
+       CASE WHEN last_click_ts >= ts - INTERVAL 1 HOUR
+            THEN last_click_cents END AS last_click_cents_1h
+FROM attached
+WHERE event_type = 'purchase'
+"""
+
+
+@register("events_asof_tolerance", oracle=_ASOF_TOL_ORACLE,
+          description="as-of join with tolerance: prior click only if within 1 hour")
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The toleranced as-of (pandas `merge_asof(tolerance=...)`
+    semantics): each purchase carries the user's latest prior click
+    ONLY if it happened within the last hour — stale state is null, not
+    silently ancient. Same single window pass as events_asof_last_click
+    (carry value AND its timestamp), plus one interval comparison; the
+    tolerance costs nothing at scale.
+    """
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_cents = F.when(
+        F.col("event_type") == "click",
+        F.round(F.col("value") * 100, 0).cast("long"),
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    attached = t["events"].select(
+        "event_id", "user_id", "ts", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        F.last(click_cents, ignorenulls=True).over(w).alias("last_click_cents"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    return attached.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value_cents",
+        F.when(
+            F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+            F.col("last_click_cents"),
+        ).alias("last_click_cents_1h"),
+    )
