@@ -401,3 +401,47 @@ def winnowing_fingerprints(
         .select(F.col(id_col), F.col("__wmin").alias("fingerprint"))
         .distinct()
     )
+
+
+def plan_lsh_bands(
+    threshold: float,
+    num_hashes: int,
+    *,
+    resolution: int = 1000,
+) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for a target Jaccard threshold.
+
+    Standard MinHash-LSH planning (Mining of Massive Datasets §3.4):
+    the probability a pair of similarity s collides in ≥1 band is
+    p(s) = 1 − (1 − s^r)^b with b·r = num_hashes. Pick the divisor
+    pair minimizing total error ∫₀^t p(s) ds + ∫ₜ¹ (1 − p(s)) ds —
+    false positives below the threshold plus false negatives above —
+    by trapezoidal sum at `resolution` points (the same objective
+    Spark MLlib's MinHashLSH docs describe; computed exactly enough
+    that the argmin is stable).
+
+    Returns (bands, rows_per_band) with bands·rows == num_hashes.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    best: tuple[float, int, int] | None = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        fp = fn = 0.0
+        step = 1.0 / resolution
+        for i in range(resolution):
+            s = (i + 0.5) * step
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p * step
+            else:
+                fn += (1.0 - p) * step
+        err = fp + fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]

@@ -671,3 +671,85 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_PMI_TOPK)
     w = Window.orderBy(F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc())
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+uni AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rnk FROM uni
+),
+pts AS (
+  SELECT CAST(FLOOR(1000.0 * ln(CAST(rnk AS DOUBLE))) AS BIGINT) AS x,
+         CAST(FLOOR(1000.0 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS y
+  FROM ranked
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_terms,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / (1000.0 * n), 6) AS zipf_intercept
+FROM mom
+"""
+
+
+@register("text_zipf_fit", oracle=_ZIPF_ORACLE,
+          description="Zipf's-law OLS fit over the vocabulary (log-rank vs log-freq slope)")
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: the slope of ln(freq) on ln(rank) over
+    the whole vocabulary (natural corpora sit near −1; synthetic or
+    template-heavy corpora flatten). The events_trend_regression
+    pattern: log points are 1e3-floored integers (milli-lns keep every
+    cross-moment below 2⁶³ at any vocabulary size), the five OLS
+    moments are exact BIGINT sums, and the only doubles are the two
+    final divisions — so the single-row answer is bit-identical on
+    both engines. One explode + vocabulary-sized aggregate; the rank
+    window runs on |vocab| rows.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    uni = (
+        t["documents"]
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ranked = uni.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("term").asc()))
+    )
+    pts = ranked.select(
+        F.floor(1000.0 * F.log(F.col("rnk").cast("double"))).cast("long").alias("x"),
+        F.floor(1000.0 * F.log(F.col("c").cast("double"))).cast("long").alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sxx") - sx * sx).cast("double")
+    slope = num / den
+    return mom.select(
+        n.alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy.cast("double") - slope * sx.cast("double")) / (1000.0 * n.cast("double")), 6)
+        .alias("zipf_intercept"),
+    )

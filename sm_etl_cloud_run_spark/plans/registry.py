@@ -120,6 +120,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_winsorized_stats",
     "events_grouping_sets",
     "events_asof_tolerance",
+    "text_zipf_fit",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

@@ -74,3 +74,24 @@ def test_fill_zero_long(spark):
     df = spark.createDataFrame([(1,), (None,)], "x long")
     out = [r["y"] for r in df.select(cleaning.fill_zero_long(F.col("x")).alias("y")).collect()]
     assert out == [1, 0]
+
+
+def test_plan_lsh_bands_tracks_threshold():
+    """MMDS §3.4: (1/b)^(1/r) ≈ the S-curve midpoint — low thresholds
+    want many bands (high recall), high thresholds want long bands
+    (high precision); the planner must recover that monotonicity."""
+    import pytest
+
+    from sm_etl_cloud_run_spark.operators.dedup import plan_lsh_bands
+
+    b_low, r_low = plan_lsh_bands(0.2, 64)
+    b_mid, r_mid = plan_lsh_bands(0.5, 64)
+    b_high, r_high = plan_lsh_bands(0.9, 64)
+    assert b_low * r_low == b_mid * r_mid == b_high * r_high == 64
+    assert b_low >= b_mid >= b_high and r_low <= r_mid <= r_high
+    # the chosen midpoint brackets the target threshold reasonably
+    for t, (b, r) in ((0.2, (b_low, r_low)), (0.5, (b_mid, r_mid)), (0.9, (b_high, r_high))):
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - t) < 0.25
+    with pytest.raises(ValueError):
+        plan_lsh_bands(1.5, 64)
