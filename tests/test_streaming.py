@@ -542,3 +542,36 @@ def test_stream_cdc_apply_converges_and_never_regresses(spark, tmp_path):
     run("replay_all", "*/*.parquet")
     final = {r["k"]: r["v"] for r in read_cdc_snapshot(spark, target).collect()}
     assert final == expected
+
+
+def test_metrics_recorder_captures_progress(spark, tmp_path):
+    from sm_etl_cloud_run_spark.streaming.observability import MetricsRecorder
+
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [(base + dt.timedelta(minutes=i), "click", float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    src = str(tmp_path / "obs_events")
+    df.coalesce(1).write.parquet(src)
+
+    rec = MetricsRecorder()
+    spark.streams.addListener(rec)
+    try:
+        stream = windowed_counts(read_events_stream(spark, src, df.schema), window="1 hour")
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory").queryName("obs_out").start()
+        )
+        try:
+            q.processAllAvailable()
+            assert rec.wait_for_batches(1), "no progress event with input rows arrived"
+        finally:
+            q.stop()
+    finally:
+        spark.streams.removeListener(rec)
+
+    prog = rec.to_df(spark).where(F.col("num_input_rows") > 0).collect()
+    assert sum(r["num_input_rows"] for r in prog) == 40
+    assert all(r["query_name"] == "obs_out" for r in prog)
+    assert all(r["trigger_ms"] >= 0 for r in prog)
+    # the windowed agg keeps state: the state store must report rows
+    assert any(r["state_rows"] > 0 for r in prog)
