@@ -285,3 +285,42 @@ def test_compact_zorder_clusters_two_dimensions(spark, tmp_path):
     # random layout: every file spans ~the whole 64x64 square; z-order
     # files cover disjoint-ish tiles
     assert z_area < 0.5 * p_area, (z_area, p_area)
+
+
+def test_matview_incremental_equals_full_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sm_etl_cloud_run_spark.sinks.matview import refresh_incremental
+
+    schema = "day string, cents long"
+    d1 = spark.createDataFrame(
+        [("mon", 100), ("mon", 50), ("tue", 10)], schema)
+    d2 = spark.createDataFrame(
+        [("mon", 7), ("wed", 300), ("tue", -5)], schema)
+    rollup = str(tmp_path / "daily_rollup")
+
+    assert refresh_incremental(
+        spark, d1, rollup, ["day"], part_id="p1",
+        sum_cols=["cents"], min_cols=["cents"], max_cols=["cents"])
+    assert refresh_incremental(
+        spark, d2, rollup, ["day"], part_id="p2",
+        sum_cols=["cents"], min_cols=["cents"], max_cols=["cents"])
+    # re-applying an already-merged partition is a no-op (idempotent)
+    assert not refresh_incremental(
+        spark, d2, rollup, ["day"], part_id="p2",
+        sum_cols=["cents"], min_cols=["cents"], max_cols=["cents"])
+
+    got = {
+        r["day"]: (r["n_rows"], r["sum_cents"], r["min_cents"], r["max_cents"])
+        for r in spark.read.parquet(rollup).collect()
+    }
+    full = {
+        r["day"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in d1.unionByName(d2).groupBy("day").agg(
+            F.count("*").cast("long").alias("n"), F.sum("cents").alias("s"),
+            F.min("cents").alias("mn"), F.max("cents").alias("mx"),
+        ).collect()
+    }
+    assert got == full == {
+        "mon": (3, 157, 7, 100), "tue": (2, 5, -5, 10), "wed": (1, 300, 300, 300)
+    }

@@ -61,6 +61,13 @@ QUERIES = (
     "knn_graph_pagerank",
     "text_remove_dup_spans",
     "events_concurrency_profile",
+    # round-7 additions: BM25's filter-then-explode inverted stats, the
+    # lag+pair-agg transition matrix, the rank-window winsorizer, and
+    # the exchange-reusing path assembly.
+    "text_bm25_topk",
+    "events_transition_matrix",
+    "events_winsorized_stats",
+    "events_top_paths",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
