@@ -324,3 +324,40 @@ def test_matview_incremental_equals_full_recompute(spark, tmp_path):
     assert got == full == {
         "mon": (3, 157, 7, 100), "tue": (2, 5, -5, 10), "wed": (1, 300, 300, 300)
     }
+
+
+def test_snapshot_publish_atomic_and_pinned(spark, tmp_path):
+    from sm_etl_cloud_run_spark.sinks.snapshot import (
+        current_version,
+        prune_versions,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "warehouse")
+    v1 = publish_snapshot(
+        {"dim": spark.createDataFrame([(1, "a")], "k long, v string"),
+         "fact": spark.createDataFrame([(1, 10)], "k long, m long")},
+        root,
+    )
+    assert v1 == 1 and current_version(root) == 1
+
+    # a reader resolves v1 and stays pinned there across later publishes
+    pinned = read_snapshot(spark, root)
+    v2 = publish_snapshot(
+        {"dim": spark.createDataFrame([(1, "a2")], "k long, v string"),
+         "fact": spark.createDataFrame([(1, 20), (2, 5)], "k long, m long")},
+        root,
+    )
+    assert v2 == 2
+    assert [r["v"] for r in pinned["dim"].collect()] == ["a"]
+    assert pinned["fact"].count() == 1
+    fresh = read_snapshot(spark, root)
+    assert [r["v"] for r in fresh["dim"].collect()] == ["a2"]
+    assert fresh["fact"].count() == 2
+
+    publish_snapshot({"dim": spark.createDataFrame([(9, "z")], "k long, v string")}, root)
+    removed = prune_versions(root, keep=2)
+    assert removed == ["v1"]
+    # current snapshot still reads fine after pruning
+    assert read_snapshot(spark, root)["dim"].count() == 1
