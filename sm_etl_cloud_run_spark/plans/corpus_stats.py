@@ -753,3 +753,110 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy.cast("double") - slope * sx.cast("double")) / (1000.0 * n.cast("double")), 6)
         .alias("zipf_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram-LM quality score (the unigram scorer's stronger twin)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+uni AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY term
+),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t FROM uni),
+docbg AS (
+  SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf2
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(string_split(trim(text), ' '))),
+             i -> string_split(trim(text), ' ')[i] || ' ' ||
+                  string_split(trim(text), ' ')[i + 1])) AS bg
+    FROM documents
+  )
+  GROUP BY doc_id, bg
+),
+c2 AS (SELECT bg, CAST(SUM(tf2) AS BIGINT) AS c2 FROM docbg GROUP BY bg),
+scored AS (
+  SELECT c2.bg,
+         CAST(FLOOR(1000000.0 * ln(
+             0.7 * CAST(c2.c2 AS DOUBLE) / u1.c1
+           + 0.3 * CAST(u2.c1 AS DOUBLE) / tot.t)) AS BIGINT) AS logp_micro
+  FROM c2
+  JOIN uni u1 ON u1.term = string_split(c2.bg, ' ')[1]
+  JOIN uni u2 ON u2.term = string_split(c2.bg, ' ')[2]
+  CROSS JOIN tot
+)
+SELECT d.doc_id,
+       CAST(SUM(d.tf2) AS BIGINT) AS n_bigrams,
+       CAST(SUM(d.tf2 * s.logp_micro) AS BIGINT) AS sum_logp_micro,
+       CAST(SUM(d.tf2 * s.logp_micro) AS DOUBLE) / (1000000.0 * SUM(d.tf2)) AS avg_logp
+FROM docbg d JOIN scored s USING (bg)
+GROUP BY d.doc_id
+"""
+
+
+@register("text_bigram_logprob", oracle=_BIGRAM_ORACLE,
+          description="interpolated bigram-LM quality score (0.7·p(w2|w1) + 0.3·p(w2))")
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average interpolated bigram log-probability — the
+    CCNet-style fluency score upgraded one Markov order (repetitive or
+    scrambled text scores low even when its unigrams look natural).
+
+    Same inverted-index algebra as text_unigram_logprob: bigram/unigram
+    count tables are vocabulary-sized aggregates, the interpolated
+    probability is computed ONCE per distinct bigram (not per
+    occurrence), floored to 1e6-scaled integer log-probs, and the
+    per-doc combination is an exact integer dot of (tf₂, logp_micro).
+    Docs with fewer than two tokens have no bigrams and drop out on
+    both engines (inner-join semantics). Shingles ride the engine's
+    slice+zip fast path (word_shingles), not dynamic array indexing.
+    """
+    from ..functions.text import word_shingles
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    uni = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term").agg(F.count("*").cast("long").alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").cast("long").alias("t"))
+    docbg = (
+        docs.select("doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
+        .groupBy("doc_id", "bg").agg(F.count("*").cast("long").alias("tf2"))
+    )
+    c2 = docbg.groupBy("bg").agg(F.sum("tf2").cast("long").alias("c2"))
+    w1 = F.element_at(F.split(F.col("bg"), " "), 1)
+    w2 = F.element_at(F.split(F.col("bg"), " "), 2)
+    scored = (
+        c2.join(uni.withColumnRenamed("term", "__w1").withColumnRenamed("c1", "c1_w1"),
+                w1 == F.col("__w1"))
+        .join(uni.withColumnRenamed("term", "__w2").withColumnRenamed("c1", "c1_w2"),
+              w2 == F.col("__w2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            F.floor(
+                1000000.0
+                * F.log(
+                    0.7 * F.col("c2").cast("double") / F.col("c1_w1")
+                    + 0.3 * F.col("c1_w2").cast("double") / F.col("t")
+                )
+            ).cast("long").alias("logp_micro"),
+        )
+    )
+    return (
+        docbg.join(scored, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf2").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf2") * F.col("logp_micro")).cast("long").alias("sum_logp_micro"),
+            (
+                F.sum(F.col("tf2") * F.col("logp_micro")).cast("double")
+                / (1000000.0 * F.sum("tf2"))
+            ).alias("avg_logp"),
+        )
+    )

@@ -121,6 +121,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_grouping_sets",
     "events_asof_tolerance",
     "text_zipf_fit",
+    "text_bigram_logprob",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",
