@@ -122,6 +122,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_asof_tolerance",
     "text_zipf_fit",
     "text_bigram_logprob",
+    "events_rolling_wau",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

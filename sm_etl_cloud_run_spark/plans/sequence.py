@@ -594,3 +594,54 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_click_cents"),
         ).alias("last_click_cents_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling 7-day distinct users (WAU per day)
+# ---------------------------------------------------------------------------
+
+_WAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau,
+       CAST(COUNT(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS BIGINT) AS dau
+FROM days d
+JOIN du u ON u.day > d.day - INTERVAL 7 DAY AND u.day <= d.day
+GROUP BY d.day
+"""
+
+
+@register("events_rolling_wau", oracle=_WAU_ORACLE,
+          description="rolling 7-day distinct users per day (WAU/DAU, exact)")
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling weekly-active-users: dedupe to (day, user) first —
+    the fact stream collapses to at most |days|·|users| rows — then a
+    bounded 7-day range join against the day grid and a distinct count
+    per day. Distinct-count over a sliding window has NO
+    partial-aggregate shortcut (cardinality is holistic), so the exact
+    form is this ≤7× amplification of the DEDUPED day-user relation —
+    at 100 TB you either accept that (it's ~7·|active users|·|days|
+    rows, not 7× the corpus) or switch to the mergeable HLL rollup
+    (`events_sketch_rollup_merge`) and take the ±2% estimate.
+    """
+    t = load_tables(spark, sf_dir)
+    du = (
+        t["events"]
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    joined = days.alias("d").join(
+        du.alias("u"),
+        (F.col("u.day") > F.col("d.day") - F.expr("INTERVAL 7 DAYS"))
+        & (F.col("u.day") <= F.col("d.day")),
+    )
+    return joined.groupBy(F.col("d.day").alias("day")).agg(
+        F.count_distinct("u.user_id").cast("long").alias("wau"),
+        F.count_distinct(
+            F.when(F.col("u.day") == F.col("d.day"), F.col("u.user_id"))
+        ).cast("long").alias("dau"),
+    )
