@@ -276,3 +276,41 @@ def test_column_profile_single_scan(spark, sf_dir):
     plan = _plan(spark, "lineitem_column_profile", sf_dir, mode="simple")
     final = plan.split("Initial Plan")[0]
     assert final.count("lineitem.parquet") <= 1
+
+
+def test_bm25_term_stats_broadcast_single_doc_shuffle(spark, sf_dir):
+    """BM25's df table and the 1-row corpus stats are parameter-sized —
+    both must broadcast; the only hash-partitioned exchange on data is
+    the doc-keyed tf aggregate (plus the final TakeOrdered)."""
+    plan = _plan(spark, "text_bm25_topk", sf_dir, mode="simple")
+    final = plan.split("Initial Plan")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert "BatchEvalPython" not in final
+
+
+def test_winsorized_bounds_broadcast(spark, sf_dir):
+    """The per-type p05/p95 bounds relation is |types| rows — the join
+    back onto the ranked fact must be broadcast, not a shuffle join."""
+    plan = _plan(spark, "events_winsorized_stats", sf_dir, mode="simple")
+    final = plan.split("Initial Plan")[0]
+    assert "BroadcastHashJoin" in final and "SortMergeJoin" not in final
+
+
+def test_transition_matrix_one_fact_exchange(spark, sf_dir):
+    """Only the lag window shuffles EVENT data (on user_id); the pair
+    aggregate and the probability window exchange the |types|²-row pair
+    relation — three hash exchanges total, one on the fact."""
+    plan = _plan(spark, "events_transition_matrix", sf_dir, mode="simple")
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange hashpartitioning") <= 3
+    assert final.count("hashpartitioning(user_id") == 1
+
+
+def test_bigram_lm_total_broadcasts(spark, sf_dir):
+    """The 1-row token total and the unigram joins stay broadcast; no
+    Python anywhere in the LM scoring path."""
+    plan = _plan(spark, "text_bigram_logprob", sf_dir, mode="simple")
+    final = plan.split("Initial Plan")[0]
+    assert "BroadcastHashJoin" in final
+    assert "BatchEvalPython" not in final
