@@ -528,3 +528,28 @@ def test_apply_cdc_single_shuffle_plan(spark):
         out.explain("simple")
     plan = buf.getvalue().split("Initial Plan")[0]
     assert plan.count("Exchange") <= 1 and "BatchEvalPython" not in plan
+
+
+def test_cdc_diff_apply_roundtrip(spark):
+    from sm_etl_cloud_run_spark.operators.cdc import apply_cdc, cdc_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, v string, m long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),          # unchanged -> no change row
+         (2, "B", 20),          # updated
+         (3, "c", 30),          # NULL -> value counts as a change
+         (5, "e", None)],       # inserted (4 deleted)
+        "k long, v string, m long",
+    )
+    diff = cdc_diff(old, new, ["k"])
+    ops = {r["k"]: r["op"] for r in diff.collect()}
+    assert ops == {2: "U", 3: "U", 4: "D", 5: "I"}
+
+    # roundtrip: old + diff (diff rows win) == new
+    log = old.withColumn("op", F.lit("U")).withColumn("seq", F.lit(0)) \
+        .unionByName(diff.withColumn("seq", F.lit(1)))
+    applied = apply_cdc(log, ["k"], ["seq"]).drop("op", "seq")
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
