@@ -162,3 +162,84 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, c, d, mn, mx in rows
     ]
     return a.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# one-pass pairwise correlation matrix
+# ---------------------------------------------------------------------------
+
+# (column, integer scaling expression) — dollars/percent units keep every
+# cross-moment below 2^63 even at the 16x scale probe (cents² · 1e8 rows
+# would overflow); the scaling is part of the metric's definition on BOTH
+# engines, so parity is exact regardless.
+_CORR_VARS = (
+    ("qty", "CAST(round(l_quantity) AS BIGINT)"),
+    ("price", "CAST(round(l_extendedprice) AS BIGINT)"),
+    ("disc", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tax", "CAST(round(l_tax * 100) AS BIGINT)"),
+)
+_CORR_PAIRS = [
+    (a, b) for i, (a, _) in enumerate(_CORR_VARS) for b, _ in [v for v in _CORR_VARS[i + 1:]]
+]
+
+
+def _corr_matrix_oracle() -> str:
+    sel = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for name, expr in _CORR_VARS:
+        sel.append(f"CAST(SUM({expr}) AS BIGINT) AS s_{name}")
+        sel.append(f"CAST(SUM({expr} * {expr}) AS BIGINT) AS s_{name}_{name}")
+    for a, b in _CORR_PAIRS:
+        ea = dict(_CORR_VARS)[a]
+        eb = dict(_CORR_VARS)[b]
+        sel.append(f"CAST(SUM(({ea}) * ({eb})) AS BIGINT) AS s_{a}_{b}")
+    rows = []
+    for a, b in _CORR_PAIRS:
+        num = f"(CAST(n AS DOUBLE) * s_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})"
+        da = f"(CAST(n AS DOUBLE) * s_{a}_{a} - CAST(s_{a} AS DOUBLE) * s_{a})"
+        db = f"(CAST(n AS DOUBLE) * s_{b}_{b} - CAST(s_{b} AS DOUBLE) * s_{b})"
+        rows.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"round({num} / sqrt({da} * {db}), 6) AS corr FROM mom"
+        )
+    return (
+        "WITH mom AS (SELECT " + ", ".join(sel) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+@register("lineitem_corr_matrix", oracle=_corr_matrix_oracle(),
+          description="pairwise Pearson matrix over 4 measures in ONE scan (exact moments)")
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 6 pairwise correlations from a single scan: one hash
+    aggregate computes every first/second/cross moment as exact BIGINT
+    sums (15 sums total), and the 6 Pearson values are pure expression
+    arithmetic over that 1-row result — versus 6 separate `corr()`
+    jobs, this reads the fact table once and is deterministic on both
+    engines (float corr() accumulates in partition order). The melt to
+    (col_a, col_b, corr) rows uses `stack` on the 1-row aggregate —
+    free.
+    """
+    t = load_tables(spark, sf_dir)
+    exprs = {name: F.expr(sql) for name, sql in _CORR_VARS}
+    aggs = [F.count("*").cast("long").alias("n")]
+    for name, _ in _CORR_VARS:
+        e = exprs[name]
+        aggs.append(F.sum(e).cast("long").alias(f"s_{name}"))
+        aggs.append(F.sum(e * e).cast("long").alias(f"s_{name}_{name}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum(exprs[a] * exprs[b]).cast("long").alias(f"s_{a}_{b}"))
+    mom = t["lineitem"].agg(*aggs)
+    pair_cols = []
+    for a, b in _CORR_PAIRS:
+        n = F.col("n").cast("double")
+        num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}").cast("double") * F.col(f"s_{b}")
+        da = n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}").cast("double") * F.col(f"s_{a}")
+        db = n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}").cast("double") * F.col(f"s_{b}")
+        pair_cols.append((a, b, F.round(num / F.sqrt(da * db), 6)))
+    stack_expr = ", ".join(f"'{a}', '{b}', corr_{a}_{b}" for a, b, _ in pair_cols)
+    wide = mom.select(
+        *[c.alias(f"corr_{a}_{b}") for a, b, c in pair_cols]
+    )
+    return wide.selectExpr(
+        f"stack({len(pair_cols)}, {stack_expr}) AS (col_a, col_b, corr)"
+    )

@@ -123,6 +123,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "text_zipf_fit",
     "text_bigram_logprob",
     "events_rolling_wau",
+    "lineitem_corr_matrix",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",
