@@ -243,3 +243,119 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(pair_cols)}, {stack_expr}) AS (col_a, col_b, corr)"
     )
+
+
+# ---------------------------------------------------------------------------
+# population stability index (distribution drift) per event type
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+# Window split at the exact midpoint of the observed time range
+# (integer epoch-micros arithmetic — regeneration-proof, no pinned
+# dates); 10 equal-width value bins over the observed cents range;
+# +1 Laplace smoothing so empty bins can't ln(0). Per-bin PSI
+# contributions are floored to 1e6 BEFORE the per-type sum (exact
+# integer total on both engines).
+_PSI_ORACLE = f"""
+WITH bounds AS (
+  SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS t_lo, CAST(MAX(epoch_us(ts)) AS BIGINT) AS t_hi,
+         CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c_lo,
+         CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c_hi
+  FROM events
+),
+binned AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) * 2 < t_lo + t_hi THEN 'a' ELSE 'b' END AS side,
+         least({_PSI_BINS - 1},
+               (({_PSI_BINS} * (CAST(round(value * 100) AS BIGINT) - c_lo))
+                // greatest(c_hi - c_lo + 1, 1))) AS bin
+  FROM events CROSS JOIN bounds
+  WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM binned GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM counts GROUP BY event_type
+),
+contrib AS (
+  SELECT c.event_type,
+         CAST(FLOOR(1000000.0 *
+           (CAST(c.n_a + 1 AS DOUBLE) / (t.t_a + t.k) - CAST(c.n_b + 1 AS DOUBLE) / (t.t_b + t.k))
+           * ln((CAST(c.n_a + 1 AS DOUBLE) / (t.t_a + t.k))
+                / (CAST(c.n_b + 1 AS DOUBLE) / (t.t_b + t.k)))) AS BIGINT) AS psi_micro,
+         c.n_a, c.n_b
+  FROM counts c JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(SUM(psi_micro) AS BIGINT) AS psi_micro,
+       CAST(SUM(n_a) AS BIGINT) AS n_first_half,
+       CAST(SUM(n_b) AS BIGINT) AS n_second_half
+FROM contrib GROUP BY event_type
+"""
+
+
+@register("events_distribution_drift", oracle=_PSI_ORACLE,
+          description="PSI distribution drift: first vs second half of the time range")
+def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: per event type, the
+    value distribution of the first half of the observed time range
+    against the second (the train-vs-serve drift check an ML pipeline
+    schedules). Binning bounds and the time midpoint come from ONE
+    1-row extrema aggregate (broadcast back, integer epoch arithmetic
+    — no pinned dates to rot when the driver regenerates data); bins
+    are Laplace-smoothed so empty cells can't ln(0); per-bin
+    contributions are 1e6-floored integers so the per-type sum is
+    exact on both engines. PSI > 0.2 is the conventional drift alarm.
+    """
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    bounds = t["events"].agg(
+        F.min(F.unix_micros("ts")).cast("long").alias("t_lo"),
+        F.max(F.unix_micros("ts")).cast("long").alias("t_hi"),
+        F.min(cents).alias("c_lo"),
+        F.max(cents).alias("c_hi"),
+    )
+    binned = (
+        t["events"].where(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.when(F.unix_micros("ts") * 2 < F.col("t_lo") + F.col("t_hi"), "a")
+            .otherwise("b").alias("side"),
+            F.least(
+                F.lit(_PSI_BINS - 1),
+                F.expr(
+                    f"({_PSI_BINS} * (CAST(round(value * 100) AS BIGINT) - c_lo))"
+                    " div greatest(c_hi - c_lo + 1, 1)"
+                ),
+            ).alias("bin"),
+        )
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_a").cast("long").alias("t_a"),
+        F.sum("n_b").cast("long").alias("t_b"),
+        F.count("*").cast("long").alias("k"),
+    )
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("t_a") + F.col("k"))
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("t_b") + F.col("k"))
+    contrib = counts.join(F.broadcast(tot), "event_type").select(
+        "event_type", "n_a", "n_b",
+        F.floor(1000000.0 * (pa - pb) * F.log(pa / pb)).cast("long").alias("psi_micro"),
+    )
+    return contrib.groupBy("event_type").agg(
+        F.sum("psi_micro").cast("long").alias("psi_micro"),
+        F.sum("n_a").cast("long").alias("n_first_half"),
+        F.sum("n_b").cast("long").alias("n_second_half"),
+    )

@@ -124,6 +124,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "text_bigram_logprob",
     "events_rolling_wau",
     "lineitem_corr_matrix",
+    "events_distribution_drift",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

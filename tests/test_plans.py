@@ -124,6 +124,7 @@ _NESTED_LOOP_OK = {
     "text_pmi_collocations",  # 1-row total-token scalar broadcast (N for PMI)
     "text_bm25_topk",        # 1-row corpus-stats (N, total_tokens) scalar broadcast
     "search_hybrid_rrf",     # same corpus-stats scalar + 1-row query-vector broadcast
+    "events_distribution_drift",  # 1-row time/value extrema scalar broadcast
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.
