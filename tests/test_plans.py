@@ -315,3 +315,33 @@ def test_bigram_lm_total_broadcasts(spark, sf_dir):
     final = plan.split("Initial Plan")[0]
     assert "BroadcastHashJoin" in final
     assert "BatchEvalPython" not in final
+
+
+def test_lsh_candidate_recall_vs_exact_jaccard(spark, sf_dir):
+    """Retrieval-quality harness for the dedup pipeline: with 8 hashes
+    in 4 bands (r=2), a pair at Jaccard s collides with p = 1-(1-s²)⁴
+    — for the high-similarity pairs the dedup actually targets
+    (s ≥ 0.5, p ≥ 0.68) the banding must recover a clear majority of
+    the exact n-gram ground truth on this corpus. Pins the measured
+    recall so a banding/hashing regression (wrong band split, broken
+    min selection) shows up as a recall collapse, not as silently
+    worse dedup."""
+    from sm_etl_cloud_run_spark.plans import get
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in get("dedup_ngram_jaccard").fn(spark, sf_dir).collect()
+    }
+    candidates = {
+        (r["id_a"], r["id_b"])
+        for r in get("dedup_lsh_pairs").fn(spark, sf_dir).collect()
+    }
+    assert exact, "ground-truth pair set is empty — corpus regenerated?"
+    strong = {p for p, s in exact.items() if s >= 0.5}
+    if strong:
+        strong_recall = len(strong & candidates) / len(strong)
+        assert strong_recall >= 0.65, f"strong-pair recall collapsed: {strong_recall:.2f}"
+    overall_recall = len(set(exact) & candidates) / len(exact)
+    # threshold pairs at s≈0.18 collide with p≈0.12 — overall recall is
+    # naturally modest; guard the floor, not an aspiration
+    assert overall_recall >= 0.10, f"overall recall collapsed: {overall_recall:.2f}"
