@@ -85,3 +85,17 @@ def char_ngrams(col: Column, n: int = 5) -> Column:
         F.array().cast("array<int>")
     )
     return F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
+
+
+def strip_html(col: Column) -> Column:
+    """Remove HTML markup for text-quality pipelines: script/style
+    blocks dropped whole, remaining tags stripped, the five standard
+    entities decoded, whitespace collapsed. Pure regexp expressions —
+    stays in whole-stage codegen (a real DOM parse belongs in a Pandas
+    UDF only when attribute-aware extraction is required)."""
+    c = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

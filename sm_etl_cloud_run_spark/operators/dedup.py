@@ -445,3 +445,48 @@ def plan_lsh_bands(
             best = (err, b, r)
     assert best is not None
     return best[1], best[2]
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    min_line_chars: int = 10,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the jusText/CCNet line-dedup
+    idea): a LINE that repeats verbatim across ≥ `min_df` documents is
+    chrome (nav bars, cookie banners, footers), not content — delete
+    every occurrence and reassemble the document.
+
+    Shape: explode lines with position → md5-line hash aggregate for
+    document frequency (vocabulary-of-lines sized, heavy hitters only
+    after the df filter → broadcastable) → anti-join occurrences
+    against the boilerplate set → order-explicit reassembly via
+    sort_array(collect_list(struct(pos, line))). Short lines are
+    exempt (min_line_chars) so common short utterances survive.
+    One doc-keyed shuffle for reassembly.
+    """
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.where(F.length("line") >= min_line_chars)
+        .groupBy("line")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(out_col)
+    )

@@ -68,3 +68,41 @@ class JobRunner:
         for row in rows:
             job.run(spark, row.asDict())
         return len(rows)
+
+
+def plan_backfill(
+    control: DataFrame,
+    stage: str,
+    *,
+    period_col: str = "periodo",
+    start: str | None = None,
+    end: str | None = None,
+    force: bool = False,
+    max_partitions: int | None = None,
+) -> DataFrame:
+    """Plan an idempotent backfill: the control-table rows to re-run for
+    `stage` within an optional [start, end] period range.
+
+    `force=False` (default) re-runs only genuinely stale rows (the
+    normal watermark gate scoped to the range — "heal this window");
+    `force=True` re-runs EVERY row in the range regardless of
+    watermarks — the "upstream logic changed, rebuild the window" case.
+    Because all sinks are idempotent (partition overwrite / keyed
+    merge), replans and overlapping backfills are safe to dispatch
+    repeatedly; `max_partitions` caps one wave (ordered oldest-first so
+    repeated waves drain the backlog deterministically).
+    """
+    source_ts, sink_ts = STAGE_CONDITIONS[stage]
+    scoped = control
+    if start is not None:
+        scoped = scoped.where(F.col(period_col) >= F.lit(start))
+    if end is not None:
+        scoped = scoped.where(F.col(period_col) <= F.lit(end))
+    if not force:
+        scoped = scoped.where(
+            F.col(sink_ts).isNull() | (F.col(source_ts) > F.col(sink_ts))
+        )
+    planned = scoped.orderBy(F.col(period_col).asc())
+    if max_partitions is not None:
+        planned = planned.limit(max_partitions)
+    return planned

@@ -95,3 +95,40 @@ def test_plan_lsh_bands_tracks_threshold():
         assert abs(mid - t) < 0.25
     with pytest.raises(ValueError):
         plan_lsh_bands(1.5, 64)
+
+
+def test_strip_html_tags_entities_whitespace(spark):
+    from sm_etl_cloud_run_spark.functions.text import strip_html
+
+    rows = [
+        ("<html><head><style>p{color:red}</style></head>"
+         "<body><p>Hello &amp; welcome</p><script>alert('x')</script>"
+         "<div>a &lt;b&gt;   c</div></body></html>",),
+        ("no markup at all",),
+        ("<br/><br/>&nbsp;",),
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    got = [r["t"] for r in df.select(strip_html(F.col("raw")).alias("t")).collect()]
+    assert got == ["Hello & welcome a <b> c", "no markup at all", ""]
+
+
+def test_remove_boilerplate_lines_corpus_level(spark):
+    from sm_etl_cloud_run_spark.operators.dedup import remove_boilerplate_lines
+
+    footer = "Copyright 2024 Example Corp All Rights Reserved"
+    nav = "Home | Products | About Us | Contact"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{nav}\nunique article one\nok\n{footer}"),
+            (2, f"{nav}\nanother unique text\n{footer}"),
+            (3, f"{nav}\nthird body line here\n{footer}"),
+            (4, "standalone document with no chrome"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["clean_text"]
+           for r in remove_boilerplate_lines(docs, min_df=3).collect()}
+    assert out[1] == "unique article one\nok"       # 'ok' too short to be chrome
+    assert out[2] == "another unique text"
+    assert out[3] == "third body line here"
+    assert out[4] == "standalone document with no chrome"

@@ -575,3 +575,34 @@ def test_metrics_recorder_captures_progress(spark, tmp_path):
     assert all(r["trigger_ms"] >= 0 for r in prog)
     # the windowed agg keeps state: the state store must report rows
     assert any(r["state_rows"] > 0 for r in prog)
+
+
+def test_plan_backfill_scoped_forced_and_capped(spark):
+    rows = [
+        # periodo, mod_ftp, etl_gcs (stale if ftp > gcs or gcs null)
+        ("2024-01", dt.datetime(2024, 2, 1), dt.datetime(2024, 2, 2)),   # fresh
+        ("2024-02", dt.datetime(2024, 3, 5), dt.datetime(2024, 3, 1)),   # stale
+        ("2024-03", dt.datetime(2024, 4, 1), None),                      # never ran
+        ("2024-04", dt.datetime(2024, 5, 1), dt.datetime(2024, 5, 2)),   # fresh
+    ]
+    control = spark.createDataFrame(
+        rows,
+        "periodo string, timestamp_modificacao_ftp timestamp, timestamp_etl_gcs timestamp",
+    )
+    from sm_etl_cloud_run_spark.streaming.incremental import plan_backfill
+
+    stale = [r["periodo"] for r in plan_backfill(control, "baixar").collect()]
+    assert stale == ["2024-02", "2024-03"]
+
+    scoped = [r["periodo"] for r in
+              plan_backfill(control, "baixar", start="2024-03", end="2024-04").collect()]
+    assert scoped == ["2024-03"]
+
+    forced = [r["periodo"] for r in
+              plan_backfill(control, "baixar", start="2024-01", end="2024-04",
+                            force=True).collect()]
+    assert forced == ["2024-01", "2024-02", "2024-03", "2024-04"]
+
+    capped = [r["periodo"] for r in
+              plan_backfill(control, "baixar", force=True, max_partitions=2).collect()]
+    assert capped == ["2024-01", "2024-02"]  # oldest-first wave
