@@ -359,3 +359,97 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_a").cast("long").alias("n_first_half"),
         F.sum("n_b").cast("long").alias("n_second_half"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+_KANON_ORACLE = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, n,
+       CAST(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END AS BIGINT) AS below_k
+FROM groups
+"""
+
+
+@register("customer_k_anonymity", oracle=_KANON_ORACLE,
+          description=f"k-anonymity audit: quasi-identifier groups below k={_K_ANON}")
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit: group sizes over the quasi-identifier
+    combination (nation, market segment); any group below k is a
+    re-identification risk the release pipeline must generalize or
+    suppress. One hash aggregate — the identifier combination space is
+    small by construction, so the report is dimension-sized at any
+    fact scale.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "c_nationkey", "c_mktsegment", "n",
+            F.when(F.col("n") < _K_ANON, 1).otherwise(0).cast("long").alias("below_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi-structured key profile (schema inference report over props JSON)
+# ---------------------------------------------------------------------------
+
+_JSONKEY_ORACLE = """
+WITH classified AS (
+  SELECT props,
+         CASE
+           WHEN props IS NULL THEN '__null__'
+           WHEN json_valid(props) AND json_type(props) = 'OBJECT' THEN 'object'
+           ELSE '__malformed__'
+         END AS cls
+  FROM events
+),
+keyrows AS (
+  SELECT unnest(json_keys(props)) AS key FROM classified WHERE cls = 'object'
+)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM keyrows GROUP BY key
+UNION ALL
+SELECT cls AS key, CAST(COUNT(*) AS BIGINT) AS n
+FROM classified WHERE cls <> 'object' GROUP BY cls
+"""
+
+
+@register("events_json_key_profile", oracle=_JSONKEY_ORACLE,
+          description="semi-structured profiling: JSON key frequencies + malformed/null counts")
+def events_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-inference report for the semi-structured column: how often
+    each key occurs across valid objects, plus explicit `__malformed__`
+    / `__null__` buckets (the quarantine counts a props-consuming
+    pipeline budgets against). `json_object_keys` returns NULL exactly
+    for non-objects, mirroring the oracle's json_valid + OBJECT gate —
+    chaos-tested against hostile malformed rows. One explode + hash
+    aggregate; the key space is schema-sized.
+    """
+    t = load_tables(spark, sf_dir)
+    classified = t["events"].select(
+        F.when(F.col("props").isNull(), "__null__")
+        .when(F.json_object_keys("props").isNotNull(), "object")
+        .otherwise("__malformed__").alias("cls"),
+        F.json_object_keys("props").alias("keys"),
+    )
+    key_counts = (
+        classified.where(F.col("cls") == "object")
+        .select(F.explode("keys").alias("key"))
+        .groupBy("key").agg(F.count("*").cast("long").alias("n"))
+    )
+    other = (
+        classified.where(F.col("cls") != "object")
+        .groupBy(F.col("cls").alias("key"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return key_counts.unionByName(other)

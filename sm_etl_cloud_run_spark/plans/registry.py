@@ -125,6 +125,8 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_rolling_wau",
     "lineitem_corr_matrix",
     "events_distribution_drift",
+    "customer_k_anonymity",
+    "events_json_key_profile",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",
