@@ -618,9 +618,10 @@ GROUP BY d.day
           description="rolling 7-day distinct users per day (WAU/DAU, exact)")
 def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact rolling weekly-active-users: dedupe to (day, user) first —
-    the fact stream collapses to at most |days|·|users| rows — then a
-    bounded 7-day range join against the day grid and a distinct count
-    per day. Distinct-count over a sliding window has NO
+    the fact stream collapses to at most |days|·|users| rows — then
+    each row fans out to the ≤7 report days it covers (bounded
+    explode + broadcast day-grid equi-join; a literal range join
+    would be a nested loop) and a distinct count per day. Distinct-count over a sliding window has NO
     partial-aggregate shortcut (cardinality is holistic), so the exact
     form is this ≤7× amplification of the DEDUPED day-user relation —
     at 100 TB you either accept that (it's ~7·|active users|·|days|
@@ -634,14 +635,28 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     days = du.select("day").distinct()
-    joined = days.alias("d").join(
-        du.alias("u"),
-        (F.col("u.day") > F.col("d.day") - F.expr("INTERVAL 7 DAYS"))
-        & (F.col("u.day") <= F.col("d.day")),
+    # Explode each (day, user) into the ≤7 report days it contributes
+    # to — a bounded fan-out + HASH semi-join against the observed-day
+    # grid, instead of a pure range join (which Spark can only execute
+    # as a nested loop: |days| × |day-user| comparisons).
+    contrib = du.select(
+        "user_id",
+        F.col("day").alias("active_day"),
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
     )
-    return joined.groupBy(F.col("d.day").alias("day")).agg(
-        F.count_distinct("u.user_id").cast("long").alias("wau"),
-        F.count_distinct(
-            F.when(F.col("u.day") == F.col("d.day"), F.col("u.user_id"))
-        ).cast("long").alias("dau"),
+    return (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("wau"),
+            F.count_distinct(
+                F.when(F.col("active_day") == F.col("day"), F.col("user_id"))
+            ).cast("long").alias("dau"),
+        )
     )

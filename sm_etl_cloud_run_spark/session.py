@@ -82,3 +82,41 @@ def get_spark(app_name: str = "sm_etl_cloud_run_spark", *, cpus: int | None = No
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return apply_session_conventions(spark)
+
+
+def suggest_shuffle_partitions(
+    df,
+    *,
+    target_partition_mb: int = 128,
+    shuffle_ratio: float = 0.5,
+    min_partitions: int = 8,
+    max_partitions: int = 20_000,
+) -> int:
+    """Data-derived `spark.sql.shuffle.partitions` for a job over `df`:
+    estimated shuffle bytes / target partition size, clamped.
+
+    Input bytes come from the scan's actual files (`df.inputFiles`,
+    compressed parquet); `shuffle_ratio` approximates how much of the
+    input survives to the first shuffle AFTER column pruning and
+    predicate pushdown (0.5 is a safe default for analytic projections;
+    pass measured ratios for tuned jobs). With AQE on, this sets
+    `initialPartitionNum`-scale headroom and AQE coalesces down — the
+    sizing only needs the right order of magnitude, which is exactly
+    what a fixed default (200) gets wrong at 100 TB: 500 GB/partition
+    shuffles spill, while the same job at sf0.01 wastes 195 empty
+    tasks. Returns a count; caller applies it via
+    `spark.conf.set("spark.sql.shuffle.partitions", n)` before the
+    action.
+    """
+    import os
+
+    total = 0
+    for f in df.inputFiles():
+        path = f.removeprefix("file:")
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            continue
+    est_shuffle = total * shuffle_ratio
+    n = int(est_shuffle // (target_partition_mb * 1024 * 1024)) + 1
+    return max(min_partitions, min(n, max_partitions))

@@ -117,6 +117,7 @@ _NESTED_LOOP_OK = {
     "set_intersect_except",  # three 1-row aggs crossJoined into one output row
     "text_tfidf_topterms",   # 1-row corpus-size scalar broadcast (N for idf)
     "text_unigram_logprob",  # 1-row total-token scalar broadcast
+    "text_bigram_logprob",   # same 1-row total-token scalar broadcast
     # exact dup-pair self-join edge discovery (small-input twin of the
     # LSH candidate path) + 1-row pr0/teleport scalar broadcast:
     "knn_graph_pagerank",

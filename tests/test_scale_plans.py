@@ -109,3 +109,24 @@ def test_sorted_export_uses_range_partitioning(spark, sf_dir, tmp_path):
             ranges.append((pdf["lo"], pdf["hi"]))
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo  # non-overlapping: concatenation is globally sorted
+
+
+def test_suggest_shuffle_partitions_scales_with_input(spark, sf_dir, tmp_path):
+    from sm_etl_cloud_run_spark.session import suggest_shuffle_partitions
+
+    # 64 KB target so even the sf0.001 fixture spans multiple partitions
+    kwargs = dict(target_partition_mb=1, shuffle_ratio=32.0, min_partitions=1)
+    small = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_small = suggest_shuffle_partitions(small, **kwargs)
+    # a bigger on-disk footprint must suggest more partitions
+    big_path = str(tmp_path / "big")
+    copies = small
+    for _ in range(7):
+        copies = copies.unionByName(small)
+    copies.write.parquet(big_path)
+    big = spark.read.parquet(big_path)
+    n_big = suggest_shuffle_partitions(big, **kwargs)
+    assert n_big > n_small >= 1
+    # huge target → clamped at the floor; cap is respected
+    assert suggest_shuffle_partitions(small, target_partition_mb=10_000) == 8
+    assert suggest_shuffle_partitions(big, max_partitions=2, **kwargs) == 2
