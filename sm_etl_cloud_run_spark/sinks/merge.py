@@ -60,6 +60,7 @@ def merge_upsert(
     *,
     update_condition=None,
     touch_cols: dict[str, object] | None = None,
+    allow_schema_evolution: bool = False,
 ) -> None:
     """K5: upsert `source` into the parquet table at `target_path`.
 
@@ -69,11 +70,29 @@ def merge_upsert(
     - matched keys where it doesn't hold keep the target row with
       `touch_cols` applied (the reference's "touch only the ETL
       timestamp" branch).
+
+    `allow_schema_evolution=True` is the MERGE ... WITH SCHEMA
+    EVOLUTION behavior: columns only one side has are added to the
+    other as typed NULLs (additive evolution only — no renames, no
+    type changes), so an upstream that grew a column doesn't break the
+    nightly merge. Default False: a schema mismatch should fail loudly
+    unless evolution was opted into.
     """
     if not os.path.exists(target_path):
         _atomic_replace(spark, source, target_path)
         return
     target = spark.read.parquet(target_path)
+    if allow_schema_evolution:
+        for field in target.schema.fields:
+            if field.name not in source.columns:
+                source = source.withColumn(
+                    field.name, F.lit(None).cast(field.dataType)
+                )
+        for field in source.schema.fields:
+            if field.name not in target.columns:
+                target = target.withColumn(
+                    field.name, F.lit(None).cast(field.dataType)
+                )
     src = source.alias("src")
     tgt = target.alias("tgt")
     key_cond = None

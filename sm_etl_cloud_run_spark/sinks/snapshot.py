@@ -60,13 +60,35 @@ def current_version(root: str) -> int:
         return int(json.load(f)["version"])
 
 
-def read_snapshot(spark: SparkSession, root: str) -> dict[str, DataFrame]:
-    """Resolve every table through the CURRENT manifest — one consistent
+def read_snapshot(
+    spark: SparkSession, root: str, *, version: int | None = None
+) -> dict[str, DataFrame]:
+    """Resolve every table through the manifest — one consistent
     version for all tables, pinned at read time (later publishes don't
     retarget already-created DataFrames: the resolved paths are
-    versioned and immutable)."""
-    with open(os.path.join(root, MANIFEST)) as f:
-        manifest = json.load(f)
+    versioned and immutable).
+
+    `version=N` time-travels to any still-on-disk historical version
+    (versions survive until `prune_versions` removes them): the
+    versioned directory IS the manifest for its tables, so historical
+    reads need no extra metadata."""
+    if version is None:
+        with open(os.path.join(root, MANIFEST)) as f:
+            manifest = json.load(f)
+    else:
+        vdir = os.path.join(root, f"v{version}")
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(
+                f"snapshot v{version} is not on disk (pruned or never published)"
+            )
+        manifest = {
+            "version": version,
+            "tables": {
+                t.removesuffix(".parquet"): f"v{version}/{t}"
+                for t in os.listdir(vdir)
+                if t.endswith(".parquet")
+            },
+        }
     return {
         name: spark.read.parquet(os.path.join(root, rel))
         for name, rel in manifest["tables"].items()

@@ -361,3 +361,45 @@ def test_snapshot_publish_atomic_and_pinned(spark, tmp_path):
     assert removed == ["v1"]
     # current snapshot still reads fine after pruning
     assert read_snapshot(spark, root)["dim"].count() == 1
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    from sm_etl_cloud_run_spark.sinks.snapshot import (
+        publish_snapshot,
+        read_snapshot,
+    )
+    import pytest
+
+    root = str(tmp_path / "tt")
+    publish_snapshot({"t": spark.createDataFrame([(1,)], "v long")}, root)
+    publish_snapshot({"t": spark.createDataFrame([(2,), (3,)], "v long")}, root)
+    assert read_snapshot(spark, root)["t"].count() == 2
+    assert [r["v"] for r in read_snapshot(spark, root, version=1)["t"].collect()] == [1]
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, version=99)
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    import pyspark.errors
+    import pytest
+
+    from sm_etl_cloud_run_spark.sinks.merge import merge_upsert
+
+    target = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    merge_upsert(spark, v1, target, ["k"])
+
+    # source grew a column: default is a loud failure...
+    v2 = spark.createDataFrame([(2, "B", 99), (3, "c", 7)], "k long, v string, score long")
+    with pytest.raises(pyspark.errors.PySparkException):
+        merge_upsert(spark, v2, target, ["k"])
+    # ...and with evolution on, old rows get a typed NULL
+    merge_upsert(spark, v2, target, ["k"], allow_schema_evolution=True)
+    got = {r["k"]: (r["v"], r["score"]) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", None), 2: ("B", 99), 3: ("c", 7)}
+
+    # and a SHRUNKEN source merges too (its missing column is NULL-filled)
+    v3 = spark.createDataFrame([(4,)], "k long")
+    merge_upsert(spark, v3, target, ["k"], allow_schema_evolution=True)
+    got = {r["k"]: (r["v"], r["score"]) for r in spark.read.parquet(target).collect()}
+    assert got[4] == (None, None) and got[2] == ("B", 99)
