@@ -411,3 +411,65 @@ def read_cdc_snapshot(spark, target_path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return spark.read.parquet(target_path).where(~F.col("__tombstone")).drop("__tombstone")
+
+
+def stream_drift_monitor(
+    events: DataFrame,
+    baseline_probs: list[float],
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lo: float,
+    hi: float,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+):
+    """Per-window PSI drift against a fixed baseline distribution — the
+    streaming twin of `events_distribution_drift` (train-vs-serve skew,
+    evaluated continuously).
+
+    The whole computation is ONE stateful aggregation keyed by the time
+    window: bin membership is a conditional-sum per fixed bin (B
+    columns, not a second groupBy — Structured Streaming allows a
+    single stateful aggregate per query in update mode), and the PSI is
+    a closed-form expression over those columns with +1 smoothing.
+    Baseline probabilities are literals (trained offline, parameter-
+    sized). State per window is B counters; eviction is watermark-
+    driven. Works identically on a batch DataFrame (no watermark/
+    window state — the stream==batch equivalence is tested).
+    """
+    from pyspark.sql import functions as F
+
+    n_bins = len(baseline_probs)
+    if n_bins < 2:
+        raise ValueError("need at least 2 baseline bins")
+    total_p = sum(baseline_probs)
+    if not (0.999 <= total_p <= 1.001):
+        raise ValueError(f"baseline probabilities must sum to 1, got {total_p}")
+    width = (hi - lo) / n_bins
+    bin_idx = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / width).cast("int")),
+    )
+    binned = events.where(F.col(value_col).isNotNull()).withColumn("__bin", bin_idx)
+    if binned.isStreaming:
+        binned = binned.withWatermark(ts_col, watermark)
+    agg_cols = [
+        F.sum(F.when(F.col("__bin") == i, 1).otherwise(0)).alias(f"n_{i}")
+        for i in range(n_bins)
+    ]
+    counts = binned.groupBy(F.window(ts_col, window)).agg(
+        F.count(F.lit(1)).alias("n"), *agg_cols
+    )
+    total = F.col("n") + n_bins  # +1 smoothing across all bins
+    psi = None
+    for i in range(n_bins):
+        p = (F.col(f"n_{i}") + 1).cast("double") / total
+        q = F.lit(float(baseline_probs[i]))
+        term = (p - q) * F.log(p / q)
+        psi = term if psi is None else (psi + term)
+    return counts.select(
+        F.col("window.start").alias("window_start"),
+        "n",
+        F.round(psi, 6).alias("psi"),
+    )

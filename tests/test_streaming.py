@@ -606,3 +606,32 @@ def test_plan_backfill_scoped_forced_and_capped(spark):
     capped = [r["periodo"] for r in
               plan_backfill(control, "baixar", force=True, max_partitions=2).collect()]
     assert capped == ["2024-01", "2024-02"]  # oldest-first wave
+
+
+def test_stream_drift_monitor_matches_batch(spark, tmp_path):
+    from sm_etl_cloud_run_spark.streaming.stream_ops import stream_drift_monitor
+
+    base = dt.datetime(2024, 6, 1, 8, 10)
+    # one hour of values drifted high vs a uniform baseline
+    rows = [(base + dt.timedelta(seconds=20 * i), float(60 + (i % 40))) for i in range(120)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    path = str(tmp_path / "drift_events")
+    df.coalesce(1).write.parquet(path)
+    baseline = [0.25, 0.25, 0.25, 0.25]
+
+    batch = stream_drift_monitor(
+        spark.read.parquet(path), baseline, lo=0.0, hi=100.0)
+    stream = stream_drift_monitor(
+        spark.readStream.schema(df.schema).parquet(path), baseline, lo=0.0, hi=100.0)
+    q = stream.writeStream.outputMode("complete").format("memory") \
+        .queryName("drift_out").start()
+    try:
+        q.processAllAvailable()
+        got = {r["window_start"]: (r["n"], r["psi"])
+               for r in spark.sql("SELECT * FROM drift_out").collect()}
+    finally:
+        q.stop()
+    want = {r["window_start"]: (r["n"], r["psi"]) for r in batch.collect()}
+    assert got == want and len(want) == 1
+    (n, psi) = next(iter(want.values()))
+    assert n == 120 and psi > 0.2  # values 60-99 vs uniform → loud drift
