@@ -127,6 +127,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_distribution_drift",
     "customer_k_anonymity",
     "events_json_key_profile",
+    "events_rolling_wau_hll",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

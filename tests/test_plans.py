@@ -346,3 +346,18 @@ def test_lsh_candidate_recall_vs_exact_jaccard(spark, sf_dir):
     # threshold pairs at s≈0.18 collide with p≈0.12 — overall recall is
     # naturally modest; guard the floor, not an aspiration
     assert overall_recall >= 0.10, f"overall recall collapsed: {overall_recall:.2f}"
+
+
+def test_rolling_wau_hll_accuracy_vs_exact(spark):
+    """The sketch-merge WAU must track the exact WAU within HLL error
+    (lgK=14 → rsd ≈ 0.8%; bound at 5%) on every day — the property that
+    makes the one-scan mergeable path a safe substitute at 100 TB."""
+    from sm_etl_cloud_run_spark.plans import get
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["day"]: r["wau"] for r in get("events_rolling_wau").fn(spark, sf).collect()}
+    approx = {r["day"]: r["wau_approx"]
+              for r in get("events_rolling_wau_hll").fn(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for day, wau in exact.items():
+        assert abs(approx[day] - wau) <= max(2, 0.05 * wau), (day, wau, approx[day])
