@@ -172,3 +172,57 @@ def test_morton_code_locality_property(spark, values):
         return z
     for r in got:
         assert r["z"] == interleave(r["a"], r["b"])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),            # key
+            st.sampled_from(["U", "U", "U", "D"]),            # op (deletes rarer)
+            st.integers(min_value=0, max_value=99),           # payload
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cdc_apply_matches_sequential_fold(spark, log_rows):
+    """apply_cdc == the obvious sequential interpretation: replay the
+    log in seq order into a dict, dropping deleted keys. Any (random)
+    interleaving of keys, ops, and payloads must agree."""
+    from sm_etl_cloud_run_spark.operators.cdc import apply_cdc
+
+    rows = [(k, i, op, v) for i, (k, op, v) in enumerate(log_rows)]
+    df = spark.createDataFrame(rows, "k long, seq long, op string, v long")
+    got = {r["k"]: r["v"] for r in apply_cdc(df, ["k"], ["seq"]).collect()}
+
+    state: dict[int, int] = {}
+    for k, _seq, op, v in rows:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 9)), max_size=12),
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 9)), max_size=12),
+)
+def test_cdc_diff_apply_roundtrip_property(spark, old_rows, new_rows):
+    """For ANY pair of snapshots (dedup'd on key), applying diff(old,new)
+    over old reproduces new exactly."""
+    from sm_etl_cloud_run_spark.operators.cdc import apply_cdc, cdc_diff
+
+    old_d = dict(old_rows)
+    new_d = dict(new_rows)
+    old = spark.createDataFrame(list(old_d.items()) or [(None, None)], "k long, v long") \
+        .where(F.col("k").isNotNull())
+    new = spark.createDataFrame(list(new_d.items()) or [(None, None)], "k long, v long") \
+        .where(F.col("k").isNotNull())
+    diff = cdc_diff(old, new, ["k"])
+    log = old.withColumn("op", F.lit("U")).withColumn("seq", F.lit(0)) \
+        .unionByName(diff.withColumn("seq", F.lit(1)))
+    applied = {r["k"]: r["v"] for r in apply_cdc(log, ["k"], ["seq"]).collect()}
+    assert applied == new_d

@@ -403,3 +403,37 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
     merge_upsert(spark, v3, target, ["k"], allow_schema_evolution=True)
     got = {r["k"]: (r["v"], r["score"]) for r in spark.read.parquet(target).collect()}
     assert got[4] == (None, None) and got[2] == ("B", 99)
+
+
+def test_transactional_multi_table_cdc_publish(spark, tmp_path):
+    """Composition contract: CDC diffs applied to SEVERAL tables become
+    visible through ONE manifest flip — a reader pinned before the
+    publish sees the old version of every table, never a mix."""
+    from sm_etl_cloud_run_spark.operators.cdc import apply_cdc, cdc_diff
+    from sm_etl_cloud_run_spark.sinks.snapshot import publish_snapshot, read_snapshot
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tx")
+    dim_v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    fact_v1 = spark.createDataFrame([(1, 10), (2, 20)], "k long, m long")
+    publish_snapshot({"dim": dim_v1, "fact": fact_v1}, root)
+    pinned = read_snapshot(spark, root)
+
+    dim_v2 = spark.createDataFrame([(1, "a"), (2, "B2"), (3, "c")], "k long, v string")
+    fact_v2 = spark.createDataFrame([(1, 11), (3, 30)], "k long, m long")
+    snap = read_snapshot(spark, root)
+    new_tables = {}
+    for name, target in (("dim", dim_v2), ("fact", fact_v2)):
+        diff = cdc_diff(snap[name], target, ["k"])
+        log = snap[name].withColumn("op", F.lit("U")).withColumn("seq", F.lit(0)) \
+            .unionByName(diff.withColumn("seq", F.lit(1)))
+        new_tables[name] = apply_cdc(log, ["k"], ["seq"]).drop("op", "seq")
+    publish_snapshot(new_tables, root)
+
+    # pinned reader: consistent OLD state across both tables
+    assert {r["k"]: r["v"] for r in pinned["dim"].collect()} == {1: "a", 2: "b"}
+    assert {r["k"]: r["m"] for r in pinned["fact"].collect()} == {1: 10, 2: 20}
+    # fresh reader: consistent NEW state across both tables
+    fresh = read_snapshot(spark, root)
+    assert {r["k"]: r["v"] for r in fresh["dim"].collect()} == {1: "a", 2: "B2", 3: "c"}
+    assert {r["k"]: r["m"] for r in fresh["fact"].collect()} == {1: 11, 3: 30}
