@@ -128,6 +128,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "customer_k_anonymity",
     "events_json_key_profile",
     "events_rolling_wau_hll",
+    "events_type_cooccurrence",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

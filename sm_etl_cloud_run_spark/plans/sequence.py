@@ -702,3 +702,83 @@ def events_rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("wau_approx")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence with lift
+# ---------------------------------------------------------------------------
+
+_COOC_ORACLE = """
+WITH basket AS (
+  SELECT DISTINCT user_id, event_type FROM events WHERE event_type IS NOT NULL
+),
+singles AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM basket GROUP BY event_type
+),
+n_users AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM basket
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM basket a JOIN basket b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b, p.c_ab,
+       CAST((10000 * p.c_ab) // n.n AS BIGINT) AS support_bp,
+       CAST((10000 * n.n * p.c_ab) // (sa.c * sb.c) AS BIGINT) AS lift_bp
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN n_users n
+"""
+
+
+@register("events_type_cooccurrence", oracle=_COOC_ORACLE,
+          description="market-basket co-occurrence: support and lift per event-type pair")
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over user baskets: which event types co-occur
+    beyond chance (lift = N·c_ab / (c_a·c_b), floored basis points —
+    exact integer arithmetic; >10000 bp means positive association).
+
+    Shape: the fact stream dedupes to the (user, type) basket relation
+    first — at most |users|·|types| rows — and the pair join is keyed
+    on user (hash join, bounded fan-out: ≤ |types|² pairs per user).
+    Type marginals and the user count are |types|-and-1-row broadcasts.
+    The full Apriori generalization replaces `event_type` with an
+    itemset column; one level is what a pairwise affinity report needs.
+    """
+    t = load_tables(spark, sf_dir)
+    basket = (
+        t["events"].where(F.col("event_type").isNotNull())
+        .select("user_id", "event_type").distinct()
+    )
+    singles = basket.groupBy("event_type").agg(F.count("*").cast("long").alias("c"))
+    n_users = basket.agg(F.count_distinct("user_id").cast("long").alias("n"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("c_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("c").alias("c_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a", "type_b", "c_ab",
+            F.expr("CAST((10000 * c_ab) div n AS BIGINT)").alias("support_bp"),
+            F.expr("CAST((10000 * n * c_ab) div (c_a * c_b) AS BIGINT)").alias("lift_bp"),
+        )
+    )
