@@ -153,3 +153,65 @@ def min_label_components(
             "raise max_iter (component diameter exceeds the bound)"
         )
     return labels.withColumnRenamed("__label", "component_rep")
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seed,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Single-source BFS distances over an undirected edge list —
+    min-distance label propagation (the components operator's metric
+    sibling; same Pregel shape: per round two keyed shuffles, a 1-row
+    convergence read, localCheckpoint lineage truncation).
+
+    Returns (node, dist) for nodes REACHABLE within `max_iter` hops
+    (the unreached are absent, matching a depth-capped recursive-CTE
+    oracle). Converges in eccentricity(seed) rounds; raises if the
+    frontier is still moving at the bound, so a silent truncation
+    can't masquerade as a result.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("__a"), F.col(dst_col).alias("__b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("__a"), F.col(src_col).alias("__b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = sym.sparkSession.createDataFrame(
+        [(seed, 0)], f"node {'long' if isinstance(seed, int) else 'string'}, dist int"
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(dist, sym["__a"] == dist["node"])
+            .groupBy(F.col("__b").alias("node"))
+            .agg((F.min("dist") + 1).alias("__nd"))
+        )
+        nxt = (
+            dist.join(nbr, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(2**31 - 1)),
+                    F.coalesce("__nd", F.lit(2**31 - 1)),
+                ).cast("int").alias("dist"),
+                (
+                    F.coalesce("__nd", F.lit(2**31 - 1))
+                    < F.coalesce("dist", F.lit(2**31 - 1))
+                ).cast("int").alias("__chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.agg(F.sum("__chg")).collect()[0][0]
+        dist = nxt.drop("__chg")
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"bfs_levels still expanding after {max_iter} rounds; raise max_iter"
+        )
+    return dist

@@ -346,3 +346,82 @@ def training_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0).cast("long").alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances from the canonical seed over the same near-dup graph
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 10
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE
+h1 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 1)}),
+h2 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 2)}),
+h3 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 3)}),
+demb AS (
+  SELECT embedding, MIN(vec_id) AS vec_id FROM embeddings GROUP BY embedding
+),
+eb AS (
+  SELECT vec_id, embedding, {_bucket_sql('e.embedding')} AS bucket
+  FROM demb e, h1, h2, h3
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(CAST({_dot_sql('a.embedding', 'b.embedding')} AS DOUBLE)
+              / (sqrt(CAST({_dot_sql('a.embedding', 'a.embedding')} AS DOUBLE))
+                 * sqrt(CAST({_dot_sql('b.embedding', 'b.embedding')} AS DOUBLE))), 6)
+        >= {_PR_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+seed AS (SELECT MIN(src) AS s FROM edges),
+walk(id, d) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.id
+  WHERE w.d < {_BFS_MAX_HOPS}
+)
+SELECT CAST(id AS BIGINT) AS vec_id, CAST(MIN(d) AS INT) AS dist
+FROM walk GROUP BY id
+"""
+
+
+@register("knn_graph_bfs_levels", oracle=_BFS_ORACLE,
+          description="BFS hop distances from the canonical seed over the "
+                      "LSH-candidate near-duplicate graph")
+def knn_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far is every vector from the canonical (lowest-id) node of
+    the near-duplicate graph — the neighborhood-radius diagnostic that
+    tells a dedup pipeline whether a similarity cluster is a tight
+    clique (all dist ≤ 1-2) or a drifting chain (long geodesics =
+    transitive merges of genuinely different content).
+
+    Same two-layer edge discovery as knn_graph_pagerank (exact-clone
+    collapse, then LSH-bucket hash-join candidates), then the engine's
+    `bfs_levels` min-distance propagation — O(eccentricity) rounds of
+    two keyed shuffles; the oracle is a depth-capped recursive CTE
+    (the dedup_lsh_components precedent, with a distance metric).
+    """
+    from ..operators.graph import bfs_levels
+    from ..operators.similarity import embedding_cosine_dup_pairs
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = _seed_rows(emb, 4)
+    planes = [[float(x) for x in seeds[i]["embedding"]] for i in (1, 2, 3)]
+    distinct = emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    pairs = embedding_cosine_dup_pairs(
+        distinct, id_col="vec_id", vec_col="embedding",
+        threshold=_PR_THRESHOLD, hyperplanes=planes,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    seed = pairs.agg(F.min("src")).collect()[0][0]
+    levels = bfs_levels(pairs, int(seed), max_iter=_BFS_MAX_HOPS)
+    return levels.select(
+        F.col("node").cast("long").alias("vec_id"), F.col("dist").cast("int")
+    )

@@ -123,3 +123,14 @@ def test_min_label_components_chain_and_singleton(spark):
     got = {r["node"]: r["component_rep"]
            for r in min_label_components(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_bfs_levels_distances_and_unreachable(spark):
+    from sm_etl_cloud_run_spark.operators.graph import bfs_levels
+
+    # path 0-1-2-3, branch 1-4; island 5-6 (unreachable from 0)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 4), (5, 6)], "src long, dst long"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_levels(edges, 0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2}
