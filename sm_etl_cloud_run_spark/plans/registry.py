@@ -130,6 +130,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_rolling_wau_hll",
     "events_type_cooccurrence",
     "knn_graph_bfs_levels",
+    "events_session_stats",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

@@ -782,3 +782,85 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((10000 * n * c_ab) div (c_a * c_b) AS BIGINT)").alias("lift_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# session-level stats: entry/exit types, duration, bounce rate
+# ---------------------------------------------------------------------------
+
+_SESSION_STATS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM seq
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn_first,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM sess
+),
+per_session AS (
+  SELECT user_id, session_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) // 1000000 AS duration_sec,
+         MIN(CASE WHEN rn_first = 1 THEN event_type END) AS entry_type,
+         MIN(CASE WHEN rn_last = 1 THEN event_type END) AS exit_type
+  FROM ranked GROUP BY user_id, session_id
+)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST((10000 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS bounce_bp,
+       CAST(SUM(duration_sec) // COUNT(*) AS BIGINT) AS avg_duration_sec,
+       CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM per_session
+GROUP BY entry_type
+"""
+
+
+@register("events_session_stats", oracle=_SESSION_STATS_ORACLE,
+          description="session-level analytics: entry type, bounce rate, duration")
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-analytics session rollup on top of the engine's `sessionize`
+    operator (30-min gap): per (user, session) the entry/exit event,
+    single-event bounce flag, and duration; aggregated per entry type
+    with floored-basis-point bounce rates and integer-division average
+    durations. Entry/exit come from min/max over (ts, event_id, type)
+    structs — struct ordering IS argmin/argmax with the deterministic
+    tiebreaker built in (the oracle uses first/last row_number flags:
+    DuckDB's min_by has no composite-key overload). Everything reuses sessionize's one user-keyed
+    shuffle; the final rollup is |types|-sized.
+    """
+    from ..operators.windows import sessionize
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "ts", "event_id", "event_type")
+    sess = sessionize(ev, user_col="user_id", ts_col="ts", gap_minutes=30)
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1000000))
+        .cast("long").alias("duration_sec"),
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias("entry_type"),
+        F.max(F.struct("ts", "event_id", "event_type"))["event_type"].alias("exit_type"),
+    )
+    return per_session.groupBy("entry_type").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.expr(
+            "CAST((10000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))"
+            " div count(*) AS BIGINT)"
+        ).alias("bounce_bp"),
+        F.expr("CAST(sum(duration_sec) div count(*) AS BIGINT)").alias("avg_duration_sec"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
