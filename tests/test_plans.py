@@ -127,6 +127,7 @@ _NESTED_LOOP_OK = {
     "text_bm25_topk",        # 1-row corpus-stats (N, total_tokens) scalar broadcast
     "search_hybrid_rrf",     # same corpus-stats scalar + 1-row query-vector broadcast
     "events_distribution_drift",  # 1-row time/value extrema scalar broadcast
+    "events_type_cooccurrence",   # 1-row user-count scalar broadcast (N for lift)
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.
