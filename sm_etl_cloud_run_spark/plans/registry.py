@@ -131,6 +131,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_type_cooccurrence",
     "knn_graph_bfs_levels",
     "events_session_stats",
+    "events_nstep_funnel",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

@@ -864,3 +864,78 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(duration_sec) div count(*) AS BIGINT)").alias("avg_duration_sec"),
         F.sum("n_events").cast("long").alias("total_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# generic N-step ordered funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("signup", "click", "purchase")
+
+_NSTEP_ORACLE = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS event_type,
+       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, '{_FUNNEL_STEPS[1]}', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, '{_FUNNEL_STEPS[2]}', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+"""
+
+
+@register("events_nstep_funnel", oracle=_NSTEP_ORACLE,
+          description="generic ordered N-step funnel (strictly increasing timestamps)")
+def events_nstep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over an arbitrary step list: a user reaches step
+    k only via an event of type k STRICTLY AFTER their step-(k−1)
+    completion time (earliest-completion semantics, the standard
+    product-analytics definition — events_conversion_funnel is the
+    windowed 2-step special case).
+
+    Shape: one pass per step — each stage is a semi-join of the fact
+    scan against the previous stage's per-user completion table
+    (user-keyed hash join; the completion tables only shrink). N
+    stages = N joins, not a per-user Python loop; at 100 TB each stage
+    is a broadcast once the funnel narrows.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+
+    def stage_count(df, step_no, step_name):
+        return df.agg(
+            F.lit(step_no).cast("int").alias("step"),
+            F.lit(step_name).alias("event_type"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+
+    prev = (
+        ev.where(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id").agg(F.min("ts").alias("t"))
+    )
+    out = stage_count(prev, 1, _FUNNEL_STEPS[0])
+    for i, step in enumerate(_FUNNEL_STEPS[1:], start=2):
+        prev = (
+            ev.where(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col("t"))
+            .groupBy("user_id").agg(F.min("ts").alias("t"))
+        )
+        out = out.unionByName(stage_count(prev, i, step))
+    # ONE lazy plan: all stage counts in a single job (Catalyst reuses
+    # the shared stage subplans), no driver-side count() per step
+    return out

@@ -139,3 +139,47 @@ def retention_delete(
     joined = target.join(F.broadcast(thresholds), list(group_cols), "left")
     kept = joined.where(F.col("__min_d").isNull() | (F.col(date_col) >= F.col("__min_d"))).drop("__min_d")
     _atomic_replace(spark, kept, target_path)
+
+
+def forget_entity(
+    spark: SparkSession,
+    table_keys: dict[str, Sequence[str]],
+    subject_ids: DataFrame,
+    *,
+    audit: bool = True,
+) -> dict[str, int]:
+    """Right-to-be-forgotten purge: remove every row belonging to the
+    subject ids from each parquet table, via staged rewrite + atomic
+    swap (the engine's standard idempotent sink move — re-running a
+    purge is a no-op).
+
+    `table_keys` maps table path → the key column(s) identifying the
+    subject in that table; `subject_ids` is a 1-column DataFrame of ids
+    (broadcast — erasure requests are human-scale). Returns per-table
+    removed-row counts when `audit=True` (erasure regulations require
+    evidence of completion); pass audit=False to skip the extra count
+    per table. Tombstoned CDC snapshots and SCD2 histories must list
+    their underlying paths here too — forgetting only the current
+    snapshot is not erasure.
+    """
+    id_col = subject_ids.columns[0]
+    removed: dict[str, int] = {}
+    for path, keys in table_keys.items():
+        if not os.path.exists(path):
+            removed[path] = 0
+            continue
+        tbl = spark.read.parquet(path)
+        # chained anti-joins = remove a row when ANY listed key column
+        # matches a subject id
+        kept = tbl
+        for k in keys:
+            kept = kept.join(
+                F.broadcast(subject_ids.select(F.col(id_col).alias(k))),
+                on=k, how="left_anti",
+            )
+        if audit:
+            before = tbl.count()
+            after = kept.count()
+            removed[path] = before - after
+        _atomic_replace(spark, kept, path)
+    return removed

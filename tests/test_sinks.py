@@ -437,3 +437,30 @@ def test_transactional_multi_table_cdc_publish(spark, tmp_path):
     fresh = read_snapshot(spark, root)
     assert {r["k"]: r["v"] for r in fresh["dim"].collect()} == {1: "a", 2: "B2", 3: "c"}
     assert {r["k"]: r["m"] for r in fresh["fact"].collect()} == {1: 11, 3: 30}
+
+
+def test_forget_entity_purges_across_tables_idempotently(spark, tmp_path):
+    from sm_etl_cloud_run_spark.sinks.merge import forget_entity
+
+    events_p = str(tmp_path / "ev")
+    snap_p = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300), (2, 201)], "user_id long, v long"
+    ).write.parquet(events_p)
+    spark.createDataFrame(
+        [(1, "a"), (4, "d")], "uid long, state string"
+    ).write.parquet(snap_p)
+
+    subjects = spark.createDataFrame([(2,), (4,)], "subject long")
+    removed = forget_entity(
+        spark,
+        {events_p: ["user_id"], snap_p: ["uid"]},
+        subjects,
+    )
+    assert removed == {events_p: 2, snap_p: 1}
+    assert sorted(r["user_id"] for r in spark.read.parquet(events_p).collect()) == [1, 3]
+    assert [r["uid"] for r in spark.read.parquet(snap_p).collect()] == [1]
+
+    # idempotent: re-running the same purge removes nothing more
+    again = forget_entity(spark, {events_p: ["user_id"], snap_p: ["uid"]}, subjects)
+    assert again == {events_p: 0, snap_p: 0}
