@@ -37,6 +37,9 @@ def test_registry_shapes():
         # Datasketches-HLL blobs have no DuckDB twin; merge exactness
         # is asserted vs a single-pass sketch in test_plans instead
         "events_sketch_rollup_merge",
+        # sketch-merge WAU: accuracy bounded vs the exact events_rolling_wau
+        # in test_plans (±5%); DuckDB's HLL is a different algorithm
+        "events_rolling_wau_hll",
     }
 
 
