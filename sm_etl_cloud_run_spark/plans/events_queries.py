@@ -1239,3 +1239,88 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# periodicity detection: autocorrelation of the dense hourly series
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 12, 24)
+
+_ACF_ORACLE = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+actual AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+dense AS (
+  SELECT g.hour, COALESCE(a.n, 0) AS n FROM grid g LEFT JOIN actual a ON g.hour = a.hour
+),
+lagged AS (
+  SELECT hour, n,
+         {", ".join(f"lag(n, {k}) OVER (ORDER BY hour) AS l{k}" for k in _ACF_LAGS)}
+  FROM dense
+)
+{" UNION ALL ".join(f'''
+SELECT CAST({k} AS INT) AS lag_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round((CAST(COUNT(*) AS DOUBLE) * SUM(n * l{k}) - CAST(SUM(n) AS DOUBLE) * SUM(l{k}))
+             / sqrt(greatest(CAST(COUNT(*) AS DOUBLE) * SUM(n * n) - CAST(SUM(n) AS DOUBLE) * SUM(n), 1)
+                    * greatest(CAST(COUNT(*) AS DOUBLE) * SUM(l{k} * l{k}) - CAST(SUM(l{k}) AS DOUBLE) * SUM(l{k}), 1)), 6)
+         AS acf
+FROM lagged WHERE l{k} IS NOT NULL''' for k in _ACF_LAGS)}
+"""
+
+
+@register("events_autocorrelation", oracle=_ACF_ORACLE,
+          description="periodicity detection: hourly-series autocorrelation at lags 1/12/24")
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the purchase series repeat daily? Pearson autocorrelation
+    of the dense gap-filled hourly counts at lags 1, 12, and 24 hours —
+    a strong lag-24 ACF is the quantitative trigger for the
+    deseasonalization the hour-of-day baseline applies. All moments
+    (Σn, Σn², Σn·n₋ₖ) are exact integer sums over the GRID (hours per
+    year, not events), so the series windows run on a tiny relation and
+    the only doubles are the final normalized quotients
+    (events_anomaly_zscore arithmetic).
+    """
+    from pyspark.sql.window import Window
+
+    dense = events_hourly_gapfill(spark, sf_dir)
+    w = Window.orderBy("hour")
+    lagged = dense.select(
+        "n", *[F.lag("n", k).over(w).alias(f"l{k}") for k in _ACF_LAGS]
+    )
+    outs = []
+    for k in _ACF_LAGS:
+        lk = F.col(f"l{k}")
+        pairs = lagged.where(lk.isNotNull())
+        cnt = F.count("*").cast("long")
+        mom = pairs.agg(
+            F.lit(k).cast("int").alias("lag_hours"),
+            cnt.alias("n_pairs"),
+            F.sum("n").cast("long").alias("sx"),
+            F.sum(lk).cast("long").alias("sy"),
+            F.sum(F.col("n") * lk).cast("long").alias("sxy"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("sxx"),
+            F.sum(lk * lk).cast("long").alias("syy"),
+        )
+        np_ = F.col("n_pairs").cast("double")
+        num = np_ * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+        dx = F.greatest(np_ * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"), F.lit(1.0))
+        dy = F.greatest(np_ * F.col("syy") - F.col("sy").cast("double") * F.col("sy"), F.lit(1.0))
+        outs.append(
+            mom.select(
+                "lag_hours", "n_pairs",
+                F.round(num / F.sqrt(dx * dy), 6).alias("acf"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -132,6 +132,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "knn_graph_bfs_levels",
     "events_session_stats",
     "events_nstep_funnel",
+    "events_autocorrelation",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",
