@@ -133,6 +133,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_session_stats",
     "events_nstep_funnel",
     "events_autocorrelation",
+    "events_mad_outliers",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

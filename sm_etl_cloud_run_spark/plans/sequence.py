@@ -939,3 +939,96 @@ def events_nstep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE lazy plan: all stage counts in a single job (Catalyst reuses
     # the shared stage subplans), no driver-side count() per step
     return out
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outliers (rank-exact medians)
+# ---------------------------------------------------------------------------
+
+_MAD_TOPK = 50
+
+_MAD_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+med AS (
+  SELECT event_type, MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med_cents
+  FROM r1 GROUP BY event_type
+),
+dev AS (
+  SELECT b.event_id, b.event_type, b.cents, m.med_cents,
+         abs(b.cents - m.med_cents) AS adev
+  FROM base b JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, MIN(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad_cents
+  FROM r2 GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.cents, d.med_cents, m.mad_cents,
+       round((d.cents - d.med_cents) / (1.4826 * greatest(m.mad_cents, 1)), 6) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+ORDER BY abs(round((d.cents - d.med_cents) / (1.4826 * greatest(m.mad_cents, 1)), 6)) DESC,
+         d.event_id ASC
+LIMIT {_MAD_TOPK}
+"""
+
+
+@register("events_mad_outliers", oracle=_MAD_ORACLE,
+          description="robust outliers: MAD-normalized deviation from the rank-exact median")
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier ranking — the robust alternative to
+    mean/stddev z-scores (one wild value can't drag its own
+    threshold). Medians are RANK-EXACT (lower-middle element via
+    row_number with an event_id tiebreaker — approx_percentile is
+    neither deterministic nor cross-engine), so the whole pipeline is
+    integer until the single final normalized quotient. Two rank
+    windows on the same partition key (one exchange, Catalyst reuses
+    it) + two |types|-sized broadcast joins + TakeOrdered.
+    """
+    t = load_tables(spark, sf_dir)
+    base = t["events"].where(F.col("value").isNotNull()).select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def _median_of(df, col, out):
+        w = Window.partitionBy("event_type").orderBy(F.col(col).asc(), F.col("event_id").asc())
+        wn = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type", col,
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        return ranked.groupBy("event_type").agg(
+            F.min(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col(col))
+            ).alias(out)
+        )
+
+    med = _median_of(base, "cents", "med_cents")
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = _median_of(dev, "adev", "mad_cents")
+    z = F.round(
+        (F.col("cents") - F.col("med_cents"))
+        / (1.4826 * F.greatest(F.col("mad_cents"), F.lit(1))),
+        6,
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select("event_id", "event_type", "cents", "med_cents", "mad_cents", z.alias("robust_z"))
+        .orderBy(F.abs(F.col("robust_z")).desc(), F.col("event_id").asc())
+        .limit(_MAD_TOPK)
+    )

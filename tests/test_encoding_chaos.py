@@ -350,7 +350,7 @@ def hostile_events_dir(tmp_path_factory):
      "events_rolling_wau", "events_distribution_drift",
      "events_json_key_profile", "events_type_cooccurrence",
      "events_session_stats", "events_nstep_funnel",
-     "events_autocorrelation",
+     "events_autocorrelation", "events_mad_outliers",
      "f4_watermark_gate", "percentile_metrics", "skew_salted_user_join"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
