@@ -425,3 +425,120 @@ def knn_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levels.select(
         F.col("node").cast("long").alias("vec_id"), F.col("dist").cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counts / local clustering coefficient over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = f"""
+WITH h1 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 1)}),
+h2 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 2)}),
+h3 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 3)}),
+demb AS (
+  SELECT embedding, MIN(vec_id) AS vec_id FROM embeddings GROUP BY embedding
+),
+eb AS (
+  SELECT vec_id, embedding, {_bucket_sql('e.embedding')} AS bucket
+  FROM demb e, h1, h2, h3
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(CAST({_dot_sql('a.embedding', 'b.embedding')} AS DOUBLE)
+              / (sqrt(CAST({_dot_sql('a.embedding', 'a.embedding')} AS DOUBLE))
+                 * sqrt(CAST({_dot_sql('b.embedding', 'b.embedding')} AS DOUBLE))), 6)
+        >= {_PR_THRESHOLD}
+),
+tris AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+tri_nodes AS (
+  SELECT a AS id FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+),
+tcount AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM tri_nodes GROUP BY id),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs
+  ) GROUP BY id
+)
+SELECT d.id AS vec_id, d.deg,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.deg >= 2
+                 THEN (10000 * 2 * COALESCE(t.n_tri, 0)) // (d.deg * (d.deg - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_bp
+FROM deg d LEFT JOIN tcount t ON t.id = d.id
+"""
+
+
+@register("knn_graph_triangles", oracle=_TRI_ORACLE,
+          description="triangle counts + local clustering coefficient over the near-dup graph")
+def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How clique-like is each similarity neighborhood — the classic
+    dedup-cluster diagnostic (clustering_bp ≈ 10000 → tight clone
+    cliques; low values with high degree → hub nodes chaining
+    unrelated content, the transitive-merge false-positive smell the
+    BFS-levels query measures by geodesics).
+
+    The canonical DataFrame triangle enumeration on ORIENTED edges
+    (a<b): wedge join (e1.b = e2.a) then closure check via a third
+    equi-join — every join is a hash join on edge keys; orientation
+    counts each triangle exactly once, and per-node counts come from
+    exploding the 3 corners. Coefficients are floored basis points
+    (exact integers both engines).
+    """
+    from ..operators.similarity import embedding_cosine_dup_pairs
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = _seed_rows(emb, 4)
+    planes = [[float(x) for x in seeds[i]["embedding"]] for i in (1, 2, 3)]
+    distinct = emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    pairs = embedding_cosine_dup_pairs(
+        distinct, id_col="vec_id", vec_col="embedding",
+        threshold=_PR_THRESHOLD, hyperplanes=planes,
+    ).select("id_a", "id_b").localCheckpoint(eager=True)  # scanned 3× + degree
+
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .select(
+            F.col("e1.id_a").alias("a"),
+            F.col("e1.id_b").alias("b"),
+            F.col("e2.id_b").alias("c"),
+        )
+    )
+    tri_nodes = (
+        tris.select(F.col("a").alias("id"))
+        .unionAll(tris.select(F.col("b").alias("id")))
+        .unionAll(tris.select(F.col("c").alias("id")))
+    )
+    tcount = tri_nodes.groupBy("id").agg(F.count("*").cast("long").alias("n_tri"))
+    deg = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    return (
+        deg.join(tcount, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr("(10000 * 2 * coalesce(n_tri, 0)) div (deg * (deg - 1))"),
+            ).otherwise(0).cast("long").alias("clustering_bp"),
+        )
+    )

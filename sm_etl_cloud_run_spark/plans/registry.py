@@ -134,6 +134,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_nstep_funnel",
     "events_autocorrelation",
     "events_mad_outliers",
+    "knn_graph_triangles",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

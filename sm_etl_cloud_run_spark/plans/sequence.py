@@ -452,7 +452,7 @@ GROUP BY r.event_type, b.lo, b.hi
 """
 
 
-@register("events_winsorized_stats", oracle=_WINSOR_ORACLE,
+@register("events_winsorized_stats", oracle=_WINSOR_ORACLE, bench=True,
           description="winsorized mean per event type (rank-exact p05/p95 clipping)")
 def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust statistics by winsorization: clip each type's values at
@@ -830,7 +830,7 @@ GROUP BY entry_type
 """
 
 
-@register("events_session_stats", oracle=_SESSION_STATS_ORACLE,
+@register("events_session_stats", oracle=_SESSION_STATS_ORACLE, bench=True,
           description="session-level analytics: entry type, bounce rate, duration")
 def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-analytics session rollup on top of the engine's `sessionize`
