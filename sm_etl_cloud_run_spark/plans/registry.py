@@ -135,6 +135,9 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_autocorrelation",
     "events_mad_outliers",
     "knn_graph_triangles",
+    "events_ab_test_readout",
+    "events_benford_audit",
+    "dedup_cross_source_matrix",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

@@ -1032,3 +1032,141 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("robust_z")).desc(), F.col("event_id").asc())
         .limit(_MAD_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: md5-coin assignment + two-proportion z-test
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN CAST(('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM assigned GROUP BY arm
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN arm = 'A' THEN n_users END) AS na,
+    MAX(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+    MAX(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+    MAX(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+  FROM arms
+)
+SELECT na, ca, nb, cb,
+       CAST((10000 * ca) // na AS BIGINT) AS rate_a_bp,
+       CAST((10000 * cb) // nb AS BIGINT) AS rate_b_bp,
+       round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / sqrt(greatest(
+                 (CAST(ca + cb AS DOUBLE) / (na + nb))
+                 * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                 * (1.0 / na + 1.0 / nb), 1e-12)), 6) AS z_stat
+FROM wide
+"""
+
+
+@register("events_ab_test_readout", oracle=_AB_ORACLE,
+          description="A/B readout: deterministic md5 arm assignment + two-proportion z-test")
+def events_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis end-to-end: users are deterministically
+    assigned to arms by a salted md5 coin (the same seedless split the
+    training layer uses — re-runs and late events land in the same
+    arm), conversion = any purchase, and the readout is the standard
+    pooled two-proportion z statistic. Counts are exact integers; the
+    z expression is the single final double (identical on both
+    engines). One user-keyed aggregate + a 2-row pivot.
+    """
+    t = load_tables(spark, sf_dir)
+    coin = F.conv(
+        F.substring(F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    assigned = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"))
+        .withColumn("arm", F.when(coin % 2 == 0, "A").otherwise("B"))
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    na, ca, nb, cb = (F.col(c).cast("double") for c in ("na", "ca", "nb", "cb"))
+    pooled = (ca + cb) / (na + nb)
+    z = (ca / na - cb / nb) / F.sqrt(
+        F.greatest(pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb), F.lit(1e-12))
+    )
+    return wide.select(
+        "na", "ca", "nb", "cb",
+        F.expr("CAST((10000 * ca) div na AS BIGINT)").alias("rate_a_bp"),
+        F.expr("CAST((10000 * cb) div nb AS BIGINT)").alias("rate_b_bp"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law first-digit audit
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM events
+  WHERE value IS NOT NULL AND CAST(round(value * 100) AS BIGINT) >= 1
+),
+counts AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS observed FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM counts)
+SELECT c.d AS digit, c.observed,
+       round(t.n * log10(1.0 + 1.0 / c.d), 2) AS expected,
+       round((c.observed - t.n * log10(1.0 + 1.0 / c.d))
+             * (c.observed - t.n * log10(1.0 + 1.0 / c.d))
+             / (t.n * log10(1.0 + 1.0 / c.d)), 6) AS chi2_term
+FROM counts c CROSS JOIN tot t
+"""
+
+
+@register("events_benford_audit", oracle=_BENFORD_ORACLE,
+          description="Benford's-law first-digit audit of the value column")
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud/quality screening: the leading-digit distribution of the
+    value measure against Benford's law, with per-digit chi-square
+    terms (sum them against the chi²₈ critical value downstream;
+    synthetic uniform data FAILS loudly — which is itself the point of
+    the audit: it detects non-natural generation processes). Digit
+    extraction is pure string arithmetic on exact integer cents; the
+    expectation is the only double. One hash aggregate on ≤9 keys.
+    """
+    t = load_tables(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    digits = (
+        t["events"]
+        .where(F.col("value").isNotNull() & (cents >= 1))
+        .select(F.substring(cents.cast("string"), 1, 1).cast("long").alias("d"))
+    )
+    counts = digits.groupBy("d").agg(F.count("*").cast("long").alias("observed"))
+    tot = counts.agg(F.sum("observed").cast("long").alias("n"))
+    expected = F.col("n") * F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            "observed",
+            F.round(expected, 2).alias("expected"),
+            F.round((F.col("observed") - expected) * (F.col("observed") - expected) / expected, 6)
+            .alias("chi2_term"),
+        )
+    )

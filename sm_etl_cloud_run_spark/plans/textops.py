@@ -829,3 +829,71 @@ def text_quality_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         z_safe.alias("z"),
         F.when((d > 0) & (z < -1.0), 0).otherwise(1).cast("long").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix (which sources copy from each other)
+# ---------------------------------------------------------------------------
+
+_XSOURCE_ORACLE = """
+WITH fp AS (
+  SELECT DISTINCT source,
+         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+  FROM documents
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_fps
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY source_a, source_b
+),
+sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fps FROM fp GROUP BY source
+)
+SELECT p.source_a, p.source_b, p.shared_fps,
+       CAST((10000 * p.shared_fps) // least(sa.n_fps, sb.n_fps) AS BIGINT) AS overlap_bp
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+"""
+
+
+@register("dedup_cross_source_matrix", oracle=_XSOURCE_ORACLE,
+          description="cross-source duplication matrix: shared fingerprints per source pair")
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other — the curation diagnostic
+    that decides dedup ORDER (dedupe the mirror against the original,
+    not vice versa) and catches license-laundering mirrors. Documents
+    collapse to distinct (source, content-fingerprint) pairs first, so
+    the join is on the md5 key (uniform, skew-free) between
+    fingerprint sets, not raw docs; overlap is normalized by the
+    smaller side (floored bp — overlap coefficient). |sources|² output.
+    """
+    t = load_tables(spark, sf_dir)
+    fp = (
+        t["documents"]
+        .select("source", doc_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    sizes = fp.groupBy("source").agg(F.count("*").cast("long").alias("n_fps"))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_fps").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_fps").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "shared_fps",
+            F.expr("CAST((10000 * shared_fps) div least(n_a, n_b) AS BIGINT)")
+            .alias("overlap_bp"),
+        )
+    )
