@@ -129,6 +129,7 @@ _NESTED_LOOP_OK = {
     "search_hybrid_rrf",     # same corpus-stats scalar + 1-row query-vector broadcast
     "events_distribution_drift",  # 1-row time/value extrema scalar broadcast
     "events_type_cooccurrence",   # 1-row user-count scalar broadcast (N for lift)
+    "events_benford_audit",       # 1-row total-count scalar broadcast (n for E[d])
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.
