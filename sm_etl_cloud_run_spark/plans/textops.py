@@ -841,7 +841,7 @@ WITH fp AS (
          md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
   FROM documents
 ),
-pairs AS (
+shared AS (
   SELECT a.source AS source_a, b.source AS source_b,
          CAST(COUNT(*) AS BIGINT) AS shared_fps
   FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
@@ -849,12 +849,19 @@ pairs AS (
 ),
 sizes AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fps FROM fp GROUP BY source
+),
+-- the COMPLETE upper-triangle matrix: zero-overlap pairs included, so
+-- "no duplication" is a reported fact, not a missing row
+grid AS (
+  SELECT sa.source AS source_a, sb.source AS source_b,
+         sa.n_fps AS n_a, sb.n_fps AS n_b
+  FROM sizes sa JOIN sizes sb ON sa.source < sb.source
 )
-SELECT p.source_a, p.source_b, p.shared_fps,
-       CAST((10000 * p.shared_fps) // least(sa.n_fps, sb.n_fps) AS BIGINT) AS overlap_bp
-FROM pairs p
-JOIN sizes sa ON sa.source = p.source_a
-JOIN sizes sb ON sb.source = p.source_b
+SELECT g.source_a, g.source_b,
+       CAST(COALESCE(s.shared_fps, 0) AS BIGINT) AS shared_fps,
+       CAST((10000 * COALESCE(s.shared_fps, 0)) // least(g.n_a, g.n_b) AS BIGINT) AS overlap_bp
+FROM grid g
+LEFT JOIN shared s ON s.source_a = g.source_a AND s.source_b = g.source_b
 """
 
 
@@ -878,7 +885,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = fp.groupBy("source").agg(F.count("*").cast("long").alias("n_fps"))
     a = fp.alias("a")
     b = fp.alias("b")
-    pairs = (
+    shared = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
         .groupBy(
             F.col("a.source").alias("source_a"),
@@ -888,12 +895,15 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("source").alias("source_a"), F.col("n_fps").alias("n_a"))
     sb = sizes.select(F.col("source").alias("source_b"), F.col("n_fps").alias("n_b"))
+    # complete |sources|² upper triangle — zero-overlap pairs reported
+    grid = sa.join(sb, F.col("source_a") < F.col("source_b"))
     return (
-        pairs.join(F.broadcast(sa), "source_a")
-        .join(F.broadcast(sb), "source_b")
+        grid.join(F.broadcast(shared), ["source_a", "source_b"], "left")
         .select(
-            "source_a", "source_b", "shared_fps",
-            F.expr("CAST((10000 * shared_fps) div least(n_a, n_b) AS BIGINT)")
-            .alias("overlap_bp"),
+            "source_a", "source_b",
+            F.coalesce("shared_fps", F.lit(0)).cast("long").alias("shared_fps"),
+            F.expr(
+                "CAST((10000 * coalesce(shared_fps, 0)) div least(n_a, n_b) AS BIGINT)"
+            ).alias("overlap_bp"),
         )
     )

@@ -244,6 +244,10 @@ _HOSTILE_QUERIES = (
     "text_remove_dup_spans",
     "text_quality_zscore_by_lang",
     "text_pmi_collocations",
+    "text_bm25_topk",
+    "text_zipf_fit",
+    "text_bigram_logprob",
+    "dedup_cross_source_matrix",
 )
 
 

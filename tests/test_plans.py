@@ -130,6 +130,7 @@ _NESTED_LOOP_OK = {
     "events_distribution_drift",  # 1-row time/value extrema scalar broadcast
     "events_type_cooccurrence",   # 1-row user-count scalar broadcast (N for lift)
     "events_benford_audit",       # 1-row total-count scalar broadcast (n for E[d])
+    "dedup_cross_source_matrix",  # |sources|² grid from two dimension-sized sides
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.
