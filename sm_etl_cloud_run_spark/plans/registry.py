@@ -138,6 +138,9 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_ab_test_readout",
     "events_benford_audit",
     "dedup_cross_source_matrix",
+    "events_inter_arrival_stats",
+    "text_ngram_novelty",
+    "embedding_norm_profile",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

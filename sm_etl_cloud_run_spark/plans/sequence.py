@@ -1170,3 +1170,70 @@ def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi2_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival time profile per event type
+# ---------------------------------------------------------------------------
+
+_IAT_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+              AS BIGINT) // 1000000 AS gap_sec
+  FROM events
+),
+gaps AS (SELECT event_type, gap_sec FROM seq WHERE gap_sec IS NOT NULL),
+ranked AS (
+  SELECT event_type, gap_sec,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap_sec) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM gaps
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_sec) AS BIGINT) AS min_sec,
+       CAST(MAX(gap_sec) AS BIGINT) AS max_sec,
+       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN gap_sec END) AS BIGINT) AS p50_sec,
+       CAST(MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_sec END) AS BIGINT) AS p90_sec
+FROM ranked GROUP BY event_type
+"""
+
+
+@register("events_inter_arrival_stats", oracle=_IAT_ORACLE,
+          description="inter-arrival time profile per event type (rank-exact p50/p90)")
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process profile: consecutive-event gaps per type with
+    rank-exact median and p90 (row_number at the floored rank position
+    — deterministic and cross-engine, where approx_percentile is
+    neither). Gaps are integer seconds from epoch-micros differences;
+    the lag window and the rank window share the event_type
+    partitioning (one exchange).
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        t["events"]
+        .select(
+            "event_type",
+            ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / F.lit(1000000))
+            .cast("long").alias("gap_sec"),
+        )
+        .where(F.col("gap_sec").isNotNull())
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_sec")
+    wn = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type", "gap_sec",
+        F.row_number().over(wr.orderBy(F.col("gap_sec").asc())).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.min("gap_sec").cast("long").alias("min_sec"),
+        F.max("gap_sec").cast("long").alias("max_sec"),
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_sec")))
+        .cast("long").alias("p50_sec"),
+        F.min(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("gap_sec")))
+        .cast("long").alias("p90_sec"),
+    )

@@ -907,3 +907,67 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty over corpus order (how much each doc adds)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, bg
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(string_split(trim(text), ' ')) - 1, 0)),
+             i -> string_split(trim(text), ' ')[i] || ' ' ||
+                  string_split(trim(text), ' ')[i + 1] || ' ' ||
+                  string_split(trim(text), ' ')[i + 2])) AS bg
+    FROM documents
+  )
+),
+firsts AS (
+  SELECT bg, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM grams GROUP BY bg
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_3grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST((10000 * SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS novelty_bp
+FROM grams g JOIN firsts f USING (bg)
+GROUP BY g.doc_id
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_ORACLE,
+          description="per-doc 3-gram novelty vs all earlier docs (corpus-growth diagnostic)")
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much NEW text each document contributes in corpus order: the
+    fraction of its distinct 3-grams whose first corpus occurrence (by
+    min doc_id) is this document. Streams of scraped data show falling
+    novelty as sources exhaust — the quantitative 'stop crawling this
+    domain' signal. Inverted-index algebra: distinct (doc, gram) pairs,
+    gram→first-doc aggregate (vocabulary-sized), join back, integer-bp
+    fraction. Same scale shape as TF-IDF.
+    """
+    from ..functions.text import word_shingles
+
+    t = load_tables(spark, sf_dir)
+    grams = (
+        t["documents"]
+        .select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("bg"))
+        .distinct()
+    )
+    firsts = grams.groupBy("bg").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    return (
+        grams.join(firsts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_3grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("n_novel"),
+            F.expr(
+                "CAST((10000 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END))"
+                " div count(*) AS BIGINT)"
+            ).alias("novelty_bp"),
+        )
+    )

@@ -766,3 +766,68 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") != qid), qv, centroids, code_vecs,
         num_subspaces=_PQ_M, k=_TOPK, nprobe=2, shortlist=_PQ_SHORTLIST,
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding QA: norm distribution + degenerate-vector counts
+# ---------------------------------------------------------------------------
+
+_NORM_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, label,
+         CAST({_dot_sql('e.embedding', 'e.embedding')} AS BIGINT) AS sq_norm_s
+  FROM embeddings e
+),
+ranked AS (
+  SELECT label, sq_norm_s,
+         row_number() OVER (PARTITION BY label ORDER BY sq_norm_s, vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS n
+  FROM norms
+)
+SELECT label,
+       CAST(MAX(n) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN sq_norm_s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       round(sqrt(CAST(MIN(sq_norm_s) AS DOUBLE) / 1e9), 6) AS min_norm,
+       round(sqrt(CAST(MAX(sq_norm_s) AS DOUBLE) / 1e9), 6) AS max_norm,
+       round(sqrt(CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN sq_norm_s END) AS DOUBLE) / 1e9), 6)
+         AS p50_norm
+FROM ranked GROUP BY label
+"""
+
+
+@register("embedding_norm_profile", oracle=_NORM_ORACLE,
+          description="embedding QA: norm distribution + zero-vector counts per label")
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-quality screening before any ANN/dedup consumes the
+    embeddings: per label, the norm distribution (rank-exact median on
+    the 1e9 fixed-point squared norms — ordering integers is ordering
+    norms) and the count of degenerate zero vectors (a broken encoder
+    emits them in batches; cosine against them is undefined). One pass:
+    squared norms are exact integer dots, the only doubles are final
+    sqrt renderings.
+    """
+    from ..operators.similarity import _fixed_point_sq_norm
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    norms = t["embeddings"].select(
+        "vec_id", "label",
+        _fixed_point_sq_norm(F.col("embedding")).alias("sq_norm_s"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("sq_norm_s").asc(), F.col("vec_id").asc())
+    wn = Window.partitionBy("label")
+    ranked = norms.select(
+        "label", "sq_norm_s",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    def _norm(col):
+        return F.round(F.sqrt(col.cast("double") / 1e9), 6)
+    return ranked.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.sum((F.col("sq_norm_s") == 0).cast("long")).alias("n_zero"),
+        _norm(F.min("sq_norm_s")).alias("min_norm"),
+        _norm(F.max("sq_norm_s")).alias("max_norm"),
+        _norm(F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("sq_norm_s"))))
+        .alias("p50_norm"),
+    )
