@@ -179,7 +179,7 @@ def embedding_double_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("qname", ["knn_brute_force", "embedding_label_centroids"])
+@pytest.mark.parametrize("qname", ["knn_brute_force", "embedding_label_centroids", "embedding_norm_profile"])
 def test_embedding_double_arrival_keeps_oracle_parity(spark, embedding_double_dir, qname):
     problems = _oracle_compare(spark, embedding_double_dir, qname)
     assert not problems, f"{qname} on double-encoded embeddings: {problems}"
