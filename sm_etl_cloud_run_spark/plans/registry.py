@@ -141,6 +141,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_inter_arrival_stats",
     "text_ngram_novelty",
     "embedding_norm_profile",
+    "order_fulfillment_latency",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

@@ -133,3 +133,75 @@ def grouping_sets_marked(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# order fulfillment latency (order date → last shipment)
+# ---------------------------------------------------------------------------
+
+_FULFILL_ORACLE = """
+WITH per_order AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         CAST(epoch_us(MAX(l.l_shipdate)) - epoch_us(o.o_orderdate) AS BIGINT)
+           // 86400000000 AS days_to_fulfill
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+),
+ranked AS (
+  SELECT o_orderpriority, days_to_fulfill,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY days_to_fulfill, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM per_order
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(MIN(days_to_fulfill) AS BIGINT) AS min_days,
+       CAST(MAX(days_to_fulfill) AS BIGINT) AS max_days,
+       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN days_to_fulfill END) AS BIGINT) AS p50_days,
+       CAST(MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN days_to_fulfill END) AS BIGINT) AS p90_days
+FROM ranked GROUP BY o_orderpriority
+"""
+
+
+@register("order_fulfillment_latency", oracle=_FULFILL_ORACLE,
+          description="order→last-shipment latency percentiles per priority (rank-exact)")
+def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational SLA profile: days from order placement to the LAST
+    line shipment, rank-exact p50/p90 per order priority. The fact-fact
+    join shuffles once on the order key (the bucketed-layout candidate
+    — test_scale_plans proves that layout removes this exchange), the
+    per-order aggregate reuses that partitioning, and the priority rank
+    window runs on the |orders| relation with the orderkey tiebreaker.
+    Day arithmetic is exact integer epoch division on both engines.
+    """
+    t = load_tables(spark, sf_dir)
+    per_order = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            ((F.unix_micros(F.max("l_shipdate")) - F.unix_micros(F.col("o_orderdate")))
+             / F.lit(86400000000)).cast("long").alias("days_to_fulfill")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("days_to_fulfill").asc(), F.col("o_orderkey").asc()
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = per_order.select(
+        "o_orderpriority", "days_to_fulfill",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.min("days_to_fulfill").cast("long").alias("min_days"),
+        F.max("days_to_fulfill").cast("long").alias("max_days"),
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("days_to_fulfill")))
+        .cast("long").alias("p50_days"),
+        F.min(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("days_to_fulfill")))
+        .cast("long").alias("p90_days"),
+    )

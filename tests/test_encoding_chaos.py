@@ -440,6 +440,8 @@ _HOSTILE_FACT_QUERIES = (
     "pipeline_fact_transform",
     "dq_expectations_report",
     "lineitem_column_profile",
+    "order_fulfillment_latency",
+    "lineitem_corr_matrix",
 )
 
 
