@@ -142,6 +142,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "text_ngram_novelty",
     "embedding_norm_profile",
     "order_fulfillment_latency",
+    "events_decile_lift",
     # registered in round 6, never driver-checked:
     "pq_codebook_train",
     "knn_graph_pagerank",

@@ -1237,3 +1237,83 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("gap_sec")))
         .cast("long").alias("p90_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# decile lift chart (score = engagement, outcome = purchase)
+# ---------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH users AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT *, CAST(ntile(10) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS decile
+  FROM users
+),
+per_decile AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM scored GROUP BY decile
+),
+tot AS (
+  SELECT CAST(SUM(n_users) AS BIGINT) AS tu, CAST(SUM(n_converted) AS BIGINT) AS tc
+  FROM per_decile
+),
+cum AS (
+  SELECT decile, n_users, n_converted,
+         SUM(n_users) OVER (ORDER BY decile) AS cum_users,
+         SUM(n_converted) OVER (ORDER BY decile) AS cum_converted
+  FROM per_decile
+)
+SELECT c.decile, c.n_users, c.n_converted,
+       CAST((10000 * c.n_converted) // c.n_users AS BIGINT) AS rate_bp,
+       CAST((10000 * c.cum_converted * t.tu) // (c.cum_users * t.tc) AS BIGINT)
+         AS cum_lift_bp
+FROM cum c CROSS JOIN tot t
+"""
+
+
+@register("events_decile_lift", oracle=_LIFT_ORACLE,
+          description="decile lift chart: engagement-ranked users vs conversion (model-eval shape)")
+def events_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-evaluation lift table, computed relationally: users
+    ranked by a score (here: event count — swap in any model score
+    column) into deciles, per-decile conversion and CUMULATIVE lift vs
+    the base rate (10000 bp = no better than random targeting). The
+    ntile is deterministic (user_id tiebreaker); rates and lift are
+    floored-bp integer arithmetic; the per-decile relation is 10 rows,
+    so the cumulative window and the 1-row totals broadcast are free.
+    """
+    t = load_tables(spark, sf_dir)
+    users = t["events"].groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"),
+    )
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    scored = users.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    per_decile = scored.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    tot = per_decile.agg(
+        F.sum("n_users").cast("long").alias("tu"),
+        F.sum("n_converted").cast("long").alias("tc"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_decile.select(
+        "decile", "n_users", "n_converted",
+        F.sum("n_users").over(wc).alias("cum_users"),
+        F.sum("n_converted").over(wc).alias("cum_converted"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "decile", "n_users", "n_converted",
+        F.expr("CAST((10000 * n_converted) div n_users AS BIGINT)").alias("rate_bp"),
+        F.expr(
+            "CAST((10000 * cum_converted * tu) div (cum_users * tc) AS BIGINT)"
+        ).alias("cum_lift_bp"),
+    )

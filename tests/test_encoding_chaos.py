@@ -357,7 +357,7 @@ def hostile_events_dir(tmp_path_factory):
      "events_session_stats", "events_nstep_funnel",
      "events_autocorrelation", "events_mad_outliers",
      "events_ab_test_readout", "events_benford_audit",
-     "events_inter_arrival_stats",
+     "events_inter_arrival_stats", "events_decile_lift",
      "f4_watermark_gate", "percentile_metrics", "skew_salted_user_join"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
