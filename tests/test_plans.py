@@ -131,6 +131,7 @@ _NESTED_LOOP_OK = {
     "events_type_cooccurrence",   # 1-row user-count scalar broadcast (N for lift)
     "events_benford_audit",       # 1-row total-count scalar broadcast (n for E[d])
     "dedup_cross_source_matrix",  # |sources|² grid from two dimension-sized sides
+    "events_decile_lift",         # 10-row decile table × 1-row totals broadcast
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.
