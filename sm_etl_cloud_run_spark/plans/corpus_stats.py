@@ -718,9 +718,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments are exact BIGINT sums, and the only doubles are the two
     final divisions — so the single-row answer is bit-identical on
     both engines. One explode + vocabulary-sized aggregate; the rank
-    window runs on |vocab| rows.
+    is :func:`distributed_rank` (range-partitioned, per-partition
+    offsets — no single-partition sort even when the vocabulary is
+    web-scale).
     """
-    from pyspark.sql.window import Window
+    from sm_etl_cloud_run_spark.operators.windows import distributed_rank
 
     t = load_tables(spark, sf_dir)
     uni = (
@@ -729,8 +731,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    ranked = uni.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("term").asc()))
+    ranked = distributed_rank(
+        uni, [F.col("c").desc(), F.col("term").asc()], rank_name="rnk"
     )
     pts = ranked.select(
         F.floor(1000.0 * F.log(F.col("rnk").cast("double"))).cast("long").alias("x"),

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.text import tokens
 from ..tables import load_tables
@@ -275,9 +274,13 @@ def training_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the bucket table is 64 rows — a broadcast join, not
     the |vocab|-sized shuffle of the unhashed variant (that IS the
     point of DSIR's hashing); the rest is two map-side-combined
-    aggregates and one doc-keyed aggregate. The global rank is the
-    only total-order op; at 100 TB it becomes an approx-quantile
-    threshold on score_micro instead of a full sort.
+    aggregates and one doc-keyed aggregate. The quartile gate is
+    :func:`distributed_rank` (VERDICT r4 item 1): range-partitioned
+    on (score desc, doc_id), per-partition row_number + broadcast
+    cumulative offsets — every partition sorts in parallel, nothing
+    funnels through one task — compared against a 1-row broadcast
+    total. (An approx-quantile threshold would also scale but is not
+    oracle-exact at the boundary; the distributed rank is both.)
     """
     t = load_tables(spark, sf_dir)
     tf = (
@@ -332,14 +335,14 @@ def training_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("tf") * F.col("lr_micro")).cast("long").alias("score_micro"),
         )
     )
-    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
-    wall = Window.partitionBy()
+    from sm_etl_cloud_run_spark.operators.windows import distributed_rank
+
+    ranked = distributed_rank(
+        doc, [F.col("score_micro").desc(), F.col("doc_id").asc()], rank_name="rn"
+    )
+    total = doc.agg(F.count(F.lit(1)).cast("long").alias("total"))
     return (
-        doc.select(
-            "doc_id", "n_tokens", "score_micro",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wall).alias("total"),
-        )
+        ranked.join(F.broadcast(total))
         .select(
             "doc_id", "n_tokens", "score_micro",
             F.when(F.col("rn") * _DSIR_KEEP_QUARTER <= F.col("total"), 1)

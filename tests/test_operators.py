@@ -553,3 +553,36 @@ def test_cdc_diff_apply_roundtrip(spark):
         .unionByName(diff.withColumn("seq", F.lit(1)))
     applied = apply_cdc(log, ["k"], ["seq"]).drop("op", "seq")
     assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_distributed_rank_matches_global_row_number(spark):
+    """distributed_rank == row_number() OVER (ORDER BY ...) exactly —
+    including heavy ties (split across range partitions by the
+    tiebreaker) and NULL values (pinned NULLS LAST)."""
+    from pyspark.sql.window import Window
+
+    from sm_etl_cloud_run_spark.operators.windows import distributed_rank
+
+    rows = [(i, i % 7 if i % 11 else None) for i in range(3001)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    order = [F.col("v").desc_nulls_last(), F.col("id").asc()]
+    got = distributed_rank(df, order, rank_name="rn", num_partitions=8)
+    exp = df.withColumn("rn", F.row_number().over(Window.orderBy(*order)).cast("long"))
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_distributed_ntile_matches_global_ntile(spark):
+    """distributed_ntile == ntile(n) for n that divides N, n with a
+    remainder, and n > N (the q=0 edge)."""
+    from pyspark.sql.window import Window
+
+    from sm_etl_cloud_run_spark.operators.windows import distributed_ntile
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 13) for i in range(1000)], "id long, v long"
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+    for n in (10, 7, 4000):
+        got = distributed_ntile(df, order, n, tile_name="t", num_partitions=8)
+        exp = df.withColumn("t", F.ntile(n).over(Window.orderBy(*order)).cast("long"))
+        assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0

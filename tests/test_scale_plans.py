@@ -130,3 +130,25 @@ def test_suggest_shuffle_partitions_scales_with_input(spark, sf_dir, tmp_path):
     # huge target → clamped at the floor; cap is respected
     assert suggest_shuffle_partitions(small, target_partition_mb=10_000) == 8
     assert suggest_shuffle_partitions(big, max_partitions=2, **kwargs) == 2
+
+
+def test_fact_rank_plans_are_range_partitioned(spark, sf_dir):
+    """VERDICT r4 item 1: the two fact-cardinality rank plans
+    (events_decile_lift's ntile, training_dsir_sample's row_number)
+    and text_zipf_fit's vocabulary rank must NOT sort their big input
+    in one task. After the distributed_rank rewire the plans show (a)
+    RangePartitioning (the parallel sort), (b) every row_number window
+    partitioned by the range-partition id, and (c) no built-in ntile
+    at all. Remaining unpartitioned windows operate on parameter-sized
+    relations only (the 10-row decile cumsum, the partition-count
+    offset table)."""
+    from sm_etl_cloud_run_spark.plans import all_queries
+
+    for name in ("events_decile_lift", "training_dsir_sample", "text_zipf_fit"):
+        df = all_queries()[name].fn(spark, sf_dir)
+        plan = _explain(df, mode="simple")
+        assert "rangepartitioning" in plan.lower(), name
+        assert "ntile(" not in plan, name
+        for line in plan.splitlines():
+            if "row_number()" in line:
+                assert "windowspecdefinition(__dr_pid" in line, (name, line)
