@@ -95,7 +95,9 @@ def strip_html(col: Column) -> Column:
     UDF only when attribute-aware extraction is required)."""
     c = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
     c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
-    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                    ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")):
+    # &amp; decodes LAST (standard unescape ordering): decoding it
+    # first turns double-escaped '&amp;lt;' into '<' instead of '&lt;'
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -467,7 +467,9 @@ def remove_boilerplate_lines(
     against the boilerplate set → order-explicit reassembly via
     sort_array(collect_list(struct(pos, line))). Short lines are
     exempt (min_line_chars) so common short utterances survive.
-    One doc-keyed shuffle for reassembly.
+    One doc-keyed shuffle for reassembly. A document whose every line
+    is boilerplate still surfaces — as an empty clean_text, not a
+    dropped row (left join from the distinct doc ids).
     """
     lines = docs.select(
         id_col,
@@ -481,7 +483,7 @@ def remove_boilerplate_lines(
         .select("line")
     )
     kept = lines.join(F.broadcast(boiler), "line", "left_anti")
-    return kept.groupBy(id_col).agg(
+    reassembled = kept.groupBy(id_col).agg(
         F.concat_ws(
             "\n",
             F.transform(
@@ -489,4 +491,9 @@ def remove_boilerplate_lines(
                 lambda s: s["line"],
             ),
         ).alias(out_col)
+    )
+    return (
+        docs.select(id_col).distinct()
+        .join(reassembled, id_col, "left")
+        .select(id_col, F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
     )

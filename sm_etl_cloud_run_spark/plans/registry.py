@@ -98,69 +98,23 @@ def register(
 # longest-unchecked block, then the most recently checked block.
 # Registration order is unchanged; only the yield order is prioritized.
 
-# Tier 1 — no green driver row for the CURRENT code (round-4 window must
-# include all of these):
-#   - j1_period_bucketed_range_join: green in r1/r2, then rewritten in r3
-#     (operators/joins.py:91-139);
-#   - events_sessionize: green in r1/r2, then fixed for the regenerated
-#     NTZ testdata in r4 (operators/windows.py, tables.py);
-#   - training_*: registered in r3 after the rotation cut, never checked.
+# Tier 1 — no green driver row for the CURRENT code. After
+# CORRECTNESS_r04 landed (50 green rows, disjoint from r3), the union
+# of r1-r4 driver rows covers 150/176; this tier is the remaining 26
+# (VERDICT r4 "What's missing" item 1) plus queries whose code changed
+# AFTER their last green row. 26+4 < 50, so the round-5 window closes
+# the driver-rows gap entirely; the tail of the window falls through
+# to tier 2 (longest-unchecked).
 _CHANGED_OR_NEVER_CHECKED = (
-    # registered in round 7, never driver-checked:
-    "text_bm25_topk",
-    "search_hybrid_rrf",
-    "events_transition_matrix",
-    "events_top_paths",
-    "events_cdc_snapshot",
-    "events_ewma",
-    "events_value_ntile",
-    "events_seasonal_anomaly",
-    "er_entity_clusters",
-    "events_user_coherent_sample",
-    "events_winsorized_stats",
-    "events_grouping_sets",
-    "events_asof_tolerance",
-    "text_zipf_fit",
-    "text_bigram_logprob",
-    "events_rolling_wau",
-    "lineitem_corr_matrix",
-    "events_distribution_drift",
-    "customer_k_anonymity",
-    "events_json_key_profile",
-    "events_rolling_wau_hll",
-    "events_type_cooccurrence",
-    "knn_graph_bfs_levels",
-    "events_session_stats",
-    "events_nstep_funnel",
-    "events_autocorrelation",
-    "events_mad_outliers",
-    "knn_graph_triangles",
-    "events_ab_test_readout",
-    "events_benford_audit",
-    "dedup_cross_source_matrix",
-    "events_inter_arrival_stats",
-    "text_ngram_novelty",
-    "embedding_norm_profile",
-    "order_fulfillment_latency",
+    # changed THIS round (distributed_rank rewires, VERDICT r4 item 1)
+    # after their r4 green rows:
     "events_decile_lift",
-    # registered in round 6, never driver-checked:
-    "pq_codebook_train",
-    "knn_graph_pagerank",
     "training_dsir_sample",
-    "events_sketch_rollup_merge",
-    "dq_expectations_report",
-    "training_weighted_sample",
-    "text_remove_dup_spans",
-    "events_variant_extract",
-    "events_concurrency_profile",
-    "events_trend_regression",
-    "events_sample_estimate",
-    "text_quality_zscore_by_lang",
-    "knn_ivf_pq",
-    "lineitem_column_profile",
+    "text_zipf_fit",
+    # never driver-checked (registered rounds 4-6 faster than the
+    # 50-query window drained; all judge-verified exact in VERDICT r4):
     "text_pmi_collocations",
     "events_seasonal_baseline",
-    # registered in round 5, never driver-checked:
     "text_dup_ngram_fraction",
     "text_c4_heuristics",
     "domain_mixture_weights",
@@ -174,14 +128,9 @@ _CHANGED_OR_NEVER_CHECKED = (
     "text_chunk_windows",
     "kmeans_embedding_clusters",
     "events_session_window_native",
-    # the round-4 tier (no CORRECTNESS_r04 artifact ever landed in the
-    # repo, so none of these has a confirmed driver row yet either):
-    "j1_period_bucketed_range_join",
-    "events_sessionize",
     "training_pack_sequences",
     "training_stratified_sample",
     "training_shuffle_buckets",
-    # registered in round 4, never driver-checked:
     "text_repetition_filter",
     "text_tfidf_topterms",
     "text_unigram_logprob",
@@ -190,12 +139,9 @@ _CHANGED_OR_NEVER_CHECKED = (
     "dedup_semantic_clusters",
     "corpus_quality_report",
     "text_winnowing_overlap_pairs",
-    # changed in round 4 AFTER their r3 green rows (seed-selection
-    # refactor; tokens() string_split alignment — representative):
-    "knn_brute_force",
-    "knn_lsh_bucketed",
-    "knn_ivf",
-    "text_token_stats",
+    # green in r1/r2, then rewritten in r3 (operators/joins.py:91-139)
+    # — still no driver row for the current code:
+    "j1_period_bucketed_range_join",
 )
 
 # Tier 2 — last driver-checked in rounds 1/2 (longest unchecked).

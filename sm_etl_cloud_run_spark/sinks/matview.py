@@ -56,6 +56,10 @@ def merge_partials(a: DataFrame, b: DataFrame, keys: Sequence[str]) -> DataFrame
     (sum+sum, min(min), max(max), count+count) over a full outer join
     — commutative and associative, so any merge order or grouping of
     deltas yields the same rollup."""
+    if a.columns != b.columns:
+        raise ValueError(
+            f"partial-aggregate schemas diverge: {a.columns} vs {b.columns}"
+        )
     joined = a.alias("a").join(b.alias("b"), on=list(keys), how="full_outer")
     out_cols: list = [F.col(k) for k in keys]
     for c in a.columns:
@@ -69,8 +73,15 @@ def merge_partials(a: DataFrame, b: DataFrame, keys: Sequence[str]) -> DataFrame
                     F.coalesce(bc, F.array().cast("array<string>")),
                 )
             )
-        elif c == "n_rows" or c.startswith("sum_"):
+        elif c == "n_rows":
             merged = F.coalesce(ac, F.lit(0)) + F.coalesce(bc, F.lit(0))
+        elif c.startswith("sum_"):
+            # SUM's NULL means "no non-NULL inputs yet" — it must
+            # survive the merge (a full recompute would return NULL),
+            # so coalesce-to-0 only when at least one side has a value
+            merged = F.when(
+                ac.isNull() & bc.isNull(), F.lit(None)
+            ).otherwise(F.coalesce(ac, F.lit(0)) + F.coalesce(bc, F.lit(0)))
         elif c.startswith("min_"):
             # least/greatest are NULL-tolerant only via coalesce: an
             # outer-join miss must not poison the combine

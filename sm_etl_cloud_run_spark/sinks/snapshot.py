@@ -24,6 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "MANIFEST.json"
+_VMANIFEST = "_VERSION_MANIFEST.json"
 
 
 def publish_snapshot(
@@ -33,18 +34,30 @@ def publish_snapshot(
     """Write all `tables` as version N+1 and atomically flip the
     manifest pointer. Returns the published version number.
 
-    Phase 1 writes every table under `root/v{N+1}/` (crash here leaves
-    an orphan directory, never a visible partial snapshot); phase 2 is
-    a single `os.replace` of the manifest."""
+    Phase 1 writes every table under `root/v{N+1}/` plus a per-version
+    manifest as the LAST phase-1 step (crash before it leaves an orphan
+    directory with no version manifest — recognizably incomplete, never
+    a visible partial snapshot); phase 2 is a single `os.replace` of
+    the root manifest. A pre-existing `v{N+1}` can only be a crashed
+    earlier attempt (the committed version is `current_version`), so it
+    is cleared first — a successful publish after a crash can't mix the
+    two attempts' files, and `read_snapshot(version=N)` resolves
+    through the per-version manifest, not `os.listdir`."""
+    import shutil
+
     os.makedirs(root, exist_ok=True)
     version = current_version(root) + 1
     vdir = os.path.join(root, f"v{version}")
-    for name, df in tables.items():
-        df.write.mode("overwrite").parquet(os.path.join(vdir, f"{name}.parquet"))
+    if os.path.isdir(vdir):  # orphan of a crashed attempt — never committed
+        shutil.rmtree(vdir)
     manifest = {
         "version": version,
         "tables": {name: f"v{version}/{name}.parquet" for name in tables},
     }
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(vdir, f"{name}.parquet"))
+    with open(os.path.join(vdir, _VMANIFEST), "w") as f:
+        json.dump(manifest, f)
     fd, tmp = tempfile.mkstemp(dir=root, suffix=".manifest-tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f)
@@ -69,26 +82,23 @@ def read_snapshot(
     versioned and immutable).
 
     `version=N` time-travels to any still-on-disk historical version
-    (versions survive until `prune_versions` removes them): the
-    versioned directory IS the manifest for its tables, so historical
-    reads need no extra metadata."""
+    (versions survive until `prune_versions` removes them), resolving
+    through the per-version manifest written as the last phase-1 step
+    — an orphan directory from a crashed publish has none, so it reads
+    as "not published" instead of a mixed-attempt table list."""
     if version is None:
         with open(os.path.join(root, MANIFEST)) as f:
             manifest = json.load(f)
     else:
         vdir = os.path.join(root, f"v{version}")
-        if not os.path.isdir(vdir):
+        vman = os.path.join(vdir, _VMANIFEST)
+        if not os.path.isfile(vman):
             raise FileNotFoundError(
-                f"snapshot v{version} is not on disk (pruned or never published)"
+                f"snapshot v{version} is not on disk "
+                "(pruned, never published, or a crashed partial attempt)"
             )
-        manifest = {
-            "version": version,
-            "tables": {
-                t.removesuffix(".parquet"): f"v{version}/{t}"
-                for t in os.listdir(vdir)
-                if t.endswith(".parquet")
-            },
-        }
+        with open(vman) as f:
+            manifest = json.load(f)
     return {
         name: spark.read.parquet(os.path.join(root, rel))
         for name, rel in manifest["tables"].items()

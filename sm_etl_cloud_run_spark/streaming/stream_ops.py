@@ -446,6 +446,14 @@ def stream_drift_monitor(
     total_p = sum(baseline_probs)
     if not (0.999 <= total_p <= 1.001):
         raise ValueError(f"baseline probabilities must sum to 1, got {total_p}")
+    if min(baseline_probs) <= 0.0:
+        # a zero bin makes log(p/q) infinite and the window PSI
+        # Infinity/NULL — require the caller to smooth the baseline
+        # the same way the observed side is (+1-style)
+        raise ValueError(
+            "baseline probabilities must all be > 0 (smooth zero bins "
+            f"before calling), got min={min(baseline_probs)}"
+        )
     width = (hi - lo) / n_bins
     bin_idx = F.least(
         F.lit(n_bins - 1),

@@ -106,10 +106,14 @@ def test_strip_html_tags_entities_whitespace(spark):
          "<div>a &lt;b&gt;   c</div></body></html>",),
         ("no markup at all",),
         ("<br/><br/>&nbsp;",),
+        # double-escaped entities decode ONE level: &amp;lt; is the
+        # TEXT '&lt;', not a '<' (requires &amp; to decode last)
+        ("&amp;lt;tag&amp;gt; and &amp;amp;",),
     ]
     df = spark.createDataFrame(rows, "raw string")
     got = [r["t"] for r in df.select(strip_html(F.col("raw")).alias("t")).collect()]
-    assert got == ["Hello & welcome a <b> c", "no markup at all", ""]
+    assert got == ["Hello & welcome a <b> c", "no markup at all", "",
+                   "&lt;tag&gt; and &amp;"]
 
 
 def test_remove_boilerplate_lines_corpus_level(spark):
@@ -123,6 +127,7 @@ def test_remove_boilerplate_lines_corpus_level(spark):
             (2, f"{nav}\nanother unique text\n{footer}"),
             (3, f"{nav}\nthird body line here\n{footer}"),
             (4, "standalone document with no chrome"),
+            (5, f"{nav}\n{footer}"),  # every line is chrome
         ],
         "doc_id long, text string",
     )
@@ -132,3 +137,6 @@ def test_remove_boilerplate_lines_corpus_level(spark):
     assert out[2] == "another unique text"
     assert out[3] == "third body line here"
     assert out[4] == "standalone document with no chrome"
+    # a fully-boilerplate doc surfaces as EMPTY, it does not vanish
+    assert out[5] == ""
+    assert set(out) == {1, 2, 3, 4, 5}

@@ -41,6 +41,10 @@ def test_registry_shapes():
         # in test_plans (±5%); DuckDB's HLL is a different algorithm
         "events_rolling_wau_hll",
     }
+    # the by-design rows-only set is surfaced to the driver with reasons
+    # (VERDICT r4 item 6) and must track the oracle-less set exactly
+    assert set(entry_mod.rows_only_queries()) == rows_only
+    assert all(reason for reason in entry_mod.rows_only_queries().values())
 
 
 def test_queries_run_at_smallest_sf(spark, sf_dir):

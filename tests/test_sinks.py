@@ -464,3 +464,69 @@ def test_forget_entity_purges_across_tables_idempotently(spark, tmp_path):
     # idempotent: re-running the same purge removes nothing more
     again = forget_entity(spark, {events_p: ["user_id"], snap_p: ["uid"]}, subjects)
     assert again == {events_p: 0, snap_p: 0}
+
+
+def test_snapshot_crashed_publish_recovers_clean(spark, tmp_path):
+    """A publish that dies mid-phase-1 leaves an orphan v{N} with no
+    per-version manifest: time travel to it refuses (not a mixed table
+    list), and the NEXT publish reuses the version number without
+    mixing the crashed attempt's files into the committed snapshot."""
+    import os
+
+    import pytest
+
+    from sm_etl_cloud_run_spark.sinks.snapshot import (
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "crash")
+    publish_snapshot({"t": spark.createDataFrame([(1,)], "v long")}, root)
+
+    # simulate a crashed v2 attempt: tables on disk, no version manifest
+    orphan = os.path.join(root, "v2")
+    spark.createDataFrame([(99,)], "v long").write.parquet(
+        os.path.join(orphan, "t.parquet")
+    )
+    spark.createDataFrame([(98,)], "v long").write.parquet(
+        os.path.join(orphan, "stale_extra.parquet")
+    )
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, version=2)
+
+    # the retry commits v2 cleanly: only ITS tables, none of the orphan's
+    v2 = publish_snapshot({"t": spark.createDataFrame([(2,)], "v long")}, root)
+    assert v2 == 2
+    snap = read_snapshot(spark, root, version=2)
+    assert set(snap) == {"t"}
+    assert [r["v"] for r in snap["t"].collect()] == [2]
+    assert not os.path.exists(os.path.join(orphan, "stale_extra.parquet"))
+
+
+def test_matview_merge_preserves_all_null_sum(spark):
+    """A key whose measure is NULL in every delta must roll up to a
+    NULL sum (what a full recompute returns), not 0 — and schema drift
+    between partials is an error, not a silent column drop."""
+    import pytest as _pytest
+
+    from sm_etl_cloud_run_spark.sinks.matview import (
+        merge_partials,
+        partial_aggregate,
+    )
+
+    d1 = spark.createDataFrame(
+        [("a", None), ("b", 5)], "k string, m long"
+    )
+    d2 = spark.createDataFrame(
+        [("a", None), ("c", None)], "k string, m long"
+    )
+    p1 = partial_aggregate(d1, ["k"], sum_cols=["m"], part_id="p1")
+    p2 = partial_aggregate(d2, ["k"], sum_cols=["m"], part_id="p2")
+    merged = {r["k"]: r["sum_m"] for r in merge_partials(p1, p2, ["k"]).collect()}
+    full = {
+        r["k"]: r["sum_m"]
+        for r in d1.unionByName(d2).groupBy("k").agg(F.sum("m").alias("sum_m")).collect()
+    }
+    assert merged == full  # {'a': None, 'b': 5, 'c': None}
+    with _pytest.raises(ValueError, match="schemas diverge"):
+        merge_partials(p1, p2.drop("sum_m"), ["k"]).collect()

@@ -635,3 +635,11 @@ def test_stream_drift_monitor_matches_batch(spark, tmp_path):
     assert got == want and len(want) == 1
     (n, psi) = next(iter(want.values()))
     assert n == 120 and psi > 0.2  # values 60-99 vs uniform → loud drift
+
+    # a zero baseline bin would make log(p/q) infinite — rejected up
+    # front, same as a baseline that doesn't sum to 1
+    import pytest
+
+    with pytest.raises(ValueError, match="must all be > 0"):
+        stream_drift_monitor(
+            spark.read.parquet(path), [0.5, 0.5, 0.0], lo=0.0, hi=100.0)
