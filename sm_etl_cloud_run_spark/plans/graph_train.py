@@ -338,16 +338,13 @@ def training_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sm_etl_cloud_run_spark.operators.windows import distributed_rank
 
     ranked = distributed_rank(
-        doc, [F.col("score_micro").desc(), F.col("doc_id").asc()], rank_name="rn"
+        doc, [F.col("score_micro").desc(), F.col("doc_id").asc()],
+        rank_name="rn", total_name="total",
     )
-    total = doc.agg(F.count(F.lit(1)).cast("long").alias("total"))
-    return (
-        ranked.join(F.broadcast(total))
-        .select(
-            "doc_id", "n_tokens", "score_micro",
-            F.when(F.col("rn") * _DSIR_KEEP_QUARTER <= F.col("total"), 1)
-            .otherwise(0).cast("long").alias("keep"),
-        )
+    return ranked.select(
+        "doc_id", "n_tokens", "score_micro",
+        F.when(F.col("rn") * _DSIR_KEEP_QUARTER <= F.col("total"), 1)
+        .otherwise(0).cast("long").alias("keep"),
     )
 
 

@@ -461,6 +461,14 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     neither be deterministic nor cross-engine), then an integer-exact
     clipped mean at 1e-4 precision. One shuffle for the rank window;
     the per-type bounds relation is |types| rows and broadcasts back.
+
+    100 TB routing: this rank-exact form is the ORACLE/PARITY mode —
+    partitionBy(event_type) is low-cardinality, so one type's entire
+    data sorts in a single task (5.0x wall at 16x data in the round-7
+    probe). Production at scale routes to the mergeable sketch twin
+    `events_sketch_profile` (HLL + GK percentiles, one-pass, +/-5%
+    pytest-bounded in tests/test_plans.py); keep this exact form for
+    verification and type-scoped slices.
     """
     t = load_tables(spark, sf_dir)
     # explicit NULLS LAST — same cross-engine ordering contract as the
@@ -995,6 +1003,14 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer until the single final normalized quotient. Two rank
     windows on the same partition key (one exchange, Catalyst reuses
     it) + two |types|-sized broadcast joins + TakeOrdered.
+
+    100 TB routing: this rank-exact form is the ORACLE/PARITY mode —
+    partitionBy(event_type) is low-cardinality, so one type's entire
+    data sorts in a single task (5.0x wall at 16x data in the round-7
+    probe). Production at scale routes to the mergeable sketch twin
+    `events_sketch_profile` (HLL + GK percentiles, one-pass, +/-5%
+    pytest-bounded in tests/test_plans.py); keep this exact form for
+    verification and type-scoped slices.
     """
     t = load_tables(spark, sf_dir)
     base = t["events"].where(F.col("value").isNotNull()).select(
@@ -1209,6 +1225,14 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     neither). Gaps are integer seconds from epoch-micros differences;
     the lag window and the rank window share the event_type
     partitioning (one exchange).
+
+    100 TB routing: this rank-exact form is the ORACLE/PARITY mode —
+    partitionBy(event_type) is low-cardinality, so one type's entire
+    data sorts in a single task (5.0x wall at 16x data in the round-7
+    probe). Production at scale routes to the mergeable sketch twin
+    `events_sketch_profile` (HLL + GK percentiles, one-pass, +/-5%
+    pytest-bounded in tests/test_plans.py); keep this exact form for
+    verification and type-scoped slices.
     """
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")

@@ -68,6 +68,11 @@ QUERIES = (
     "events_transition_matrix",
     "events_winsorized_stats",
     "events_top_paths",
+    # round-8 additions (VERDICT r4 item 1): the distributed_rank
+    # rewires — fact-cardinality rank/ntile with NO single-partition
+    # sort; their probe rows are the "flat scaling" evidence.
+    "events_decile_lift",
+    "text_zipf_fit",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
@@ -109,16 +114,22 @@ def build_scaled(spark, mult: int) -> str:
 
 
 def main() -> None:
-    mults = [int(m) for m in sys.argv[1:]] or [1, 4, 16]
+    args = sys.argv[1:]
+    queries = QUERIES
+    if "--queries" in args:  # focused probe: --queries a,b,c
+        i = args.index("--queries")
+        queries = tuple(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    mults = [int(m) for m in args] or [1, 4, 16]
     spark = get_spark("scale-probe")
     # warm codegen so multipliers are comparable
-    for q in QUERIES:
+    for q in queries:
         plans.get(q).fn(spark, BASE_SF.replace("sf0.1", "sf0.001")).collect()
     for mult in mults:
         sf_dir = build_scaled(spark, mult)
         n_li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
         timings = {}
-        for q in QUERIES:
+        for q in queries:
             # min of two runs: the first pays cold page-cache I/O for the
             # probe's just-written parquet (a cluster reads in parallel
             # from many disks); the second is the steady-state compute.
