@@ -250,6 +250,18 @@ def load_typed(
 
     apply_session_conventions(spark)  # coercing casts need ANSI off
     raw = read_csv_allstring(spark, bronze_path)
+    typed = cast_allstring_typed(raw, spec)
+    write_partition_overwrite(typed, target_path, partition_by)
+    return spark.read.parquet(target_path)
+
+
+def cast_allstring_typed(raw: DataFrame, spec: FactSpec) -> DataFrame:
+    """The EP2 cast block alone (all-string bronze → typed columns),
+    shared by the parquet loader above and the JDBC warehouse path
+    (pipelines/rehearsal.py): numerics via double (pandas issue-25472
+    parity), booleans `'True' → True else False` (NULL collapses to
+    False at THIS stage — SURVEY §7.3), everything else a direct cast.
+    """
     types = spark_type_map(spec)
     exprs: dict[str, Column] = {}
     for col, typ in types.items():
@@ -262,6 +274,4 @@ def load_typed(
             exprs[col] = c.cast("double").cast("long")
         else:
             exprs[col] = c.cast(typ)
-    typed = raw.withColumns(exprs)
-    write_partition_overwrite(typed, target_path, partition_by)
-    return spark.read.parquet(target_path)
+    return raw.withColumns(exprs)

@@ -1,0 +1,177 @@
+"""EP1/EP2/EP3 full-lifecycle wiring — SURVEY §3 closed end-to-end.
+
+The reference's three entry points (sm_cloud_run/app.py routes +
+scripts/verificar_e_executar.py gate + the per-source etl/load_bd
+modules) as `runner.py`-dispatchable jobs over ANY transport and
+warehouse: a canned in-memory FTP plus embedded Derby in the rehearsal
+test, the real DATASUS FTP plus Postgres in production — the jobs
+themselves don't change.
+
+- **EP3** (`refresh_control`): FTP LIST scan (S3) → filename parse
+  (P8) → watermark-preserving control-table upsert — the reference's
+  `/ftp_metadados` refresh (etl/datasus_ftp_metadados.py:252-382).
+- **EP1** (`ep1_baixar_pa`): gate-selected file → executor-side
+  download + DBC decode (S1) → `transform_fact` (the full F/P/C/J
+  chain) → bronze CSV (K1) → `timestamp_etl_gcs` watermark (K7) —
+  etl/siasus_procedimentos_ambulatoriais.py:117-464.
+- **EP2** (`ep2_inserir_pa`): bronze all-string CSV (S6) → typed cast
+  (C20) → staged transactional JDBC load: delete-conflicts + insert +
+  single commit (K2/K3) → `timestamp_load_bd` watermark —
+  load_bd/siasus_procedimentos_ambulatoriais_load_bd.py:146-215.
+
+`runner.py` passes only (spark, control-row) to a job, mirroring the
+reference's route-dispatch contract, so deployment parameters (paths,
+transport, warehouse URL, dims) are module configuration set once per
+process via :func:`configure` — the analog of the reference's
+environment-variable config surface.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.jdbc import staged_transactional_load
+from ..sinks.merge import _atomic_replace
+from ..sinks.partitioned import write_bronze_csv
+from ..sinks.watermark import touch_watermark
+from ..sources.csv_allstring import read_csv_allstring
+from ..sources.datasus_ftp import ftp_metadata_scan, read_datasus_ftp
+from .base import cast_allstring_typed, transform_fact
+from .siasus_pa import PA_SPEC, condicao_saude_mental
+
+CONFIG: dict[str, Any] = {}
+
+_REQUIRED = (
+    "host", "directory", "control_path", "bronze_root",
+    "panel_ids", "periods", "geo",
+)
+
+
+def configure(**kw: Any) -> None:
+    """Set deployment parameters for the lifecycle jobs.
+
+    Required: host, directory, control_path, bronze_root, panel_ids,
+    periods (DataFrame: data_inicio, id), geo (DataFrame: id_sus, id).
+    Optional: transport_factory (canned FTP in tests), jdbc_url,
+    jdbc_table, jdbc_column_types.
+    """
+    CONFIG.update(kw)
+
+
+def _cfg(key: str) -> Any:
+    if key not in CONFIG and key in _REQUIRED:
+        raise RuntimeError(f"rehearsal.configure({key}=...) not set")
+    return CONFIG.get(key)
+
+
+# ---------------------------------------------------------------------------
+# EP3 — control-table refresh from the FTP listing
+# ---------------------------------------------------------------------------
+
+_PA_NAME_RE = r"^PA([A-Z]{2})(\d{2})(\d{2})[a-z]?\.(?i:dbc)$"
+
+
+def refresh_control(spark: SparkSession) -> DataFrame:
+    """Scan the FTP directory and upsert the watermark control table.
+
+    New files appear with NULL stage watermarks (so both stages are
+    pending); files already tracked keep their `timestamp_etl_gcs` /
+    `timestamp_load_bd` — only the FTP modification timestamp is
+    refreshed, which is exactly what re-triggers a retroactively
+    re-published period (the reference's "new or updated" condition,
+    verificar_e_executar.py:36-41).
+    """
+    scan = ftp_metadata_scan(
+        spark, _cfg("host"), _cfg("directory"),
+        transport_factory=_cfg("transport_factory"), prefixes=("PA",),
+    )
+    fresh = scan.where(F.col("nome").rlike(_PA_NAME_RE)).select(
+        F.lit("PA").alias("tipo"),
+        F.col("nome").alias("arquivo"),
+        F.regexp_extract("nome", _PA_NAME_RE, 1).alias("sigla_uf"),
+        F.concat(F.lit("20"), F.regexp_extract("nome", _PA_NAME_RE, 2),
+                 F.lit("-"), F.regexp_extract("nome", _PA_NAME_RE, 3)).alias("periodo"),
+        "timestamp_modificacao_ftp",
+        F.lit(None).cast("timestamp").alias("timestamp_etl_gcs"),
+        F.lit(None).cast("timestamp").alias("timestamp_load_bd"),
+    )
+    import os
+
+    path = _cfg("control_path")
+    if os.path.exists(path):
+        old = spark.read.parquet(path)
+        merged = (
+            fresh.alias("f")
+            .join(old.alias("o"), ["tipo", "arquivo"], "left")
+            .select(
+                "tipo", "arquivo",
+                F.col("f.sigla_uf").alias("sigla_uf"),
+                F.col("f.periodo").alias("periodo"),
+                F.col("f.timestamp_modificacao_ftp").alias("timestamp_modificacao_ftp"),
+                F.col("o.timestamp_etl_gcs").alias("timestamp_etl_gcs"),
+                F.col("o.timestamp_load_bd").alias("timestamp_load_bd"),
+            )
+        )
+    else:
+        merged = fresh
+    _atomic_replace(spark, merged, path)
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# EP1 — stage-1 ETL for one pending control row
+# ---------------------------------------------------------------------------
+
+def ep1_baixar_pa(spark: SparkSession, row: dict) -> None:
+    """Download + decode + transform one PA file to bronze, then
+    watermark. `row` is a pending control row from the runner gate."""
+    arquivo = row["arquivo"]
+    raw = read_datasus_ftp(
+        spark, _cfg("host"), _cfg("directory"),
+        re.compile(re.escape(arquivo)), PA_SPEC.raw_columns,
+        transport_factory=_cfg("transport_factory"),
+    ).fillna("")
+    out = transform_fact(
+        raw, PA_SPEC,
+        panel_ids=_cfg("panel_ids"),
+        panel_raw_cols=("PA_UFMUN", "PA_MUNPCN"),
+        condition=condicao_saude_mental(),
+        periods=_cfg("periods"),
+        geo=_cfg("geo"),
+        ftp_arquivo_nome=arquivo,
+        deterministic_ids=True,
+    )
+    write_bronze_csv(out, f"{_cfg('bronze_root')}/{arquivo}")
+    touch_watermark(
+        spark, _cfg("control_path"),
+        {"tipo": "PA", "arquivo": arquivo}, "timestamp_etl_gcs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# EP2 — stage-2 warehouse load for one pending control row
+# ---------------------------------------------------------------------------
+
+def ep2_inserir_pa(spark: SparkSession, row: dict) -> None:
+    """Bronze → typed → staged transactional JDBC load (delete the
+    file's previous rows + insert + commit as ONE transaction), then
+    watermark. Re-runs are idempotent: the delete clears any earlier
+    load of the same file before the insert lands (K3), and a crash
+    before commit leaves the target untouched."""
+    arquivo = row["arquivo"]
+    raw = read_csv_allstring(spark, f"{_cfg('bronze_root')}/{arquivo}")
+    typed = cast_allstring_typed(raw, PA_SPEC)
+    staged_transactional_load(
+        spark, typed,
+        _cfg("jdbc_url"), CONFIG.get("jdbc_table", "pa_fato"),
+        delete_where=f"\"ftp_arquivo_nome\" = '{arquivo}'",
+        column_types=CONFIG.get("jdbc_column_types"),
+    )
+    touch_watermark(
+        spark, _cfg("control_path"),
+        {"tipo": "PA", "arquivo": arquivo}, "timestamp_load_bd",
+    )
