@@ -56,3 +56,39 @@ def group_rollup(
 ) -> DataFrame:
     """A1 generic: groupBy + named aggregate map."""
     return df.groupBy(*group_cols).agg(*[expr.alias(name) for name, expr in aggs.items()])
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    candidates: Sequence[int],
+    *,
+    eps: float = 0.0001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> list[tuple[int, int]]:
+    """Count-Min-sketch frequency estimates for `candidates` — the
+    one-pass sketch twin of the exact heavy-hitters aggregate
+    (`events_heavy_hitters_exact`): O(eps⁻¹·log δ⁻¹) state instead of a
+    |keys|-sized aggregate, mergeable across partitions/days like the
+    HLL family, with the classic CMS guarantee true ≤ est ≤ true+eps·N.
+
+    The sketch is built distributed (`F.count_min_sketch`, one
+    map-side-combined aggregate to a ~KB blob); estimation deserializes
+    the blob driver-side via Spark's own CountMinSketch — parameter-
+    sized work on a parameter-sized object, the same contract as the
+    kmeans/PQ seed collects. Accuracy is pytest-bounded against the
+    exact twin (tests/test_plans.py); no DuckDB oracle exists because
+    the blob layout is Spark-specific (same rows-only reasoning as the
+    HLL queries).
+    """
+    blob = df.agg(
+        F.count_min_sketch(
+            F.col(key_col).cast("long"), F.lit(float(eps)),
+            F.lit(float(confidence)), F.lit(seed),
+        ).alias("s")
+    ).collect()[0]["s"]
+    jvm = df.sparkSession._jvm
+    bio = jvm.java.io.ByteArrayInputStream(bytes(blob))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bio)
+    return [(int(k), int(cms.estimateCount(int(k)))) for k in candidates]

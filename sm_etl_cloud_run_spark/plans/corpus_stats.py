@@ -862,3 +862,122 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact global length deciles over documents (distributed_ntile consumer)
+# ---------------------------------------------------------------------------
+
+_LEN_DECILES_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(ntile(10) OVER (ORDER BY length(text) DESC, doc_id ASC) AS BIGINT)
+           AS decile
+  FROM documents
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM scored GROUP BY decile
+"""
+
+
+@register("documents_length_deciles", oracle=_LEN_DECILES_ORACLE,
+          description="exact global length deciles over the corpus "
+                      "(distributed_ntile: range-partitioned, no single-task sort)")
+def documents_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution bands — the curation diagnostic that
+    decides truncation/packing budgets. The decile assignment is the
+    EXACT global ntile computed by `operators/windows.distributed_ntile`
+    (range partition on (length desc, doc_id), per-partition row_number
+    + broadcast offsets, closed-form rank→tile) — a bare ntile window
+    would sort the whole corpus in one task. Per-decile stats are then
+    a 10-group hash aggregate. Also serves as the operator's second
+    oracle-checked consumer (the driver gate exercises the rank→tile
+    math against DuckDB's native ntile).
+    """
+    from sm_etl_cloud_run_spark.operators.windows import distributed_ntile
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    scored = distributed_ntile(
+        docs, [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        10, tile_name="decile",
+    )
+    return scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates: first-round pair statistics for tokenizer training
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+_BPE_ORACLE = f"""
+WITH uni AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents)
+  GROUP BY term
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(term)),
+                               i -> substring(term, CAST(i AS INT), 2))) AS pair,
+         c
+  FROM uni WHERE length(term) >= 2
+)
+SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {_BPE_TOPK}
+"""
+
+
+@register("corpus_bpe_merge_candidates", oracle=_BPE_ORACLE,
+          description="BPE tokenizer training: top first-round merge pairs "
+                      "(adjacent-char pair counts weighted by term frequency)")
+def corpus_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistic a BPE tokenizer trainer computes every merge round:
+    corpus-weighted adjacent-symbol pair counts, highest first (Sennrich
+    et al.'s merge rule; round one shown — later rounds re-run the same
+    plan over re-segmented terms).
+
+    Scale shape: pair generation runs over the DISTINCT vocabulary
+    weighted by term frequency — |vocab| rows × term length, never
+    |corpus| — so the expensive explode is vocabulary-sized (the same
+    trick a real trainer uses: count types once, weight by frequency).
+    One hash aggregate on the pair key + TakeOrdered(k). Single-char
+    terms contribute nothing (guarded: Spark's sequence(1, 0) would
+    generate a DESCENDING range, not an empty one).
+    """
+    t = load_tables(spark, sf_dir)
+    uni = (
+        t["documents"]
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.length("term") >= 2)
+    )
+    pairs = uni.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("term") - 1),
+                lambda i: F.col("term").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(_BPE_TOPK)
+    )

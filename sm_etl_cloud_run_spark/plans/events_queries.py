@@ -1324,3 +1324,56 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: exact top-k users by event volume (+ CMS twin in
+# operators/aggregates.cms_heavy_hitters, error-bounded in pytest)
+# ---------------------------------------------------------------------------
+
+_HH_TOPK = 20
+
+_HH_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM u)
+SELECT u.user_id, u.n,
+       CAST((10000 * u.n) // tot.t AS BIGINT) AS share_bp
+FROM u CROSS JOIN tot
+ORDER BY u.n DESC, u.user_id ASC
+LIMIT {_HH_TOPK}
+"""
+
+
+@register("events_heavy_hitters_exact", oracle=_HH_ORACLE,
+          description="exact top-k heavy hitters by event volume with "
+                      "traffic share (hot-key detection)")
+def events_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key detector: which users dominate event volume, and by
+    what share of total traffic — the input to frequency capping, skew
+    salting decisions, and abuse triage.
+
+    One map-side-combined hash aggregate to |users| rows, a 1-row total
+    broadcast (whitelisted scalar), TakeOrdered(k). At 100 TB the
+    aggregate is the only corpus-sized work; the sketch twin
+    (`operators/aggregates.cms_heavy_hitters`, Count-Min over the raw
+    stream, pytest-bounded vs this exact form) answers the same
+    question in one pass with O(eps^-1 log delta^-1) state when even
+    the per-user aggregate is too hot to materialize.
+    """
+    t = load_tables(spark, sf_dir)
+    u = t["events"].groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = u.agg(F.sum("n").cast("long").alias("t"))
+    return (
+        u.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id", "n",
+            F.expr("CAST((10000 * n) div t AS BIGINT)").alias("share_bp"),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(_HH_TOPK)
+    )

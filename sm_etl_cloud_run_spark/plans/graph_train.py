@@ -542,3 +542,60 @@ def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0).cast("long").alias("clustering_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering: global difficulty rank → training shard
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_SHARDS = 8
+
+_CURRICULUM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens ASC, doc_id ASC) AS rnk,
+         COUNT(*) OVER () AS total
+  FROM d
+)
+SELECT doc_id, n_tokens, CAST(rnk AS BIGINT) AS rnk,
+       CAST(((rnk - 1) * {_CURRICULUM_SHARDS}) // total AS BIGINT) AS shard
+FROM r
+"""
+
+
+@register("training_curriculum_order", oracle=_CURRICULUM_ORACLE,
+          description="curriculum learning: exact global difficulty rank "
+                      "(distributed_rank) -> equal-size ordered training shards")
+def training_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning prep: rank every document by a difficulty
+    proxy (token count — swap in any score column) and cut the ranked
+    order into equal-size shards consumed easy→hard across epochs
+    (Bengio et al.'s curriculum schedule, data-side).
+
+    The rank is :func:`distributed_rank` on (n_tokens, doc_id) with the
+    total riding on the broadcast offsets — the third oracle-checked
+    consumer of the operator, and the one whose ORACLE exposes the raw
+    rank values, so the driver gate verifies the offset arithmetic
+    itself, not just downstream buckets. Shard = ((rank-1)·S) div total
+    — exact integer math, no ntile needed.
+    """
+    from sm_etl_cloud_run_spark.operators.windows import distributed_rank
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    ranked = distributed_rank(
+        d, [F.col("n_tokens").asc(), F.col("doc_id").asc()],
+        rank_name="rnk", total_name="total",
+    )
+    return ranked.select(
+        "doc_id", "n_tokens", F.col("rnk").cast("long").alias("rnk"),
+        F.expr(f"CAST(((rnk - 1) * {_CURRICULUM_SHARDS}) div total AS BIGINT)")
+        .alias("shard"),
+    )

@@ -106,6 +106,11 @@ def register(
 # the driver-rows gap entirely; the tail of the window falls through
 # to tier 2 (longest-unchecked).
 _CHANGED_OR_NEVER_CHECKED = (
+    # registered THIS round, never driver-checked:
+    "documents_length_deciles",
+    "corpus_bpe_merge_candidates",
+    "training_curriculum_order",
+    "events_heavy_hitters_exact",
     # changed THIS round (distributed_rank rewires, VERDICT r4 item 1)
     # after their r4 green rows:
     "events_decile_lift",

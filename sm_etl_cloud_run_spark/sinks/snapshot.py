@@ -126,3 +126,24 @@ def prune_versions(root: str, *, keep: int = 2) -> list[str]:
         shutil.rmtree(os.path.join(root, f"v{v}"), ignore_errors=True)
         removed.append(f"v{v}")
     return removed
+
+
+def gc_orphan_versions(root: str) -> list[str]:
+    """Remove crashed-publish leftovers: versioned dirs with no
+    per-version manifest (phase 1 never finished, so they were never
+    readable). `prune_versions` keeps the newest K by number and would
+    preserve a high-numbered orphan forever; this targets exactly the
+    unreadable ones. Run it only when no publish is in flight — the
+    in-flight attempt's directory looks identical to an orphan until
+    its manifest lands."""
+    import shutil
+
+    removed = []
+    for d in sorted(os.listdir(root)):
+        if not (d.startswith("v") and d[1:].isdigit()):
+            continue
+        vdir = os.path.join(root, d)
+        if not os.path.isfile(os.path.join(vdir, _VMANIFEST)):
+            shutil.rmtree(vdir, ignore_errors=True)
+            removed.append(d)
+    return removed

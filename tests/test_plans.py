@@ -132,6 +132,7 @@ _NESTED_LOOP_OK = {
     "events_benford_audit",       # 1-row total-count scalar broadcast (n for E[d])
     "dedup_cross_source_matrix",  # |sources|² grid from two dimension-sized sides
     "events_decile_lift",         # 10-row decile table × 1-row totals broadcast
+    "events_heavy_hitters_exact", # 1-row total-traffic scalar broadcast
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.
@@ -367,3 +368,30 @@ def test_rolling_wau_hll_accuracy_vs_exact(spark):
     assert set(exact) == set(approx)
     for day, wau in exact.items():
         assert abs(approx[day] - wau) <= max(2, 0.05 * wau), (day, wau, approx[day])
+
+
+def test_cms_heavy_hitters_bounds_vs_exact(spark, sf_dir):
+    """The Count-Min twin of events_heavy_hitters_exact obeys the CMS
+    guarantee: true <= est <= true + eps*N, at both a tight and a
+    deliberately coarse eps (the coarse one proves the bound is doing
+    work, not that the sketch is secretly exact)."""
+    from pyspark.sql import functions as F
+
+    from sm_etl_cloud_run_spark.operators.aggregates import cms_heavy_hitters
+    from sm_etl_cloud_run_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].where(F.col("ts").isNotNull())
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "user_id").limit(20).collect()
+    }
+    total = ev.count()
+    for eps in (0.0001, 0.05):
+        est = dict(cms_heavy_hitters(ev, "user_id", list(exact), eps=eps))
+        for k, true_n in exact.items():
+            assert true_n <= est[k] <= true_n + eps * total + 1, (eps, k)
+    # determinism: same seed, same estimates
+    again = dict(cms_heavy_hitters(ev, "user_id", list(exact)))
+    assert again == dict(cms_heavy_hitters(ev, "user_id", list(exact)))

@@ -530,3 +530,25 @@ def test_matview_merge_preserves_all_null_sum(spark):
     assert merged == full  # {'a': None, 'b': 5, 'c': None}
     with _pytest.raises(ValueError, match="schemas diverge"):
         merge_partials(p1, p2.drop("sum_m"), ["k"]).collect()
+
+
+def test_snapshot_gc_removes_only_manifestless_orphans(spark, tmp_path):
+    import os
+
+    from sm_etl_cloud_run_spark.sinks.snapshot import (
+        gc_orphan_versions,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "gc")
+    publish_snapshot({"t": spark.createDataFrame([(1,)], "v long")}, root)
+    # crashed future attempt (no version manifest) + unrelated file
+    spark.createDataFrame([(9,)], "v long").write.parquet(
+        os.path.join(root, "v7", "t.parquet")
+    )
+    removed = gc_orphan_versions(root)
+    assert removed == ["v7"]
+    # the committed version is untouched and still reads
+    assert read_snapshot(spark, root, version=1)["t"].count() == 1
+    assert gc_orphan_versions(root) == []
