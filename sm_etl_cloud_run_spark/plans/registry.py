@@ -111,6 +111,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "corpus_bpe_merge_candidates",
     "training_curriculum_order",
     "events_heavy_hitters_exact",
+    "embedding_hard_negatives",
     # changed THIS round (distributed_rank rewires, VERDICT r4 item 1)
     # after their r4 green rows:
     "events_decile_lift",

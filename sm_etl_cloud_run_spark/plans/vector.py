@@ -831,3 +831,82 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("sq_norm_s"))))
         .alias("p50_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# contrastive hard negatives: per anchor, the most-similar OTHER-label vecs
+# ---------------------------------------------------------------------------
+
+_HN_ANCHORS = 5
+_HN_K = 3
+
+_HARD_NEG_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS av, label AS alabel
+  FROM embeddings ORDER BY vec_id LIMIT {_HN_ANCHORS}
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id AS negative_id,
+         round(CAST({_dot_sql('e.embedding', 'a.av')} AS DOUBLE)
+               / (sqrt(CAST({_dot_sql('e.embedding', 'e.embedding')} AS DOUBLE))
+                  * sqrt(CAST({_dot_sql('a.av', 'a.av')} AS DOUBLE))), 6) AS cosine
+  FROM a JOIN embeddings e
+    ON e.label <> a.alabel AND e.vec_id <> a.anchor_id
+),
+ranked AS (
+  SELECT anchor_id, negative_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, negative_id ASC) AS rn
+  FROM scored
+)
+SELECT anchor_id, negative_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_HN_K}
+"""
+
+
+@register("embedding_hard_negatives", oracle=_HARD_NEG_ORACLE,
+          description="contrastive-training hard negatives: per anchor, the "
+                      "top-k most-similar vectors with a DIFFERENT label")
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor, the most cosine-similar vectors whose label DIFFERS —
+    the near-boundary pairs that carry the training signal (easy
+    negatives are free; hard ones must be mined).
+
+    The anchor set is parameter-sized (collected once, broadcast), so
+    the deliberate anchors×corpus scoring is the work itself — the
+    knn_graph_brute contract — and the per-anchor top-k is the
+    knn_join_topk window (rank filter stops rows past k at the sort).
+    NULL-label rows match neither side of `label <> alabel` on either
+    engine, so they can never be picked as negatives. At corpus scale
+    the LSH-bucketed candidate path (knn_join_lsh) swaps in above a
+    few thousand anchors.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    anchors = (
+        emb.select("vec_id", "embedding", "label")
+        .orderBy("vec_id").limit(_HN_ANCHORS)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("av"),
+            F.col("label").alias("alabel"),
+        )
+    )
+    pairs = emb.crossJoin(F.broadcast(anchors)).where(
+        (F.col("label") != F.col("alabel")) & (F.col("vec_id") != F.col("anchor_id"))
+    )
+    scored = pairs.select(
+        "anchor_id",
+        F.col("vec_id").alias("negative_id"),
+        cosine_similarity(F.col("embedding"), F.col("av")).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= _HN_K)
+    )

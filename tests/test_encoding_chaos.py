@@ -179,7 +179,7 @@ def embedding_double_dir(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.parametrize("qname", ["knn_brute_force", "embedding_label_centroids", "embedding_norm_profile"])
+@pytest.mark.parametrize("qname", ["knn_brute_force", "embedding_label_centroids", "embedding_norm_profile", "embedding_hard_negatives"])
 def test_embedding_double_arrival_keeps_oracle_parity(spark, embedding_double_dir, qname):
     problems = _oracle_compare(spark, embedding_double_dir, qname)
     assert not problems, f"{qname} on double-encoded embeddings: {problems}"
@@ -286,7 +286,7 @@ def renumbered_embeddings_dir(tmp_path_factory):
     ["knn_brute_force", "knn_lsh_bucketed", "knn_ivf", "dedup_semantic_clusters",
      "knn_graph_brute", "knn_graph_lsh", "knn_pq_adc",
      "kmeans_embedding_clusters", "pq_codebook_train", "knn_graph_pagerank",
-     "knn_ivf_pq"],
+     "knn_ivf_pq", "embedding_hard_negatives"],
 )
 def test_renumbered_vec_ids_keep_oracle_parity(spark, renumbered_embeddings_dir, qname):
     problems = _oracle_compare(spark, renumbered_embeddings_dir, qname)
@@ -525,7 +525,8 @@ def hostile_embeddings_dir(tmp_path_factory):
     "qname",
     ["knn_brute_force", "knn_lsh_bucketed", "knn_graph_lsh", "knn_pq_adc",
      "kmeans_embedding_clusters", "embedding_label_centroids",
-     "pq_codebook_train", "knn_graph_pagerank", "knn_ivf_pq"],
+     "pq_codebook_train", "knn_graph_pagerank", "knn_ivf_pq",
+     "embedding_hard_negatives"],
 )
 def test_null_embedding_rows_keep_oracle_parity(spark, hostile_embeddings_dir, qname):
     problems = _oracle_compare(spark, hostile_embeddings_dir, qname)
