@@ -599,3 +599,116 @@ def training_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(((rnk - 1) * {_CURRICULUM_SHARDS}) div total AS BIGINT)")
         .alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# link prediction over the near-duplicate graph (common neighbors + Jaccard)
+# ---------------------------------------------------------------------------
+
+_LP_TOPN = 20
+
+_LINK_PRED_ORACLE = f"""
+WITH h1 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 1)}),
+h2 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 2)}),
+h3 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 3)}),
+demb AS (
+  SELECT embedding, MIN(vec_id) AS vec_id FROM embeddings GROUP BY embedding
+),
+eb AS (
+  SELECT vec_id, embedding, {_bucket_sql('e.embedding')} AS bucket
+  FROM demb e, h1, h2, h3
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(CAST({_dot_sql('a.embedding', 'b.embedding')} AS DOUBLE)
+              / (sqrt(CAST({_dot_sql('a.embedding', 'a.embedding')} AS DOUBLE))
+                 * sqrt(CAST({_dot_sql('b.embedding', 'b.embedding')} AS DOUBLE))), 6)
+        >= {_PR_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+twohop AS (
+  SELECT e1.src AS id_a, e2.dst AS id_b, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src AND e1.src < e2.dst
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT t.id_a, t.id_b, t.cn
+  FROM twohop t LEFT JOIN pairs p ON p.id_a = t.id_a AND p.id_b = t.id_b
+  WHERE p.id_a IS NULL
+)
+SELECT c.id_a, c.id_b, c.cn,
+       CAST(c.cn * 10000 // (da.deg + db.deg - c.cn) AS BIGINT) AS jaccard_bp
+FROM cand c
+JOIN deg da ON da.id = c.id_a
+JOIN deg db ON db.id = c.id_b
+ORDER BY c.cn DESC, jaccard_bp DESC, c.id_a ASC, c.id_b ASC
+LIMIT {_LP_TOPN}
+"""
+
+
+@register("knn_graph_link_prediction", oracle=_LINK_PRED_ORACLE,
+          description="link prediction on the near-duplicate graph: top "
+                      "non-adjacent pairs by common-neighbor count + "
+                      "neighborhood Jaccard (missed-duplicate candidates)")
+def knn_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the cosine near-duplicate
+    graph: pairs that are NOT edges but share many neighbors — exactly
+    the duplicates an LSH threshold narrowly missed (or documents one
+    revision apart), surfaced for a second-pass exact comparison.
+
+    Same edge discovery as knn_graph_pagerank (clone-collapse + LSH
+    bucket equality — both scale-proven there). The two-hop
+    enumeration is one self-equi-join of the edge list on the shared
+    middle node, aggregated immediately to (a, b) → count: on a knn-
+    style graph node degree is bounded by construction, so the join
+    fan-out per middle node is ≤ deg², and the zipfian-hub worry the
+    generic 2-path join has does not apply; AQE skew-join covers
+    residual imbalance. Candidate minus existing edges is a left-anti
+    hash join; neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| is
+    floored basis points off BIGINT degree counts, so both engines
+    rank identically (full tiebreak: cn, jaccard, ids).
+    """
+    from ..operators.similarity import embedding_cosine_dup_pairs
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = _seed_rows(emb, 4)
+    planes = [[float(x) for x in seeds[i]["embedding"]] for i in (1, 2, 3)]
+    distinct = emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    pairs = embedding_cosine_dup_pairs(
+        distinct, id_col="vec_id", vec_col="embedding",
+        threshold=_PR_THRESHOLD, hyperplanes=planes,
+    ).select("id_a", "id_b")
+
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    e1 = edges.select(F.col("src").alias("id_a"), F.col("dst").alias("mid"))
+    e2 = edges.select(F.col("src").alias("mid"), F.col("dst").alias("id_b"))
+    twohop = (
+        e1.join(e2, "mid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = twohop.join(pairs, ["id_a", "id_b"], "left_anti")
+    da = deg.select(F.col("src").alias("id_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("id_b"), F.col("deg").alias("deg_b"))
+    return (
+        cand.join(da, "id_a").join(db, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.col("cn").cast("long").alias("cn"),
+            F.expr("cn * 10000 div (deg_a + deg_b - cn)").cast("long").alias("jaccard_bp"),
+        )
+        .orderBy(F.col("cn").desc(), F.col("jaccard_bp").desc(), "id_a", "id_b")
+        .limit(_LP_TOPN)
+    )

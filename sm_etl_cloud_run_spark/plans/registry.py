@@ -112,6 +112,10 @@ _CHANGED_OR_NEVER_CHECKED = (
     "training_curriculum_order",
     "events_heavy_hitters_exact",
     "embedding_hard_negatives",
+    "knn_ivf_recall",
+    "kmeans_cluster_purity",
+    "knn_graph_link_prediction",
+    "text_readability",
     # changed THIS round (distributed_rank rewires, VERDICT r4 item 1)
     # after their r4 green rows:
     "events_decile_lift",

@@ -910,3 +910,122 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= _HN_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall measurement: approximate top-k vs exact top-k, recall@k
+# ---------------------------------------------------------------------------
+
+_IVF_RECALL_ORACLE = f"""
+SELECT CAST({_TOPK} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(COUNT(*) * 10000 // {_TOPK} AS BIGINT) AS recall_bp
+FROM ({_KNN_ORACLE}) b
+JOIN ({_IVF_ORACLE}) a USING (vec_id)
+"""
+
+
+@register("knn_ivf_recall", oracle=_IVF_RECALL_ORACLE,
+          description="measured ANN accuracy: recall@k of the IVF nprobe=2 "
+                      "path against the exact brute-force top-k")
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF approximate path against exact ground truth
+    — the accuracy dial every ANN deployment has to measure before
+    trading scan cost for recall (nprobe sweeps move along exactly
+    this curve).
+
+    Both sides reuse the production operators (brute_force_topk /
+    ivf_topk) on literal query/centroid arrays, so each is one scan +
+    one TakeOrdered with no crossJoin; the intersection is an
+    equi-join of two k-row frames (broadcast hash join, parameter
+    sized). At 100 TB the brute side is the expensive-but-rare
+    calibration pass and the IVF side the cheap production pass — the
+    measurement job runs on a sampled query set and this exact plan.
+    """
+    from ..operators.similarity import ivf_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = _seed_rows(emb, 9)
+    qid = seeds[0]["vec_id"]
+    qv = [float(x) for x in seeds[0]["embedding"]]
+    centroids = [[float(x) for x in r["embedding"]] for r in seeds[5:9]]
+    rest = emb.where(F.col("vec_id") != qid)
+    bf = brute_force_topk(rest, qv, k=_TOPK).select("vec_id")
+    approx = ivf_topk(
+        rest, qv, centroids, id_col="vec_id", vec_col="embedding",
+        k=_TOPK, nprobe=2,
+    ).select("vec_id")
+    return (
+        bf.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(
+            F.lit(_TOPK).cast("long").alias("k"),
+            F.col("hits").cast("long").alias("hits"),
+            F.expr(f"hits * 10000 div {_TOPK}").cast("long").alias("recall_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means cluster purity vs labels (clustering-quality QA)
+# ---------------------------------------------------------------------------
+
+_PURITY_ORACLE = f"""
+WITH cl AS (
+  SELECT a.cluster, e.label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({_KMEANS_ORACLE}) a JOIN embeddings e USING (vec_id)
+  WHERE e.label IS NOT NULL
+  GROUP BY a.cluster, e.label
+),
+tot AS (SELECT cluster, CAST(SUM(n) AS BIGINT) AS size FROM cl GROUP BY cluster),
+top AS (
+  SELECT cluster, label, n,
+         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, label ASC) AS rn
+  FROM cl
+)
+SELECT t.cluster, tot.size, CAST(t.label AS BIGINT) AS top_label,
+       t.n AS top_count, CAST(t.n * 10000 // tot.size AS BIGINT) AS purity_bp
+FROM top t JOIN tot USING (cluster) WHERE t.rn = 1
+"""
+
+
+@register("kmeans_cluster_purity", oracle=_PURITY_ORACLE,
+          description="clustering-quality QA: per-cluster label purity of the "
+                      "trained k-means assignment (top label share in bp)")
+def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the kmeans_embedding_clusters assignment — the
+    standard external clustering-quality check (does the unsupervised
+    structure recover the known labels?), used to QA a trained
+    codebook before it quantizes a 100 TB corpus.
+
+    Reuses the full 2-iteration trainer, then two k-bounded hash
+    aggregates: (cluster, label) counts → per-cluster totals + top
+    label (rank window over k·|labels| rows — parameter sized, never
+    fact sized). Unlabeled rows are excluded on both engines; purity
+    is integer basis points (floored), so the comparison is exact.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    asg = kmeans_embedding_clusters(spark, sf_dir).select("vec_id", "cluster")
+    cl = (
+        asg.join(emb.select("vec_id", "label"), "vec_id")
+        .where(F.col("label").isNotNull())
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cl.groupBy("cluster").agg(F.sum("n").alias("size"))
+    w = Window.partitionBy("cluster").orderBy(F.col("n").desc(), F.col("label").asc())
+    top = cl.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        top.join(tot, "cluster")
+        .select(
+            "cluster",
+            F.col("size").cast("long").alias("size"),
+            F.col("label").cast("long").alias("top_label"),
+            F.col("n").cast("long").alias("top_count"),
+            F.expr("n * 10000 div size").cast("long").alias("purity_bp"),
+        )
+    )

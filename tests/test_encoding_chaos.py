@@ -252,6 +252,7 @@ _HOSTILE_QUERIES = (
     "documents_length_deciles",
     "corpus_bpe_merge_candidates",
     "training_curriculum_order",
+    "text_readability",
 )
 
 
@@ -286,7 +287,8 @@ def renumbered_embeddings_dir(tmp_path_factory):
     ["knn_brute_force", "knn_lsh_bucketed", "knn_ivf", "dedup_semantic_clusters",
      "knn_graph_brute", "knn_graph_lsh", "knn_pq_adc",
      "kmeans_embedding_clusters", "pq_codebook_train", "knn_graph_pagerank",
-     "knn_ivf_pq", "embedding_hard_negatives"],
+     "knn_ivf_pq", "embedding_hard_negatives",
+     "knn_ivf_recall", "kmeans_cluster_purity", "knn_graph_link_prediction"],
 )
 def test_renumbered_vec_ids_keep_oracle_parity(spark, renumbered_embeddings_dir, qname):
     problems = _oracle_compare(spark, renumbered_embeddings_dir, qname)
@@ -526,7 +528,8 @@ def hostile_embeddings_dir(tmp_path_factory):
     ["knn_brute_force", "knn_lsh_bucketed", "knn_graph_lsh", "knn_pq_adc",
      "kmeans_embedding_clusters", "embedding_label_centroids",
      "pq_codebook_train", "knn_graph_pagerank", "knn_ivf_pq",
-     "embedding_hard_negatives"],
+     "embedding_hard_negatives",
+     "knn_ivf_recall", "kmeans_cluster_purity", "knn_graph_link_prediction"],
 )
 def test_null_embedding_rows_keep_oracle_parity(spark, hostile_embeddings_dir, qname):
     problems = _oracle_compare(spark, hostile_embeddings_dir, qname)
