@@ -1377,3 +1377,86 @@ def events_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("user_id").asc())
         .limit(_HH_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# key-skew profile: the partitioning diagnostic (Gini + tail percentiles)
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n ASC, user_id ASC) AS rk FROM u
+),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM r),
+s AS (
+  SELECT kk.k,
+         CAST(SUM(n) AS BIGINT) AS s0,
+         CAST(SUM(rk * n) AS BIGINT) AS s1,
+         CAST(MAX(n) AS BIGINT) AS mx,
+         CAST(MIN(CASE WHEN rk = (kk.k + 1) // 2 THEN n END) AS BIGINT) AS p50_n,
+         CAST(MIN(CASE WHEN rk = (99 * (kk.k + 1)) // 100 THEN n END) AS BIGINT) AS p99_n
+  FROM r, kk GROUP BY kk.k
+)
+SELECT k AS n_keys, s0 AS total_events, mx AS max_n,
+       CAST(10000 * mx // s0 AS BIGINT) AS top1_share_bp,
+       p50_n, p99_n,
+       CAST((2 * s1 - (k + 1) * s0) * 10000 // (k * s0) AS BIGINT) AS gini_bp
+FROM s
+"""
+
+
+@register("events_key_skew_profile", oracle=_SKEW_ORACLE,
+          description="shuffle-key skew diagnostic: per-key volume Gini, "
+                      "rank-exact p50/p99 key sizes, top-1 traffic share")
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision input for every salting / AQE-skew-join call this
+    engine makes: how unequal is the user_id key distribution? Gini
+    coefficient over per-key counts (0 = uniform, →10000 bp = one hot
+    key), plus the rank-exact p50/p99 key sizes and top-1 share that
+    size partition budgets.
+
+    The per-key aggregate is the only fact-sized work. The Gini needs
+    every key's global rank — fact-CARDINALITY input is exactly what
+    VERDICT r4 banned from bare global windows, so the |keys|-sized
+    count relation goes through distributed_rank (range partition +
+    local row_number + broadcast offsets; total rides along), and the
+    moments (Σn, Σrk·n, max, rank-picked percentiles) reduce in ONE
+    conditional aggregation over the persisted ranked relation.
+    Gini = (2·Σrk·n − (k+1)·Σn) / (k·Σn), floored bp — the sorted
+    rank identity, nonnegative dividend, so DIV and // agree. NULL
+    keys are excluded by contract (they are load errors, not a key).
+    """
+    from ..operators.windows import distributed_rank
+
+    t = load_tables(spark, sf_dir)
+    u = (
+        t["events"].where(F.col("user_id").isNotNull())
+        .groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ranked = distributed_rank(
+        u, [F.col("n").asc(), F.col("user_id").asc()],
+        rank_name="rk", total_name="k",
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("total_events"),
+        F.sum(F.col("rk") * F.col("n")).cast("long").alias("s1"),
+        F.max("n").cast("long").alias("max_n"),
+        F.min(F.when(F.col("rk") == F.expr("(k + 1) div 2"), F.col("n")))
+        .cast("long").alias("p50_n"),
+        F.min(F.when(F.col("rk") == F.expr("(99 * (k + 1)) div 100"), F.col("n")))
+        .cast("long").alias("p99_n"),
+    )
+    return s.select(
+        "n_keys", "total_events", "max_n",
+        F.expr("10000 * max_n div total_events").cast("long").alias("top1_share_bp"),
+        "p50_n", "p99_n",
+        F.expr(
+            "(2 * s1 - (n_keys + 1) * total_events) * 10000"
+            " div (n_keys * total_events)"
+        ).cast("long").alias("gini_bp"),
+    )

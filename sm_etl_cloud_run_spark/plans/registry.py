@@ -116,6 +116,8 @@ _CHANGED_OR_NEVER_CHECKED = (
     "kmeans_cluster_purity",
     "knn_graph_link_prediction",
     "text_readability",
+    "events_key_skew_profile",
+    "dedup_minhash_accuracy",
     # changed THIS round (distributed_rank rewires, VERDICT r4 item 1)
     # after their r4 green rows:
     "events_decile_lift",

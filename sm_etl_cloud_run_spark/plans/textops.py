@@ -1041,3 +1041,132 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("flesch_milli") >= 50000, F.lit("standard"))
         .otherwise(F.lit("difficult")),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy: estimated vs exact Jaccard on LSH candidates
+# ---------------------------------------------------------------------------
+
+_MH_ACC_ORACLE = f"""
+WITH {_shingle_cte()},
+sig AS ({_sig_select()}),
+bands AS (
+{_bands_cte()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+mtch AS (
+  SELECT id_a, id_b,
+         CAST({" + ".join(f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES))} AS BIGINT) AS n_match
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.id_a
+  JOIN sig sb ON sb.doc_id = cand.id_b
+),
+ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT m.id_a, m.id_b, m.n_match,
+         CAST(m.n_match * 10000 // {NUM_HASHES} AS BIGINT) AS est_bp,
+         CAST(COALESCE(c.n_common, 0) * 10000
+              // (sa.sz + sb.sz - COALESCE(c.n_common, 0)) AS BIGINT) AS exact_bp
+  FROM mtch m
+  JOIN sizes sa ON sa.doc_id = m.id_a
+  JOIN sizes sb ON sb.doc_id = m.id_b
+  LEFT JOIN common c ON c.id_a = m.id_a AND c.id_b = m.id_b
+)
+SELECT id_a, id_b, n_match, est_bp, exact_bp,
+       CAST(ABS(est_bp - exact_bp) AS BIGINT) AS err_bp
+FROM scored
+"""
+
+
+@register("dedup_minhash_accuracy", oracle=_MH_ACC_ORACLE,
+          description="MinHash estimator accuracy: per LSH candidate pair, "
+                      "signature-estimated vs exact shingle Jaccard (error in bp)")
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured accuracy of the MinHash estimator on the pairs the LSH
+    pipeline actually surfaces — the number that decides whether 8
+    hashes suffice or the banding plan needs more rows (pair with
+    operators/dedup.plan_lsh_bands, which predicts this tradeoff from
+    the S-curve; this query measures it).
+
+    Candidates and signatures reuse the production operators. The
+    exact side is the verify pass of a two-stage dedup at scale:
+    the shingle inverted index is first SEMI-JOINED down to documents
+    that appear in some candidate pair (at 100 TB this is the step
+    that makes exact verification affordable — only colliding docs
+    pay the self-join), then intersections restrict to the candidate
+    pairs themselves. Bucket-collision pairs with zero shared
+    shingles keep an explicit exact_bp = 0 row (LEFT join + coalesce)
+    — those are precisely the estimator's false positives, the rows
+    this QA exists to count. Both scores are floored basis points off
+    BIGINT set sizes, so the error column is integer-exact.
+    """
+    from ..functions.text import word_shingles
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    sigs = minhash_signatures(
+        docs, text_col="text", id_col="doc_id",
+        num_hashes=NUM_HASHES, shingle_k=SHINGLE_K,
+    )
+    cand = lsh_candidate_pairs(
+        sigs, id_col="doc_id", num_hashes=NUM_HASHES, bands=LSH_BANDS
+    ).select("id_a", "id_b")
+
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(NUM_HASHES)],
+    )
+    n_match = sum(
+        (F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}")).cast("int")
+        for i in range(NUM_HASHES)
+    )
+    mtch = (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", n_match.cast("long").alias("n_match"))
+    )
+
+    cand_docs = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    shingled = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), SHINGLE_K))).alias("sh"),
+    ).join(cand_docs, "doc_id", "left_semi")
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        mtch.join(common, ["id_a", "id_b"], "left")
+        .join(za, "id_a").join(zb, "id_b")
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)).cast("long"))
+        .select(
+            "id_a", "id_b", "n_match",
+            F.expr(f"n_match * 10000 div {NUM_HASHES}").cast("long").alias("est_bp"),
+            F.expr("n_common * 10000 div (sz_a + sz_b - n_common)")
+            .cast("long").alias("exact_bp"),
+        )
+        .withColumn("err_bp", F.abs(F.col("est_bp") - F.col("exact_bp")).cast("long"))
+    )

@@ -253,6 +253,7 @@ _HOSTILE_QUERIES = (
     "corpus_bpe_merge_candidates",
     "training_curriculum_order",
     "text_readability",
+    "dedup_minhash_accuracy",
 )
 
 
@@ -363,7 +364,7 @@ def hostile_events_dir(tmp_path_factory):
      "events_autocorrelation", "events_mad_outliers",
      "events_ab_test_readout", "events_benford_audit",
      "events_inter_arrival_stats", "events_decile_lift",
-     "events_heavy_hitters_exact",
+     "events_heavy_hitters_exact", "events_key_skew_profile",
      "f4_watermark_gate", "percentile_metrics", "skew_salted_user_join"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
