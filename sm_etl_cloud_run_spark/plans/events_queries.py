@@ -1409,7 +1409,7 @@ FROM s
 """
 
 
-@register("events_key_skew_profile", oracle=_SKEW_ORACLE,
+@register("events_key_skew_profile", oracle=_SKEW_ORACLE, bench=True,
           description="shuffle-key skew diagnostic: per-key volume Gini, "
                       "rank-exact p50/p99 key sizes, top-1 traffic share")
 def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

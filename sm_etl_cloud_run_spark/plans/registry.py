@@ -118,6 +118,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "text_readability",
     "events_key_skew_profile",
     "dedup_minhash_accuracy",
+    "dedup_simhash_pairs",
     # changed THIS round (distributed_rank rewires, VERDICT r4 item 1)
     # after their r4 green rows:
     "events_decile_lift",

@@ -1170,3 +1170,89 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("err_bp", F.abs(F.col("est_bp") - F.col("exact_bp")).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: pigeonhole band join + exact Hamming verify
+# ---------------------------------------------------------------------------
+
+_SH_BANDS = 4          # 32-bit fingerprint → 4 bands of 8 bits
+_SH_BAND_BITS = 8
+_SH_MAX_HAMMING = 3    # ≤ bands-1 flips ⇒ some band intact (exact recall)
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hv FROM tok),
+sims AS (SELECT doc_id, {_simhash_bits_sql()} AS simhash FROM h GROUP BY doc_id),
+bn AS (SELECT unnest(range(0, {_SH_BANDS})) AS band),
+bands AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {_SH_BAND_BITS})) & {2 ** _SH_BAND_BITS - 1} AS bv
+  FROM sims, bn
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {_SH_MAX_HAMMING}
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE,
+          description="SimHash near-dup pairs: pigeonhole band equi-join "
+                      "(EXACT recall for Hamming ≤ bands-1) + bit_count verify")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Manku/Jain/Sarma (WWW'07) web-dedup shape: fingerprints with
+    Hamming distance ≤ d share at least one of d+1 bit-bands intact
+    (pigeonhole), so candidates come from a hash EQUI-join on
+    (band, band_value) — deterministic 100% recall for d ≤ bands-1,
+    unlike MinHash banding's probabilistic recall — and the verify is
+    one codegen'd bit_count(xor) per candidate.
+
+    Reuses the registered 32-bit fingerprints (dedup_simhash). The
+    8-bit band value caps bucket-key cardinality at 2^8 per band, fine
+    here; at corpus scale the same plan widens the fingerprint to 64
+    bits and the bands to 16 (2^16 buckets per band — the paper's
+    configuration) so bucket fan-out stays sub-quadratic. The band
+    table is bands×|docs| rows (explode-then-join, the dedup_lsh_pairs
+    layout); everything stays JVM-side integer ops.
+    """
+    from ..operators.dedup import simhash as simhash_op
+
+    t = load_tables(spark, sf_dir)
+    sims = simhash_op(t["documents"], text_col="text", id_col="doc_id", num_bits=32)
+    mask = 2 ** _SH_BAND_BITS - 1
+    bands = sims.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), b * _SH_BAND_BITS).bitwiseAND(F.lit(mask))
+                for b in range(_SH_BANDS)
+            ])
+        ).alias("band", "bv"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+        )
+        .where(F.col("hamming") <= _SH_MAX_HAMMING)
+        .select("id_a", "id_b", "hamming")
+    )

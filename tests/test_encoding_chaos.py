@@ -254,6 +254,7 @@ _HOSTILE_QUERIES = (
     "training_curriculum_order",
     "text_readability",
     "dedup_minhash_accuracy",
+    "dedup_simhash_pairs",
 )
 
 
