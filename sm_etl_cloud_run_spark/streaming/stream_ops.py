@@ -481,3 +481,75 @@ def stream_drift_monitor(
         "n",
         F.round(psi, 6).alias("psi"),
     )
+
+
+def stream_windowed_key_counts(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-(window, key) event counts — the stateful half of a windowed
+    top-k / trending job (streaming twin of `events_heavy_hitters_exact`
+    evaluated per time window).
+
+    ONE stateful aggregation keyed by (window, key): state per live
+    window is one counter per active key, evicted by the watermark.
+    The top-k rank is deliberately NOT here — a rank window over a
+    streaming aggregate is not executable in a single streaming query,
+    and doesn't belong in one: the per-window count relation this
+    returns is |active keys|-sized, so the finisher
+    (:func:`finish_topk_trending`) runs batch-side on each snapshot
+    (memory sink, foreachBatch, or the table this stream writes).
+    Works identically on a batch DataFrame (stream==batch tested).
+    NULL keys are dropped by the same contract as the batch twin.
+    """
+    from pyspark.sql import functions as F
+
+    df = events.where(F.col(key_col).isNotNull())
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "key", "n",
+        )
+    )
+
+
+def finish_topk_trending(counts: DataFrame, *, k: int = 5) -> DataFrame:
+    """Batch finisher over :func:`stream_windowed_key_counts` output:
+    per-window top-k keys plus the trend vs the PREVIOUS window.
+
+    Rank is a window function partitioned BY time window (never
+    global), over the |keys-per-window|-sized count relation. The
+    previous-window count arrives by self-equi-join on
+    (prev.window_end = cur.window_start, key) — adjacent tumbling
+    windows share that boundary instant, so no interval arithmetic —
+    and `delta_n` = n − prev_n (0 for keys newly trending). Output is
+    deterministic: ties break by key.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("key").asc()
+    )
+    prev = counts.select(
+        F.col("window_end").alias("window_start"),
+        F.col("key"),
+        F.col("n").alias("prev_n"),
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .join(prev, ["window_start", "key"], "left")
+        .withColumn("prev_n", F.coalesce(F.col("prev_n"), F.lit(0)).cast("long"))
+        .withColumn("delta_n", (F.col("n") - F.col("prev_n")).cast("long"))
+        .select("window_start", "window_end", "key", "n", "rank", "prev_n", "delta_n")
+    )

@@ -643,3 +643,53 @@ def test_stream_drift_monitor_matches_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="must all be > 0"):
         stream_drift_monitor(
             spark.read.parquet(path), [0.5, 0.5, 0.0], lo=0.0, hi=100.0)
+
+
+def test_stream_topk_trending_matches_batch(spark, tmp_path):
+    from sm_etl_cloud_run_spark.streaming.stream_ops import (
+        finish_topk_trending,
+        stream_windowed_key_counts,
+    )
+
+    base = dt.datetime(2024, 6, 1, 8, 0)
+    rows = []
+    # hour 1: user 1 hot (10), user 2 warm (5), users 3-6 one each
+    rows += [(base + dt.timedelta(minutes=i), 1) for i in range(10)]
+    rows += [(base + dt.timedelta(minutes=20 + i), 2) for i in range(5)]
+    rows += [(base + dt.timedelta(minutes=30 + i), 3 + i) for i in range(4)]
+    # hour 2: user 2 surges (8), user 1 cools (2), user 7 appears (3)
+    h2 = base + dt.timedelta(hours=1)
+    rows += [(h2 + dt.timedelta(minutes=i), 2) for i in range(8)]
+    rows += [(h2 + dt.timedelta(minutes=10 + i), 1) for i in range(2)]
+    rows += [(h2 + dt.timedelta(minutes=20 + i), 7) for i in range(3)]
+    rows.append((h2 + dt.timedelta(minutes=40), None))  # NULL key dropped
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    path = str(tmp_path / "trend_events")
+    df.coalesce(1).write.parquet(path)
+
+    batch_counts = stream_windowed_key_counts(spark.read.parquet(path))
+    stream_counts = stream_windowed_key_counts(
+        spark.readStream.schema(df.schema).parquet(path)
+    )
+    q = stream_counts.writeStream.outputMode("complete").format("memory") \
+        .queryName("trend_counts").start()
+    try:
+        q.processAllAvailable()
+        got = {(r["window_start"], r["key"]): r["n"]
+               for r in spark.sql("SELECT * FROM trend_counts").collect()}
+    finally:
+        q.stop()
+    want = {(r["window_start"], r["key"]): r["n"] for r in batch_counts.collect()}
+    assert got == want and len(want) == 9  # 6 keys hour 1 + 3 keys hour 2
+
+    top = finish_topk_trending(batch_counts, k=2)
+    by_win = {}
+    for r in top.collect():
+        by_win.setdefault(r["window_start"], []).append(
+            (r["rank"], r["key"], r["n"], r["prev_n"], r["delta_n"]))
+    h1_top = sorted(by_win[base])
+    h2_top = sorted(by_win[h2])
+    # hour 1: no previous window → prev_n 0, delta = n
+    assert h1_top == [(1, 1, 10, 0, 10), (2, 2, 5, 0, 5)]
+    # hour 2: user 2 surged 5→8, user 7 entered the top-k from nothing
+    assert h2_top == [(1, 2, 8, 5, 3), (2, 7, 3, 0, 3)]

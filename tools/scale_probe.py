@@ -73,6 +73,13 @@ QUERIES = (
     # sort; their probe rows are the "flat scaling" evidence.
     "events_decile_lift",
     "text_zipf_fit",
+    # round-8 tranche 2: the Gini skew diagnostic (distributed_rank over
+    # fact-cardinality keys), the two estimator-QA queries (LSH-candidate
+    # verify pass, pigeonhole simhash band join), and the graph two-hop.
+    "events_key_skew_profile",
+    "dedup_minhash_accuracy",
+    "dedup_simhash_pairs",
+    "knn_graph_link_prediction",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
