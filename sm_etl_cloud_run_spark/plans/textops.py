@@ -1216,17 +1216,34 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-bit band value caps bucket-key cardinality at 2^8 per band, fine
     here; at corpus scale the same plan widens the fingerprint to 64
     bits and the bands to 16 (2^16 buckets per band — the paper's
-    configuration) so bucket fan-out stays sub-quadratic. The band
-    table is bands×|docs| rows (explode-then-join, the dedup_lsh_pairs
-    layout); everything stays JVM-side integer ops.
+    configuration) so bucket fan-out stays sub-quadratic.
+
+    The band join runs over DISTINCT fingerprints, not documents —
+    the knn_graph_pagerank clone-collapse, forced by measurement: a
+    clone cluster of c identical fingerprints costs c² inside every
+    shared band bucket, and the 16× probe went 4.2 s → 164 s
+    doc-level before the collapse (→ flat after; see ROUND_NOTES r8).
+    Fingerprint-level pairs then expand back to doc pairs through the
+    doc↔fingerprint mapping — output-sized work, the answer itself —
+    and hamming-0 clone pairs come from the mapping's self-join
+    directly, never touching the band table.
     """
+    from pyspark import StorageLevel
+
     from ..operators.dedup import simhash as simhash_op
 
     t = load_tables(spark, sf_dir)
-    sims = simhash_op(t["documents"], text_col="text", id_col="doc_id", num_bits=32)
+    # the fingerprint table feeds FIVE plan branches (distinct, two
+    # expansion sides, two clone-join sides) and the 32-bit majority
+    # vote is the expensive expression — persist it once, the
+    # distributed_rank precedent (operators/windows.py:77)
+    sims = simhash_op(
+        t["documents"], text_col="text", id_col="doc_id", num_bits=32
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    fpd = sims.select("simhash").distinct()
     mask = 2 ** _SH_BAND_BITS - 1
-    bands = sims.select(
-        "doc_id", "simhash",
+    bands = fpd.select(
+        "simhash",
         F.posexplode(
             F.array(*[
                 F.shiftright(F.col("simhash"), b * _SH_BAND_BITS).bitwiseAND(F.lit(mask))
@@ -1236,23 +1253,42 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    fp_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn(
+        .select(F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .dropDuplicates(["sh_a", "sh_b"])
+        .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
         )
         .where(F.col("hamming") <= _SH_MAX_HAMMING)
-        .select("id_a", "id_b", "hamming")
     )
+    ma = sims.select(F.col("simhash").alias("sh_a"), F.col("doc_id").alias("da"))
+    mb = sims.select(F.col("simhash").alias("sh_b"), F.col("doc_id").alias("db"))
+    cross = (
+        fp_pairs.join(ma, "sh_a").join(mb, "sh_b")
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "hamming",
+        )
+    )
+    sa = sims.alias("sa")
+    sb = sims.alias("sb")
+    clones = (
+        sa.join(
+            sb,
+            (F.col("sa.simhash") == F.col("sb.simhash"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .select(
+            F.col("sa.doc_id").alias("id_a"),
+            F.col("sb.doc_id").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(clones)
