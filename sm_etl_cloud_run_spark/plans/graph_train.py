@@ -674,6 +674,8 @@ def knn_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored basis points off BIGINT degree counts, so both engines
     rank identically (full tiebreak: cn, jaccard, ids).
     """
+    from pyspark import StorageLevel
+
     from ..operators.similarity import embedding_cosine_dup_pairs
 
     t = load_tables(spark, sf_dir)
@@ -681,10 +683,14 @@ def knn_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = _seed_rows(emb, 4)
     planes = [[float(x) for x in seeds[i]["embedding"]] for i in (1, 2, 3)]
     distinct = emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    # edge discovery (LSH bucket join + fixed-point cosine) feeds FOUR
+    # plan branches (two 2-hop sides, degrees, the anti-join) — persist
+    # the edge list once, the distributed_rank/simhash precedent; it is
+    # |edges|-sized, far below the fact table
     pairs = embedding_cosine_dup_pairs(
         distinct, id_col="vec_id", vec_col="embedding",
         threshold=_PR_THRESHOLD, hyperplanes=planes,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
 
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
