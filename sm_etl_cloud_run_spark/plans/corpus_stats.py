@@ -981,3 +981,145 @@ def corpus_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(_BPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets: head / middle / tail per language
+# ---------------------------------------------------------------------------
+
+_PPL_SAMPLE_HEX = "'4'"   # md5 first hex char < '4' → 4/16 = 25% calibration
+
+_PPL_BUCKETS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, lang, term
+), uni AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_tokens FROM uni
+), logp AS (
+  SELECT term, CAST(FLOOR(1000000.0 * ln(CAST(c AS DOUBLE) / t_tokens)) AS BIGINT) AS logp_micro
+  FROM uni CROSS JOIN tot
+), doc AS (
+  SELECT tf.doc_id, tf.lang,
+         CAST((-CAST(SUM(tf.tf * logp.logp_micro) AS BIGINT)) // SUM(tf.tf) AS BIGINT) AS ppl_micro
+  FROM tf JOIN logp USING (term)
+  GROUP BY tf.doc_id, tf.lang
+), samp AS (
+  SELECT * FROM doc WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < {_PPL_SAMPLE_HEX}
+), rk AS (
+  SELECT lang, ppl_micro, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ppl_micro ASC, doc_id ASC) AS rn
+  FROM samp
+), sn AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM rk GROUP BY lang
+), thr AS (
+  SELECT rk.lang,
+         CAST(MIN(CASE WHEN rk.rn = (sn.n + 2) // 3 THEN rk.ppl_micro END) AS BIGINT) AS t1,
+         CAST(MIN(CASE WHEN rk.rn = (2 * sn.n + 2) // 3 THEN rk.ppl_micro END) AS BIGINT) AS t2
+  FROM rk JOIN sn USING (lang) GROUP BY rk.lang
+), assigned AS (
+  SELECT doc.lang,
+         CASE WHEN thr.t1 IS NULL THEN 'unsampled'
+              WHEN doc.ppl_micro <= thr.t1 THEN 'head'
+              WHEN doc.ppl_micro <= thr.t2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM doc LEFT JOIN thr USING (lang)
+), counts AS (
+  SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM assigned GROUP BY lang, bucket
+), lt AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total FROM counts GROUP BY lang)
+SELECT c.lang, c.bucket, c.n_docs,
+       CAST(c.n_docs * 10000 // lt.lang_total AS BIGINT) AS share_bp
+FROM counts c JOIN lt USING (lang)
+"""
+
+
+@register("corpus_perplexity_buckets", oracle=_PPL_BUCKETS_ORACLE,
+          description="CCNet head/middle/tail quality buckets per language: "
+                      "tercile thresholds from a deterministic 25% calibration "
+                      "sample, map-side assignment for the full corpus")
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet (Wenzek et al.) corpus-quality binning: score every
+    document with a language-model perplexity proxy, cut each language
+    into head/middle/tail at tercile thresholds, and report the bucket
+    census that drives downstream mixing ("train on head+middle").
+
+    The scale design is CCNet's own: tercile thresholds come from a
+    CALIBRATION SAMPLE (deterministic md5(doc_id) 25% — both engines
+    agree on membership), so the only rank window runs over the
+    sample, per language — calibration-sized by construction, never
+    the corpus. Full-corpus assignment is then a broadcast join of the
+    per-lang threshold table + a CASE comparison: map-side, no
+    shuffle beyond the scoring aggregates. The perplexity proxy is
+    the text_unigram_logprob convention (1e6-floored unigram logprobs,
+    summed as BIGINT — order-free), negated BEFORE the floored
+    division so both engines floor a POSITIVE dividend. Languages
+    absent from the sample surface as an explicit 'unsampled' bucket
+    rather than silently joining a tercile.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    uni = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    tot = uni.agg(F.sum("c").cast("long").alias("t_tokens"))
+    logp = uni.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.floor(
+            F.lit(1000000.0) * F.log(F.col("c").cast("double") / F.col("t_tokens"))
+        ).cast("long").alias("logp_micro"),
+    )
+    doc = (
+        tf.join(logp, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("tf") * F.col("logp_micro")).cast("long").alias("slp"),
+            F.sum("tf").cast("long").alias("nt"),
+        )
+        .select(
+            "doc_id", "lang",
+            F.expr("(-slp) div nt").cast("long").alias("ppl_micro"),
+        )
+    )
+    samp = doc.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < F.lit("4")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("ppl_micro").asc(), F.col("doc_id").asc()
+    )
+    rk = samp.withColumn("rn", F.row_number().over(w))
+    sn = rk.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    thr = (
+        rk.join(sn, "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("rn") == F.expr("(n + 2) div 3"), F.col("ppl_micro")))
+            .cast("long").alias("t1"),
+            F.min(F.when(F.col("rn") == F.expr("(2 * n + 2) div 3"), F.col("ppl_micro")))
+            .cast("long").alias("t2"),
+        )
+    )
+    assigned = doc.join(F.broadcast(thr), "lang", "left").select(
+        "lang",
+        F.when(F.col("t1").isNull(), F.lit("unsampled"))
+        .when(F.col("ppl_micro") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl_micro") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    counts = assigned.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    lt = counts.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("lang_total"))
+    return counts.join(lt, "lang").select(
+        "lang", "bucket", "n_docs",
+        F.expr("n_docs * 10000 div lang_total").cast("long").alias("share_bp"),
+    )

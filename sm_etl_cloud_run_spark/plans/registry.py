@@ -119,6 +119,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_key_skew_profile",
     "dedup_minhash_accuracy",
     "dedup_simhash_pairs",
+    "corpus_perplexity_buckets",
     # changed THIS round (distributed_rank rewires, VERDICT r4 item 1)
     # after their r4 green rows:
     "events_decile_lift",

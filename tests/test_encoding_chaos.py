@@ -255,6 +255,7 @@ _HOSTILE_QUERIES = (
     "text_readability",
     "dedup_minhash_accuracy",
     "dedup_simhash_pairs",
+    "corpus_perplexity_buckets",
 )
 
 
