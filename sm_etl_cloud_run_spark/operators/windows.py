@@ -172,3 +172,73 @@ def sessionize(
     return df.withColumn("__new", is_new).withColumn(
         session_col, F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     ).drop("__new")
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_col: str,
+    *,
+    cumsum_name: str = "cumsum",
+    num_partitions: int | None = None,
+    total_name: str | None = None,
+) -> DataFrame:
+    """Global running total ``SUM(value) OVER (ORDER BY ...)`` without
+    the single-partition sort — the prefix-sum sibling of
+    :func:`distributed_rank` (same TeraSort two-pass shape, same
+    persistence rationale).
+
+    1. ``repartitionByRange`` on the FULL ordering, persisted (the
+       nondeterministic ``spark_partition_id`` defeats exchange reuse
+       otherwise — see distributed_rank);
+    2. per-partition VALUE sums (one map-side-combined aggregate) →
+       exclusive running offsets over the partition-count-sized table,
+       broadcast;
+    3. local running sum per range partition + its offset.
+
+    `value_col` must be integral (BIGINT accumulation — a float running
+    total would be partition-order-dependent). The inclusive cumsum of
+    row r equals the single-task window's exactly, for any total order
+    ``order_by`` (include a tiebreaker). With ``total_name``, the grand
+    total rides along on the broadcast offsets.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = df.repartitionByRange(num_partitions, *order_by).withColumn(
+        "__dc_pid", F.spark_partition_id()
+    )
+    part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    sums = part.groupBy("__dc_pid").agg(
+        F.sum(F.col(value_col)).cast("long").alias("__dc_sum")
+    )
+    w_off = Window.orderBy("__dc_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_cols = [
+        F.col("__dc_pid"),
+        F.coalesce(F.sum("__dc_sum").over(w_off), F.lit(0)).cast("long").alias("__dc_off"),
+    ]
+    drop_cols = ["__dc_pid", "__dc_off"]
+    if total_name is not None:
+        w_all = Window.orderBy("__dc_pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(
+            F.sum("__dc_sum").over(w_all).cast("long").alias(total_name)
+        )
+    offsets = sums.select(*off_cols)
+    w_local = (
+        Window.partitionBy("__dc_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        part.join(F.broadcast(offsets), "__dc_pid")
+        .withColumn(
+            cumsum_name,
+            (F.sum(F.col(value_col)).over(w_local) + F.col("__dc_off")).cast("long"),
+        )
+        .drop(*drop_cols)
+    )

@@ -588,3 +588,108 @@ def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cleaned_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget fill: greedy quality-ranked corpus selection to a budget
+# ---------------------------------------------------------------------------
+
+_BUDGET_PCT = 25   # select best docs until 25% of corpus tokens are spent
+
+_BUDGET_FILL_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, lang, term
+), uni AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_tokens FROM uni),
+logp AS (
+  SELECT term, CAST(FLOOR(1000000.0 * ln(CAST(c AS DOUBLE) / t_tokens)) AS BIGINT) AS logp_micro
+  FROM uni CROSS JOIN tot
+), doc AS (
+  SELECT tf.doc_id, tf.lang,
+         CAST(SUM(tf.tf) AS BIGINT) AS nt,
+         CAST((-CAST(SUM(tf.tf * logp.logp_micro) AS BIGINT)) // SUM(tf.tf) AS BIGINT) AS ppl_micro
+  FROM tf JOIN logp USING (term)
+  GROUP BY tf.doc_id, tf.lang
+), cum AS (
+  SELECT doc_id, lang, nt, ppl_micro,
+         SUM(nt) OVER (ORDER BY ppl_micro ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         (SELECT CAST(SUM(nt) AS BIGINT) FROM doc) AS total_tokens
+  FROM doc
+), kept AS (
+  SELECT * FROM cum WHERE cs <= total_tokens * {_BUDGET_PCT} // 100
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS tokens_kept,
+       CAST(MAX(ppl_micro) AS BIGINT) AS cutoff_ppl_micro
+FROM kept GROUP BY lang
+"""
+
+
+@register("training_token_budget_fill", oracle=_BUDGET_FILL_ORACLE,
+          description="greedy token-budget fill: best-quality documents "
+                      "(unigram-LM perplexity order) until 25% of corpus "
+                      "tokens are selected; per-lang census + cutoff")
+def training_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Give me the best N tokens" — the selection job that turns a
+    scored corpus into a fixed-size training set: walk documents from
+    most to least fluent (unigram-LM perplexity proxy, the
+    corpus_perplexity_buckets score) and keep them until the token
+    budget is spent. The cutoff perplexity this discovers per language
+    is the number quality-threshold debates are actually about.
+
+    The running token total over the fact-cardinality quality ordering
+    is the textbook global-window scale-killer, so it runs on
+    :func:`operators.windows.distributed_cumsum` (range partition on
+    (ppl, doc_id) → per-partition sums → broadcast exclusive offsets →
+    local running sums; grand total rides the offsets — no second
+    pass). The budget gate `cs <= total*pct` is then a map-side
+    comparison, and the output reduces to a per-lang census. BIGINT
+    token counts make the prefix sums order-free and engine-exact.
+    """
+    from ..operators.windows import distributed_cumsum
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    uni = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    tot = uni.agg(F.sum("c").cast("long").alias("t_tokens"))
+    logp = uni.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.floor(
+            F.lit(1000000.0) * F.log(F.col("c").cast("double") / F.col("t_tokens"))
+        ).cast("long").alias("logp_micro"),
+    )
+    doc = (
+        tf.join(logp, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("tf") * F.col("logp_micro")).cast("long").alias("slp"),
+            F.sum("tf").cast("long").alias("nt"),
+        )
+        .select(
+            "doc_id", "lang", "nt",
+            F.expr("(-slp) div nt").cast("long").alias("ppl_micro"),
+        )
+    )
+    cum = distributed_cumsum(
+        doc, [F.col("ppl_micro").asc(), F.col("doc_id").asc()], "nt",
+        cumsum_name="cs", total_name="total_tokens",
+    )
+    kept = cum.where(
+        F.col("cs") <= F.expr(f"total_tokens * {_BUDGET_PCT} div 100")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("tokens_kept"),
+        F.max("ppl_micro").cast("long").alias("cutoff_ppl_micro"),
+    )

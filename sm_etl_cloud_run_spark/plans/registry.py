@@ -120,6 +120,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "dedup_minhash_accuracy",
     "dedup_simhash_pairs",
     "corpus_perplexity_buckets",
+    "training_token_budget_fill",
     # changed THIS round (distributed_rank rewires, VERDICT r4 item 1)
     # after their r4 green rows:
     "events_decile_lift",

@@ -256,6 +256,7 @@ _HOSTILE_QUERIES = (
     "dedup_minhash_accuracy",
     "dedup_simhash_pairs",
     "corpus_perplexity_buckets",
+    "training_token_budget_fill",
 )
 
 

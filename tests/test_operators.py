@@ -586,3 +586,31 @@ def test_distributed_ntile_matches_global_ntile(spark):
         got = distributed_ntile(df, order, n, tile_name="t", num_partitions=8)
         exp = df.withColumn("t", F.ntile(n).over(Window.orderBy(*order)).cast("long"))
         assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_distributed_cumsum_matches_global_running_total(spark):
+    """distributed_cumsum == SUM(v) OVER (ORDER BY ...) exactly,
+    including heavy ties split across range partitions, negative
+    values, and the ride-along grand total."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sm_etl_cloud_run_spark.operators.windows import distributed_cumsum
+
+    rows = [(i % 7, i, (i % 5) - 2) for i in range(501)]
+    df = spark.createDataFrame(rows, "k long, id long, v long")
+    order = [F.col("k").asc(), F.col("id").asc()]
+    got = distributed_cumsum(
+        df, order, "v", cumsum_name="cs", num_partitions=8, total_name="tot"
+    )
+    w = Window.orderBy(F.col("k").asc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.withColumn("cs", F.sum("v").over(w).cast("long"))
+    gl = {(r["k"], r["id"]): (r["cs"], r["tot"]) for r in got.collect()}
+    total = sum(r[2] for r in rows)
+    for r in want.collect():
+        cs, tot = gl[(r["k"], r["id"])]
+        assert cs == r["cs"] and tot == total
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower().replace(" ", "")
