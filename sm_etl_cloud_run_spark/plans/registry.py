@@ -121,6 +121,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "dedup_simhash_pairs",
     "corpus_perplexity_buckets",
     "training_token_budget_fill",
+    "orders_market_basket",
     # changed THIS round (distributed_rank rewires, VERDICT r4 item 1)
     # after their r4 green rows:
     "events_decile_lift",

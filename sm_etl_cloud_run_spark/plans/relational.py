@@ -835,3 +835,96 @@ def c18_c20_typed_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("qty_d").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
         F.sum(F.when(F.col("flag_str") == "True", 1).otherwise(0)).cast("long").alias("n_true"),
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket pair mining: support / confidence / lift over order items
+# ---------------------------------------------------------------------------
+
+_MB_MIN_PAIR = 3   # minimum co-occurrence count (a-priori support prune)
+
+_MARKET_BASKET_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+item_n AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM items GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_MB_MIN_PAIR}
+)
+SELECT p.part_a, p.part_b, p.n_pair,
+       CAST(p.n_pair * 10000 // o.n AS BIGINT) AS support_bp,
+       CAST(p.n_pair * 10000 // na.n_item AS BIGINT) AS conf_a_to_b_bp,
+       CAST(p.n_pair * 10000 // nb.n_item AS BIGINT) AS conf_b_to_a_bp,
+       CAST(p.n_pair * o.n * 1000 // (na.n_item * nb.n_item) AS BIGINT) AS lift_milli
+FROM pairs p
+JOIN item_n na ON na.l_partkey = p.part_a
+JOIN item_n nb ON nb.l_partkey = p.part_b
+CROSS JOIN n_orders o
+"""
+
+
+@register("orders_market_basket", oracle=_MARKET_BASKET_ORACLE,
+          description="market-basket pair mining: co-occurrence support, "
+                      "directional confidence, lift over order item pairs "
+                      "(a-priori level 2)")
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori level-2 association mining over orders: which part
+    pairs co-occur beyond chance (lift > 1000 milli), with directional
+    confidence for the "customers who bought A…" readout.
+
+    Scale shape: the pair enumeration is a self-equi-join of the
+    distinct (order, part) relation ON THE ORDER KEY — fan-out per
+    order is C(items,2) with basket size bounded by the schema (≤7
+    lineitems/order in TPC-H; real baskets are similarly tiny), so the
+    explode is linear in orders, then immediately aggregated
+    map-side. The a-priori prune (HAVING n_pair ≥ minsup) happens at
+    the aggregate BEFORE the metric joins; item marginals are a
+    |parts|-sized broadcast; the order total is a 1-row scalar
+    (whitelisted). All metrics are floored integer bp/milli off BIGINT
+    counts — engine-exact.
+    """
+    t = load_tables(spark, sf_dir)
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    item_n = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= _MB_MIN_PAIR)
+    )
+    na = item_n.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    nb = item_n.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "n_pair",
+            F.expr("n_pair * 10000 div n").cast("long").alias("support_bp"),
+            F.expr("n_pair * 10000 div n_a").cast("long").alias("conf_a_to_b_bp"),
+            F.expr("n_pair * 10000 div n_b").cast("long").alias("conf_b_to_a_bp"),
+            F.expr("n_pair * n * 1000 div (n_a * n_b)").cast("long").alias("lift_milli"),
+        )
+    )

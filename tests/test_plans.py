@@ -136,6 +136,7 @@ _NESTED_LOOP_OK = {
     "embedding_hard_negatives",   # anchor-set broadcast: |corpus|x|anchors| scoring is the work
     "corpus_perplexity_buckets",  # 1-row corpus-total scalar broadcast (unigram logprob denominator)
     "training_token_budget_fill", # same 1-row logprob-denominator broadcast
+    "orders_market_basket",       # 1-row order-total scalar broadcast
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.
