@@ -1460,3 +1460,99 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n_keys * total_events)"
         ).cast("long").alias("gini_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(MAX(CAST(ts AS DATE)) AS DATE) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS monetary_cents
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+anchor AS (SELECT MAX(last_day) AS d0 FROM u),
+m AS (
+  SELECT u.user_id,
+         CAST(date_diff('day', u.last_day, anchor.d0) AS BIGINT) AS recency_days,
+         u.freq, u.monetary_cents
+  FROM u, anchor
+),
+scored AS (
+  SELECT user_id, freq, monetary_cents,
+         CAST(NTILE(4) OVER (ORDER BY recency_days DESC, user_id ASC) AS BIGINT) AS r_score,
+         CAST(NTILE(4) OVER (ORDER BY freq ASC, user_id ASC) AS BIGINT) AS f_score,
+         CAST(NTILE(4) OVER (ORDER BY monetary_cents ASC, user_id ASC) AS BIGINT) AS m_score
+  FROM m
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(freq) AS BIGINT) AS total_events,
+       CAST(SUM(monetary_cents) AS BIGINT) AS total_monetary_cents
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("events_rfm_segments", oracle=_RFM_ORACLE,
+          description="RFM segmentation: recency/frequency/monetary quartile "
+                      "scores per user (4 = best), segment census")
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic CRM segmentation: score every user 1-4 on Recency,
+    Frequency, and Monetary value (4 = best — most recent, most
+    frequent, highest spend), then count the 64 (r, f, m) cells;
+    'champions' are (4,4,4), churn risk is high-M low-R.
+
+    Each quartile score is a GLOBAL ntile over user-cardinality input
+    — the banned bare-window shape — so all three ride
+    :func:`operators.windows.distributed_ntile` (range partition +
+    offset arithmetic; the events_decile_lift contract), joined back
+    by user id. Monetary uses the engine's cents convention (BIGINT,
+    order-free sums); recency is whole days against the corpus
+    max-activity date (one 1-row broadcast). Production note: when
+    approximate quartiles suffice, the three rank passes collapse to
+    one scan with GK-sketch boundaries — same routing note as the
+    percentile family (events_winsorized_stats).
+    """
+    from ..operators.windows import distributed_ntile
+
+    t = load_tables(spark, sf_dir)
+    u = (
+        t["events"].where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")), F.lit(0)
+            ).cast("long").alias("monetary_cents"),
+        )
+    )
+    anchor = u.agg(F.max("last_day").alias("d0"))
+    m = u.crossJoin(F.broadcast(anchor)).select(
+        "user_id", "freq", "monetary_cents",
+        F.datediff(F.col("d0"), F.col("last_day")).cast("long").alias("recency_days"),
+    )
+    r = distributed_ntile(
+        m.select("user_id", "recency_days"),
+        [F.col("recency_days").desc(), F.col("user_id").asc()], 4, tile_name="r_score",
+    ).select("user_id", F.col("r_score").cast("long").alias("r_score"))
+    f_ = distributed_ntile(
+        m.select("user_id", "freq"),
+        [F.col("freq").asc(), F.col("user_id").asc()], 4, tile_name="f_score",
+    ).select("user_id", F.col("f_score").cast("long").alias("f_score"))
+    mo = distributed_ntile(
+        m.select("user_id", "monetary_cents"),
+        [F.col("monetary_cents").asc(), F.col("user_id").asc()], 4, tile_name="m_score",
+    ).select("user_id", F.col("m_score").cast("long").alias("m_score"))
+    scored = (
+        m.select("user_id", "freq", "monetary_cents")
+        .join(r, "user_id").join(f_, "user_id").join(mo, "user_id")
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("freq").cast("long").alias("total_events"),
+        F.sum("monetary_cents").cast("long").alias("total_monetary_cents"),
+    )

@@ -122,6 +122,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "corpus_perplexity_buckets",
     "training_token_budget_fill",
     "orders_market_basket",
+    "events_rfm_segments",
     # changed THIS round (distributed_rank rewires, VERDICT r4 item 1)
     # after their r4 green rows:
     "events_decile_lift",

@@ -137,6 +137,7 @@ _NESTED_LOOP_OK = {
     "corpus_perplexity_buckets",  # 1-row corpus-total scalar broadcast (unigram logprob denominator)
     "training_token_budget_fill", # same 1-row logprob-denominator broadcast
     "orders_market_basket",       # 1-row order-total scalar broadcast
+    "events_rfm_segments",        # 1-row anchor-date scalar broadcast
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.

@@ -145,7 +145,8 @@ def test_fact_rank_plans_are_range_partitioned(spark, sf_dir):
     from sm_etl_cloud_run_spark.plans import all_queries
 
     for name in ("events_decile_lift", "training_dsir_sample", "text_zipf_fit",
-                 "events_key_skew_profile", "training_token_budget_fill"):
+                 "events_key_skew_profile", "training_token_budget_fill",
+                 "events_rfm_segments"):
         df = all_queries()[name].fn(spark, sf_dir)
         plan = _explain(df, mode="simple")
         assert "rangepartitioning" in plan.lower(), name
