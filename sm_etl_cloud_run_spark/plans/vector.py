@@ -1029,3 +1029,105 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * 10000 div size").cast("long").alias("purity_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component: matrix-free power iteration (2 rounds, integer-exact)
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+
+_PCA_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+s1 AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(embedding,
+                                 x -> CAST(round(CAST(x AS DOUBLE) * {_S}) AS BIGINT))) AS s
+  FROM e
+),
+u1 AS (
+  SELECT t.j, CAST(SUM(CAST(round(CAST(s1.embedding[t.j] AS DOUBLE) * s1.s) AS BIGINT)) AS BIGINT) AS u
+  FROM s1, LATERAL (SELECT unnest(range(1, {_PCA_DIM} + 1)) AS j) t
+  GROUP BY t.j
+),
+m1 AS (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS m FROM u1),
+v1 AS (SELECT u1.j, CAST(u1.u AS DOUBLE) / CAST(m1.m AS DOUBLE) AS v FROM u1, m1),
+s2 AS (
+  SELECT s1.vec_id, s1.embedding,
+         CAST(SUM(CAST(round(CAST(s1.embedding[v1.j] AS DOUBLE) * v1.v * {_S}) AS BIGINT)) AS BIGINT) AS s
+  FROM s1 JOIN v1 ON TRUE
+  GROUP BY s1.vec_id, s1.embedding
+),
+u2 AS (
+  SELECT t.j, CAST(SUM(CAST(round(CAST(s2.embedding[t.j] AS DOUBLE) * s2.s) AS BIGINT)) AS BIGINT) AS u
+  FROM s2, LATERAL (SELECT unnest(range(1, {_PCA_DIM} + 1)) AS j) t
+  GROUP BY t.j
+),
+m2 AS (SELECT CAST(MAX(ABS(u)) AS BIGINT) AS m FROM u2)
+SELECT CAST(u2.j AS BIGINT) AS dim,
+       round(CAST(u2.u AS DOUBLE) / CAST(m2.m AS DOUBLE), 6) AS loading
+FROM u2, m2
+"""
+
+
+@register("embedding_pca_top_component", oracle=_PCA_ORACLE,
+          description="top principal direction of the embedding matrix: "
+                      "matrix-free power iteration, 2 unrolled rounds, "
+                      "integer-exact accumulation (max-abs normalized)")
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dominant right-singular direction of the embedding matrix
+    via power iteration on the Gram matrix — the first step of every
+    spectral pipeline (PCA whitening, spectral top-component removal
+    for anisotropic embeddings, ABTT 'all-but-the-top').
+
+    Matrix-free: X is never materialized as a matrix. One round is
+    (a) s = X·v — per-row fixed-point dot against the current
+    direction (v₀ = all-ones; 1e9-scaled BIGINT, order-free), then
+    (b) u = Xᵀ·s — posexplode + one (dim)-keyed aggregate of
+    round(x·s) products, 64 output rows. The direction is max-abs
+    normalized between rounds in a FIXED operation order
+    (int/int → IEEE double), and the round-2 direction comes back as
+    64 literals through the kmeans_embedding_clusters driver-sync
+    contract (parameter-sized collect between iterations — Lloyd's
+    barrier). At 100 TB each round is one scan + one map-side-combined
+    64-row aggregate; rounds are strictly sequential by the math.
+    NULL-embedding rows are excluded by contract on both engines.
+    """
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].where(F.col("embedding").isNotNull()).select("embedding")
+
+    ones = F.array(*[F.lit(1.0) for _ in range(_PCA_DIM)])
+    from ..operators.similarity import _fixed_point_dot
+
+    s1 = emb.select("embedding", _fixed_point_dot(F.col("embedding"), ones).alias("s"))
+    u1 = (
+        s1.select(F.posexplode("embedding").alias("j0", "x"), "s")
+        .groupBy("j0")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * F.col("s"), 0).cast("long"))
+            .cast("long").alias("u")
+        )
+    )
+    rows = {r["j0"]: r["u"] for r in u1.collect()}
+    m1 = max(abs(v) for v in rows.values())
+    v1 = [rows[j] / m1 for j in sorted(rows)]
+
+    v1a = F.array(*[F.lit(float(v)) for v in v1])
+    s2 = emb.select("embedding", _fixed_point_dot(F.col("embedding"), v1a).alias("s"))
+    u2 = (
+        s2.select(F.posexplode("embedding").alias("j0", "x"), "s")
+        .groupBy("j0")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * F.col("s"), 0).cast("long"))
+            .cast("long").alias("u")
+        )
+    )
+    m2 = u2.agg(F.max(F.abs(F.col("u"))).alias("m"))
+    return (
+        u2.crossJoin(F.broadcast(m2))
+        .select(
+            (F.col("j0") + 1).cast("long").alias("dim"),
+            F.round(F.col("u").cast("double") / F.col("m").cast("double"), 6)
+            .alias("loading"),
+        )
+    )

@@ -534,7 +534,8 @@ def hostile_embeddings_dir(tmp_path_factory):
      "kmeans_embedding_clusters", "embedding_label_centroids",
      "pq_codebook_train", "knn_graph_pagerank", "knn_ivf_pq",
      "embedding_hard_negatives",
-     "knn_ivf_recall", "kmeans_cluster_purity", "knn_graph_link_prediction"],
+     "knn_ivf_recall", "kmeans_cluster_purity", "knn_graph_link_prediction",
+     "embedding_pca_top_component"],
 )
 def test_null_embedding_rows_keep_oracle_parity(spark, hostile_embeddings_dir, qname):
     problems = _oracle_compare(spark, hostile_embeddings_dir, qname)

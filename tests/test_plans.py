@@ -138,6 +138,7 @@ _NESTED_LOOP_OK = {
     "training_token_budget_fill", # same 1-row logprob-denominator broadcast
     "orders_market_basket",       # 1-row order-total scalar broadcast
     "events_rfm_segments",        # 1-row anchor-date scalar broadcast
+    "embedding_pca_top_component",  # 1-row max-abs normalizer broadcast
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.
