@@ -1556,3 +1556,78 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("freq").cast("long").alias("total_events"),
         F.sum("monetary_cents").cast("long").alias("total_monetary_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# velocity rule: K events inside M minutes (fraud / abuse burst detection)
+# ---------------------------------------------------------------------------
+
+_VEL_K = 3             # K events ...
+_VEL_WINDOW_S = 21600  # ... within 6 hours (tuned to testdata density)
+
+_VELOCITY_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id
+  FROM events WHERE user_id IS NOT NULL
+),
+lagged AS (
+  SELECT user_id, us,
+         LAG(us, {_VEL_K - 1}) OVER (PARTITION BY user_id
+                                     ORDER BY us ASC, event_id ASC) AS us_back
+  FROM e
+),
+flags AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN us - us_back <= {_VEL_WINDOW_S * 1_000_000}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts
+  FROM lagged GROUP BY user_id
+)
+SELECT user_id, n_events, n_bursts
+FROM flags WHERE n_bursts >= 1
+"""
+
+
+@register("events_velocity_rule", oracle=_VELOCITY_ORACLE,
+          description="fraud-style velocity rule: users firing K=3 events "
+                      "inside any 6-hour span (lag-K sliding check)")
+def events_velocity_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical real-time risk rule evaluated in batch: a user
+    emitting K events within M minutes is bursting (card testing,
+    scraping, bot traffic). An event is a burst POINT when the
+    (K-1)-back event of the same user is within the window — the
+    O(1)-state lag formulation of "K in any sliding M", no
+    interval self-join, no explode.
+
+    One shuffle on user_id; the lag window is partitioned (never
+    global) and ordered by exact epoch MICROSECONDS (unix_micros /
+    epoch_us — integer on both engines; second-truncating casts would
+    disagree on sub-second data) with event_id tiebreak. The per-user
+    aggregate rides the same partitioning — Catalyst reuses the
+    exchange. This is also the batch twin of what
+    stream_windowed_key_counts + a threshold approximates per window
+    in streaming; the lag form is exact over ANY span, not
+    window-aligned.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["events"].where(F.col("user_id").isNotNull())
+        .select(
+            "user_id", F.unix_micros(F.col("ts")).alias("us"), "event_id"
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    lagged = e.withColumn("us_back", F.lag("us", _VEL_K - 1).over(w))
+    flags = lagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("us") - F.col("us_back") <= _VEL_WINDOW_S * 1_000_000, 1
+            ).otherwise(0)
+        ).cast("long").alias("n_bursts"),
+    )
+    return flags.where(F.col("n_bursts") >= 1)

@@ -368,7 +368,7 @@ def hostile_events_dir(tmp_path_factory):
      "events_ab_test_readout", "events_benford_audit",
      "events_inter_arrival_stats", "events_decile_lift",
      "events_heavy_hitters_exact", "events_key_skew_profile",
-     "events_rfm_segments",
+     "events_rfm_segments", "events_velocity_rule",
      "f4_watermark_gate", "percentile_metrics", "skew_salted_user_join"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
