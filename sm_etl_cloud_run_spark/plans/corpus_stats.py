@@ -1123,3 +1123,112 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "bucket", "n_docs",
         F.expr("n_docs * 10000 div lang_total").cast("long").alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords: PageRank over the word co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_TR_MIN_LEN = 4     # content-word heuristic: tokens shorter than this drop
+_TR_MIN_CO = 2      # co-occurrence prune
+_TR_TOPK = 20
+_TR_SCALE = 1_000_000_000_000
+
+_TEXTRANK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+bg AS (
+  SELECT t[r.i] AS w1, t[r.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i) r
+),
+und AS (
+  SELECT least(w1, w2) AS id_a, greatest(w1, w2) AS id_b FROM bg
+  WHERE length(w1) >= {_TR_MIN_LEN} AND length(w2) >= {_TR_MIN_LEN} AND w1 <> w2
+),
+pairs AS (
+  SELECT id_a, id_b FROM und GROUP BY id_a, id_b HAVING COUNT(*) >= {_TR_MIN_CO}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+base AS (
+  SELECT {_TR_SCALE} // n AS pr0, (15 * ({_TR_SCALE} // n)) // 100 AS teleport
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)
+),
+c1 AS (SELECT d.id, base.pr0 // d.deg AS c FROM deg d, base),
+s1 AS (
+  SELECT e.dst AS id, CAST(SUM(c1.c) AS BIGINT) AS s
+  FROM edges e JOIN c1 ON c1.id = e.src GROUP BY e.dst
+),
+p1 AS (
+  SELECT d.id, d.deg, base.teleport + (85 * COALESCE(s1.s, 0)) // 100 AS pr
+  FROM deg d LEFT JOIN s1 USING (id), base
+),
+c2 AS (SELECT id, pr // deg AS c FROM p1),
+s2 AS (
+  SELECT e.dst AS id, CAST(SUM(c2.c) AS BIGINT) AS s
+  FROM edges e JOIN c2 ON c2.id = e.src GROUP BY e.dst
+),
+p2 AS (
+  SELECT d.id, d.deg, base.teleport + (85 * COALESCE(s2.s, 0)) // 100 AS pr
+  FROM deg d LEFT JOIN s2 USING (id), base
+)
+SELECT id AS word, deg, CAST(pr AS BIGINT) AS pr_micro
+FROM p2
+ORDER BY pr_micro DESC, word ASC
+LIMIT {_TR_TOPK}
+"""
+
+
+@register("text_keyword_textrank", oracle=_TEXTRANK_ORACLE,
+          description="TextRank keyword extraction: integer-exact PageRank "
+                      "(2 rounds) over the adjacent-word co-occurrence graph, "
+                      "top-20 hub words")
+def text_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004), the unsupervised keyword
+    extractor: words are nodes, adjacent co-occurrence makes edges,
+    and PageRank centrality — not raw frequency — picks the terms that
+    tie the corpus together (a hub connected to many distinct contexts
+    outranks a word repeated in one).
+
+    The graph build is two aggregates off one bigram explode (the
+    text_bigram_logprob layout): undirected pair counts with a
+    codegen'd least/greatest normalization, pruned by the
+    co-occurrence threshold BEFORE the rank rounds. The ranking itself
+    reuses operators/graph.pagerank_undirected — 1e12-micro-unit
+    BIGINT mass, truncating DIV everywhere, so two engines agree
+    bit-for-bit after any number of rounds (the knn_graph_pagerank
+    contract on a word-keyed graph; term keys are zipfian, which the
+    checkpointed edge list + AQE absorb).
+    """
+    from ..functions.text import word_shingles
+    from ..operators.graph import pagerank_undirected
+
+    t = load_tables(spark, sf_dir)
+    bg = t["documents"].select(
+        F.explode(word_shingles(F.col("text"), 2)).alias("bg")
+    ).select(
+        F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+    )
+    und = bg.where(
+        (F.length("w1") >= _TR_MIN_LEN)
+        & (F.length("w2") >= _TR_MIN_LEN)
+        & (F.col("w1") != F.col("w2"))
+    ).select(
+        F.least("w1", "w2").alias("id_a"), F.greatest("w1", "w2").alias("id_b")
+    )
+    pairs = (
+        und.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= _TR_MIN_CO)
+        .select("id_a", "id_b")
+    )
+    pr = pagerank_undirected(pairs, iterations=2)
+    return (
+        pr.select(F.col("id").alias("word"), "deg", "pr_micro")
+        .orderBy(F.col("pr_micro").desc(), F.col("word").asc())
+        .limit(_TR_TOPK)
+    )

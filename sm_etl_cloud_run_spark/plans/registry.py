@@ -125,6 +125,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_rfm_segments",
     "embedding_pca_top_component",
     "events_velocity_rule",
+    "text_keyword_textrank",
     # changed THIS round (distributed_rank rewires, VERDICT r4 item 1)
     # after their r4 green rows:
     "events_decile_lift",

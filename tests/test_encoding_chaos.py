@@ -257,6 +257,7 @@ _HOSTILE_QUERIES = (
     "dedup_simhash_pairs",
     "corpus_perplexity_buckets",
     "training_token_budget_fill",
+    "text_keyword_textrank",
 )
 
 

@@ -139,6 +139,7 @@ _NESTED_LOOP_OK = {
     "orders_market_basket",       # 1-row order-total scalar broadcast
     "events_rfm_segments",        # 1-row anchor-date scalar broadcast
     "embedding_pca_top_component",  # 1-row max-abs normalizer broadcast
+    "text_keyword_textrank",      # 1-row pr0/teleport scalar broadcast (pagerank base)
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.
