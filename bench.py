@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sm_etl_cloud_run_spark import plans
+from sm_etl_cloud_run_spark.cache import release_tracked
 from sm_etl_cloud_run_spark.session import get_spark
 
 
@@ -37,6 +38,7 @@ def main() -> None:
                 spec.fn(spark, warm_dir).collect()
             except Exception:
                 pass
+            release_tracked()
     else:
         spark.range(1).count()
 
@@ -65,6 +67,9 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
             samples[name].append(time.perf_counter() - t0)
+            # drop query-scoped caches (distributed_rank inputs, edge
+            # lists) so storage can't accumulate across the pass
+            release_tracked()
     calibration.append(_calibrate())
 
     timings = {name: round(min(ts), 3) for name, ts in samples.items()}

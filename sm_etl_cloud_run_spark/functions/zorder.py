@@ -11,9 +11,15 @@ OPTIMIZE ZORDER BY; here it is a plain codegen'd column expression plus
 the engine's existing range-sorted writer.
 
 Everything is integer bit arithmetic in BIGINT — no UDF, fully
-whole-stage-codegen; the normalization is the classic
-(v - min) * (2^bits - 1) / (max - min) affine map with floored integer
-division, so two engines (or two runs) place every row identically.
+whole-stage-codegen; the normalization is an affine map quantized by a
+power-of-two SHIFT instead of a division: (v - min) * (2^bits - 1) is
+right-shifted by ceil(log2(span)) (pre-downshifting the offset when
+span·2^bits would not fit in 63 bits). Pure shifts and multiplies are
+exact in BIGINT on every engine — no double-precision Divide whose
+rounding could differ across engines above 2^53, and no silent BIGINT
+overflow for wide spans (a span ≥ 2^62 is rejected explicitly). The
+slope is within 2× of the classic /span map, costing at most one bit
+of resolution — irrelevant for file-level min/max pruning.
 """
 
 from __future__ import annotations
@@ -30,10 +36,24 @@ def normalize_to_bits(col: Column, vmin: int, vmax: int, bits: int) -> Column:
     if vmax <= vmin:
         return F.lit(0).cast("long")
     span = vmax - vmin
+    if span >= (1 << 62):
+        raise ValueError(
+            f"span {span} >= 2^62: (v - vmin) itself risks BIGINT "
+            "overflow; pre-bucket the column before Z-ordering"
+        )
     top = (1 << bits) - 1
     c = F.col(col) if isinstance(col, str) else col
     clamped = F.greatest(F.lit(vmin), F.least(F.lit(vmax), c.cast("long")))
-    return ((clamped - F.lit(vmin)) * F.lit(top) / F.lit(span)).cast("long")
+    offset = clamped - F.lit(vmin)
+    # Quantize by shift: offset < 2^k, so (offset * top) >> k lands in
+    # [0, top]. When k + bits > 62 the product could overflow BIGINT —
+    # drop s low bits of the offset first; the result is the same map
+    # at s fewer bits of input resolution, still exact and monotone.
+    k = span.bit_length()
+    s = max(0, k + bits - 62)
+    if s:
+        offset = F.shiftright(offset, s)
+    return F.shiftright(offset * F.lit(top), k - s).cast("long")
 
 
 def zorder_key(a_norm: Column, b_norm: Column, *, bits: int = 16) -> Column:

@@ -11,7 +11,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
+
+from ..cache import persist_tracked
 
 
 def topk_per_group(
@@ -75,7 +76,7 @@ def distributed_rank(
     part = df.repartitionByRange(num_partitions, *order_by).withColumn(
         "__dr_pid", F.spark_partition_id()
     )
-    part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    part = persist_tracked(part)
     counts = part.groupBy("__dr_pid").agg(F.count(F.lit(1)).alias("__dr_cnt"))
     w_off = Window.orderBy("__dr_pid").rowsBetween(
         Window.unboundedPreceding, -1
@@ -209,7 +210,7 @@ def distributed_cumsum(
     part = df.repartitionByRange(num_partitions, *order_by).withColumn(
         "__dc_pid", F.spark_partition_id()
     )
-    part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    part = persist_tracked(part)
     sums = part.groupBy("__dc_pid").agg(
         F.sum(F.col(value_col)).cast("long").alias("__dc_sum")
     )

@@ -84,6 +84,13 @@ def refresh_control(spark: SparkSession) -> DataFrame:
     refreshed, which is exactly what re-triggers a retroactively
     re-published period (the reference's "new or updated" condition,
     verificar_e_executar.py:36-41).
+
+    True UPSERT, never a rebuild: a tracked file absent from one LIST
+    scan (transient/partial FTP listing) survives with all its
+    watermarks — the reference's upsert
+    (datasus_ftp_metadados.py upsert_dados_no_postgres) likewise never
+    deletes rows merely missing from a listing; it prunes solely by
+    age (>13 months), which callers do explicitly if desired.
     """
     scan = ftp_metadata_scan(
         spark, _cfg("host"), _cfg("directory"),
@@ -106,12 +113,16 @@ def refresh_control(spark: SparkSession) -> DataFrame:
         old = spark.read.parquet(path)
         merged = (
             fresh.alias("f")
-            .join(old.alias("o"), ["tipo", "arquivo"], "left")
+            .join(old.alias("o"), ["tipo", "arquivo"], "full_outer")
             .select(
                 "tipo", "arquivo",
-                F.col("f.sigla_uf").alias("sigla_uf"),
-                F.col("f.periodo").alias("periodo"),
-                F.col("f.timestamp_modificacao_ftp").alias("timestamp_modificacao_ftp"),
+                F.coalesce("f.sigla_uf", "o.sigla_uf").alias("sigla_uf"),
+                F.coalesce("f.periodo", "o.periodo").alias("periodo"),
+                # listing present → take its mtime; listing omitted the
+                # file → keep the last-seen mtime (no state is lost).
+                F.coalesce(
+                    "f.timestamp_modificacao_ftp", "o.timestamp_modificacao_ftp"
+                ).alias("timestamp_modificacao_ftp"),
                 F.col("o.timestamp_etl_gcs").alias("timestamp_etl_gcs"),
                 F.col("o.timestamp_load_bd").alias("timestamp_load_bd"),
             )
@@ -126,10 +137,25 @@ def refresh_control(spark: SparkSession) -> DataFrame:
 # EP1 — stage-1 ETL for one pending control row
 # ---------------------------------------------------------------------------
 
+def _validated_arquivo(row: dict) -> str:
+    """The control-row filename is interpolated into a JDBC delete
+    predicate (EP2) and a bronze path (EP1); re-validate it HERE, at
+    the point of use, so a hand-edited or backfilled control row can
+    never inject SQL or traverse paths — defense does not rely on the
+    upstream refresh_control filter alone."""
+    arquivo = row["arquivo"]
+    if not re.fullmatch(_PA_NAME_RE, arquivo):
+        raise ValueError(
+            f"control row filename {arquivo!r} does not match the PA "
+            "naming contract; refusing to use it in SQL/path contexts"
+        )
+    return arquivo
+
+
 def ep1_baixar_pa(spark: SparkSession, row: dict) -> None:
     """Download + decode + transform one PA file to bronze, then
     watermark. `row` is a pending control row from the runner gate."""
-    arquivo = row["arquivo"]
+    arquivo = _validated_arquivo(row)
     raw = read_datasus_ftp(
         spark, _cfg("host"), _cfg("directory"),
         re.compile(re.escape(arquivo)), PA_SPEC.raw_columns,
@@ -162,7 +188,7 @@ def ep2_inserir_pa(spark: SparkSession, row: dict) -> None:
     watermark. Re-runs are idempotent: the delete clears any earlier
     load of the same file before the insert lands (K3), and a crash
     before commit leaves the target untouched."""
-    arquivo = row["arquivo"]
+    arquivo = _validated_arquivo(row)
     raw = read_csv_allstring(spark, f"{_cfg('bronze_root')}/{arquivo}")
     typed = cast_allstring_typed(raw, PA_SPEC)
     staged_transactional_load(

@@ -674,7 +674,7 @@ def knn_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored basis points off BIGINT degree counts, so both engines
     rank identically (full tiebreak: cn, jaccard, ids).
     """
-    from pyspark import StorageLevel
+    from ..cache import persist_tracked
 
     from ..operators.similarity import embedding_cosine_dup_pairs
 
@@ -687,10 +687,10 @@ def knn_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan branches (two 2-hop sides, degrees, the anti-join) — persist
     # the edge list once, the distributed_rank/simhash precedent; it is
     # |edges|-sized, far below the fact table
-    pairs = embedding_cosine_dup_pairs(
+    pairs = persist_tracked(embedding_cosine_dup_pairs(
         distinct, id_col="vec_id", vec_col="embedding",
         threshold=_PR_THRESHOLD, hyperplanes=planes,
-    ).select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("id_a", "id_b"))
 
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))

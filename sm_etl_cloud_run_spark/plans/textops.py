@@ -1228,7 +1228,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and hamming-0 clone pairs come from the mapping's self-join
     directly, never touching the band table.
     """
-    from pyspark import StorageLevel
+    from ..cache import persist_tracked
 
     from ..operators.dedup import simhash as simhash_op
 
@@ -1237,9 +1237,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expansion sides, two clone-join sides) and the 32-bit majority
     # vote is the expensive expression — persist it once, the
     # distributed_rank precedent (operators/windows.py:77)
-    sims = simhash_op(
+    sims = persist_tracked(simhash_op(
         t["documents"], text_col="text", id_col="doc_id", num_bits=32
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     fpd = sims.select("simhash").distinct()
     mask = 2 ** _SH_BAND_BITS - 1
     bands = fpd.select(

@@ -69,7 +69,9 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     (full projection) and never need this split.
     """
     if not df.isStreaming:
-        df = df.persist()
+        from ..cache import persist_tracked
+
+        df = persist_tracked(df)
     clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = df.where(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")

@@ -614,3 +614,27 @@ def test_distributed_cumsum_matches_global_running_total(spark):
         assert cs == r["cs"] and tot == total
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower().replace(" ", "")
+
+
+def test_tracked_caches_release_after_action(spark):
+    """distributed_rank's persisted relation must be releasable by the
+    runner between queries: persist_tracked registers it, an action
+    materializes it, release_tracked drops every registered cache
+    (VERDICT r5 ADVICE — caches may not accumulate for a session's
+    lifetime)."""
+    from sm_etl_cloud_run_spark import cache as c
+    from sm_etl_cloud_run_spark.operators.windows import distributed_rank
+
+    release0 = c.release_tracked()  # clean slate from earlier tests
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    ranked = distributed_rank(df, [F.col("v"), F.col("id")], rank_name="rn")
+    assert ranked.count() == 1000
+    assert len(c._TRACKED) >= 1
+    sc = spark.sparkContext
+    assert len(sc._jsc.getPersistentRDDs()) >= 1
+    released = c.release_tracked()
+    assert released >= 1 and not c._TRACKED
+    # async unpersist: registration is what we pin; the storage drop
+    # follows. A second release is a no-op.
+    assert c.release_tracked() == 0
+    _ = release0

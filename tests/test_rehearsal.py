@@ -167,3 +167,53 @@ def test_ep1_ep2_ep3_full_lifecycle(spark, tmp_path):
         f"gen={gen_sec:.1f}s ep3={ep3_sec:.1f}s ep1={ep1_sec:.1f}s "
         f"ep2={ep2_sec:.1f}s retro_rerun={rerun_sec:.1f}s"
     )
+
+
+def test_refresh_control_survives_partial_listing(spark, tmp_path):
+    """A transient FTP listing that omits a tracked file must NOT drop
+    that file's row or its stage watermarks — the reference's control
+    refresh is an upsert (datasus_ftp_metadados.py
+    upsert_dados_no_postgres), never a rebuild; it prunes only by age."""
+    control = str(tmp_path / "ctl")
+    full_tree = {_DIR: {"PASP2407.dbc": b"x", "PASP2408.dbc": b"yy"}}
+    rehearsal.configure(
+        host="ftp.fake", directory=_DIR,
+        transport_factory=lambda: FakeFtpSession(full_tree),
+        control_path=control, bronze_root=str(tmp_path / "bronze"),
+        panel_ids=["355030"], periods=None, geo=None,
+    )
+    ctl = rehearsal.refresh_control(spark)
+    assert ctl.count() == 2
+
+    # mark 2407 as fully processed
+    from sm_etl_cloud_run_spark.sinks.watermark import touch_watermark
+    touch_watermark(spark, control, {"tipo": "PA", "arquivo": "PASP2407.dbc"},
+                    "timestamp_etl_gcs")
+    touch_watermark(spark, control, {"tipo": "PA", "arquivo": "PASP2407.dbc"},
+                    "timestamp_load_bd")
+
+    # transient listing omits 2407 entirely
+    partial_tree = {_DIR: {"PASP2408.dbc": b"yy"}}
+    rehearsal.configure(transport_factory=lambda: FakeFtpSession(partial_tree))
+    ctl = rehearsal.refresh_control(spark)
+    rows = {r["arquivo"]: r for r in ctl.collect()}
+    assert set(rows) == {"PASP2407.dbc", "PASP2408.dbc"}
+    kept = rows["PASP2407.dbc"]
+    assert kept["timestamp_etl_gcs"] is not None
+    assert kept["timestamp_load_bd"] is not None
+    assert kept["timestamp_modificacao_ftp"] is not None  # last-seen mtime
+    assert kept["sigla_uf"] == "SP" and kept["periodo"] == "2024-07"
+
+
+def test_lifecycle_jobs_reject_unsafe_filenames(spark, tmp_path):
+    """ep1/ep2 re-validate the control-row filename at the point of use:
+    a hand-edited row can't reach the JDBC delete predicate or the
+    bronze path with SQL/path metacharacters."""
+    import pytest
+
+    for bad in ("PA'; DROP TABLE pa_fato; --", "../../etc/passwd",
+                "PASP24.dbc/../x", "PASP9999.dbc.exe"):
+        with pytest.raises(ValueError):
+            rehearsal.ep1_baixar_pa(spark, {"arquivo": bad})
+        with pytest.raises(ValueError):
+            rehearsal.ep2_inserir_pa(spark, {"arquivo": bad})

@@ -222,3 +222,39 @@ def test_zorder_layout_tightens_both_column_envelopes(spark, tmp_path):
         .where((F.col("a") < 37) & (F.col("b") >= 800)).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_normalize_to_bits_exact_on_wide_spans(spark):
+    """The quantizer must be bit-identical to integer reference math at
+    spans where a double-precision divide would round differently
+    (span*top above 2^53) or a naive (v-min)*top multiply would
+    overflow BIGINT (span above ~2^47). Pure shift/multiply arithmetic
+    makes both regimes exact; this pins it against a Python big-int
+    reference."""
+    from sm_etl_cloud_run_spark.functions.zorder import normalize_to_bits
+
+    bits = 16
+    vmin, vmax = -(1 << 60), (1 << 60)  # span = 2^61: k + bits > 62
+    span = vmax - vmin
+    k = span.bit_length()
+    s = max(0, k + bits - 62)
+    top = (1 << bits) - 1
+    vals = [vmin, vmax, 0, 1, -1, (1 << 53) + 1, -(1 << 53) - 7,
+            vmax - 1, vmin + 12345, 987654321987654321]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["v"]: r["n"] for r in df.select(
+        "v", normalize_to_bits(F.col("v"), vmin, vmax, bits).alias("n")
+    ).collect()}
+    for v in vals:
+        ref = (((v - vmin) >> s) * top) >> (k - s)
+        assert got[v] == ref, (v, got[v], ref)
+        assert 0 <= got[v] <= top
+    # monotone: order of inputs survives quantization
+    ordered = sorted(vals)
+    quant = [got[v] for v in ordered]
+    assert quant == sorted(quant)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_to_bits(F.col("v"), 0, 1 << 62, bits)

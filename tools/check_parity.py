@@ -20,6 +20,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sm_etl_cloud_run_spark import plans
+from sm_etl_cloud_run_spark.cache import release_tracked
 from sm_etl_cloud_run_spark.session import get_spark
 from sm_etl_cloud_run_spark.tables import TABLE_NAMES
 
@@ -109,6 +110,8 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {exc}")
             failures += 1
             continue
+        finally:
+            release_tracked()
         if spec.oracle is None:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             if len(sdf) == 0:
