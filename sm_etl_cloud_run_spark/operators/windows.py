@@ -105,6 +105,167 @@ def distributed_rank(
     )
 
 
+def distributed_rank_in_groups(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    *,
+    rank_name: str = "rank",
+    num_partitions: int | None = None,
+    total_name: str | None = None,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY group ORDER BY ...)`` without
+    any single task ever sorting one group's full data — the per-group
+    form of :func:`distributed_rank`.
+
+    A plain ``partitionBy(group)`` window is already parallel ACROSS
+    groups, but each group still sorts in ONE task; with few heavy
+    groups (event types, languages) the biggest group's data volume is
+    the wall clock — 5.0x at the 16x probe for the rank-exact
+    percentile family. Here the range partitioner splits on the
+    composite ``(group, order...)`` tuple, so a heavy group spans MANY
+    partitions and every partition sorts in parallel:
+
+    1. ``repartitionByRange`` on ``(group_cols..., order_by...)``,
+       persisted (same exchange-reuse rationale as distributed_rank);
+    2. per-``(partition, group)`` counts → per-group EXCLUSIVE running
+       offsets over partition id. Groups are contiguous in the range
+       order, so this offsets relation has at most
+       ``|groups| + num_partitions - 1`` rows — parameter-sized for the
+       low-cardinality groups this operator targets, and its window is
+       partitioned by group (never a global sort);
+    3. local ``row_number`` per ``(partition, group)``;
+    4. rank = offset + local row number, offsets broadcast-joined back
+       on ``(partition, group)``.
+
+    ``order_by`` must totally order rows WITHIN a group (include a
+    tiebreaker; pin NULLS LAST explicitly for nullable keys). With
+    ``total_name``, each group's row count rides along on the broadcast
+    offsets. When group cardinality is itself fact-sized, use the plain
+    window instead — per-group data is tiny there by pigeonhole, and
+    this operator's offsets relation would no longer broadcast.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    gcols = list(group_cols)
+    part = df.repartitionByRange(
+        num_partitions, *[F.col(g) for g in gcols], *order_by
+    ).withColumn("__dg_pid", F.spark_partition_id())
+    part = persist_tracked(part)
+    counts = part.groupBy("__dg_pid", *gcols).agg(
+        F.count(F.lit(1)).alias("__dg_cnt")
+    )
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("__dg_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # aliased copies of the group keys on the offsets side, joined
+    # null-safely: a NULL group value is a real group for a window
+    # (unlike an equi-join key) and must not drop its rows
+    off_cols = [
+        F.col("__dg_pid").alias("__dg_pid2"),
+        *[F.col(g).alias(f"__dg_g{i}") for i, g in enumerate(gcols)],
+        F.coalesce(F.sum("__dg_cnt").over(w_off), F.lit(0)).alias("__dg_off"),
+    ]
+    drop_cols = ["__dg_pid", "__dg_pid2", "__dg_off"] + [
+        f"__dg_g{i}" for i in range(len(gcols))
+    ]
+    if total_name is not None:
+        w_all = (
+            Window.partitionBy(*gcols)
+            .orderBy("__dg_pid")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        off_cols.append(
+            F.sum("__dg_cnt").over(w_all).cast("long").alias(total_name)
+        )
+    offsets = counts.select(*off_cols)
+    cond = F.col("__dg_pid") == F.col("__dg_pid2")
+    for i, g in enumerate(gcols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__dg_g{i}"))
+    w_local = Window.partitionBy("__dg_pid", *gcols).orderBy(*order_by)
+    return (
+        part.join(F.broadcast(offsets), cond)
+        .withColumn(
+            rank_name,
+            (F.row_number().over(w_local) + F.col("__dg_off")).cast("long"),
+        )
+        .drop(*drop_cols)
+    )
+
+
+def distributed_lag(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str,
+    *,
+    lag_name: str = "lag",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``lag(value) OVER (PARTITION BY group ORDER BY ...)`` without a
+    single task ever sorting one group's full data — the lag sibling of
+    :func:`distributed_rank_in_groups` (same composite range partition,
+    so a heavy group spans many partitions and all sort in parallel).
+
+    1. ``repartitionByRange`` on ``(group_cols..., order_by...)``,
+       persisted;
+    2. local lag per ``(partition, group)`` — exact for every row
+       except each ``(partition, group)``'s FIRST row;
+    3. those boundary rows get their predecessor from the
+       per-``(partition, group)`` LAST-value relation (parameter-sized:
+       at most ``|groups| + num_partitions - 1`` rows, since groups are
+       contiguous in the range order), shifted one partition forward
+       per group and broadcast back.
+
+    The boundary patch keys on local row number == 1, NOT on the local
+    lag being NULL, so a genuinely-NULL lagged value is preserved.
+    Same contract as the rank form: ``order_by`` totally orders within
+    a group; group cardinality should be far below fact cardinality.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    gcols = list(group_cols)
+    part = df.repartitionByRange(
+        num_partitions, *[F.col(g) for g in gcols], *order_by
+    ).withColumn("__dl_pid", F.spark_partition_id())
+    part = persist_tracked(part)
+    w_local = Window.partitionBy("__dl_pid", *gcols).orderBy(*order_by)
+    local = part.withColumn("__dl_rn", F.row_number().over(w_local)).withColumn(
+        "__dl_lag", F.lag(value_col).over(w_local)
+    )
+    lasts = local.groupBy("__dl_pid", *gcols).agg(
+        F.max_by(F.col(value_col), F.col("__dl_rn")).alias("__dl_last")
+    )
+    w_prev = Window.partitionBy(*gcols).orderBy("__dl_pid")
+    boundary = lasts.select(
+        F.col("__dl_pid").alias("__dl_pid2"),
+        *[F.col(g).alias(f"__dl_g{i}") for i, g in enumerate(gcols)],
+        F.lag("__dl_last").over(w_prev).alias("__dl_prev"),
+    )
+    cond = F.col("__dl_pid") == F.col("__dl_pid2")
+    for i, g in enumerate(gcols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__dl_g{i}"))
+    drop_cols = ["__dl_pid", "__dl_pid2", "__dl_rn", "__dl_lag", "__dl_prev"] + [
+        f"__dl_g{i}" for i in range(len(gcols))
+    ]
+    return (
+        local.join(F.broadcast(boundary), cond, "left")
+        .withColumn(
+            lag_name,
+            F.when(F.col("__dl_rn") == 1, F.col("__dl_prev")).otherwise(
+                F.col("__dl_lag")
+            ),
+        )
+        .drop(*drop_cols)
+    )
+
+
 def distributed_ntile(
     df: DataFrame,
     order_by: Sequence[Column],

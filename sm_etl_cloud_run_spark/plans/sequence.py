@@ -462,29 +462,29 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clipped mean at 1e-4 precision. One shuffle for the rank window;
     the per-type bounds relation is |types| rows and broadcasts back.
 
-    100 TB routing: this rank-exact form is the ORACLE/PARITY mode —
-    partitionBy(event_type) is low-cardinality, so one type's entire
-    data sorts in a single task (5.0x wall at 16x data in the round-7
-    probe). Production at scale routes to the mergeable sketch twin
-    `events_sketch_profile` (HLL + GK percentiles, one-pass, +/-5%
-    pytest-bounded in tests/test_plans.py); keep this exact form for
-    verification and type-scoped slices.
+    100 TB shape: the rank rides `distributed_rank_in_groups` — the
+    range partitioner splits on (event_type, value, event_id), so one
+    heavy type's data sorts across MANY tasks in parallel (the plain
+    partitionBy(event_type) window this replaced sorted each type in
+    ONE task: 5.0x wall at 16x data in the round-7 probe). Exact same
+    ranks, no single-task fact-sized sort anywhere; the sketch twin
+    `events_sketch_profile` (HLL + GK, one-pass, +/-5% pytest-bounded)
+    remains the cheaper one-pass option.
     """
+    from ..operators.windows import distributed_rank_in_groups
+
     t = load_tables(spark, sf_dir)
     # explicit NULLS LAST — same cross-engine ordering contract as the
     # ntile window above
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc_nulls_last(), "event_id"
-    )
-    wn = Window.partitionBy("event_type")
-    ranked = t["events"].select(
-        "event_type", "event_id", "value",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-    ).select(
-        "event_type", "event_id", "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
+    ranked = distributed_rank_in_groups(
+        t["events"].select(
+            "event_type", "event_id", "value",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        ),
+        ["event_type"],
+        [F.col("value").asc_nulls_last(), F.col("event_id")],
+        rank_name="rn", total_name="n",
+    ).select("event_type", "event_id", "cents", "rn", "n")
     bounds = ranked.groupBy("event_type").agg(
         F.min(F.when(F.col("rn") == F.floor(0.05 * F.col("n")).cast("long") + 1, F.col("cents"))).alias("lo"),
         F.min(F.when(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"), F.col("cents"))).alias("hi"),
@@ -1001,17 +1001,18 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number with an event_id tiebreaker — approx_percentile is
     neither deterministic nor cross-engine), so the whole pipeline is
     integer until the single final normalized quotient. Two rank
-    windows on the same partition key (one exchange, Catalyst reuses
-    it) + two |types|-sized broadcast joins + TakeOrdered.
+    passes + two |types|-sized broadcast joins + TakeOrdered.
 
-    100 TB routing: this rank-exact form is the ORACLE/PARITY mode —
-    partitionBy(event_type) is low-cardinality, so one type's entire
-    data sorts in a single task (5.0x wall at 16x data in the round-7
-    probe). Production at scale routes to the mergeable sketch twin
-    `events_sketch_profile` (HLL + GK percentiles, one-pass, +/-5%
-    pytest-bounded in tests/test_plans.py); keep this exact form for
-    verification and type-scoped slices.
+    100 TB shape: both medians ride `distributed_rank_in_groups` — the
+    range partitioner splits on (event_type, value, event_id), so one
+    heavy type's data sorts across MANY tasks in parallel (the plain
+    partitionBy(event_type) window this replaced sorted each type in
+    ONE task: 5.0x wall at 16x data in the round-7 probe). Exact same
+    medians; the sketch twin `events_sketch_profile` (HLL + GK,
+    one-pass, +/-5% pytest-bounded) remains the cheaper option.
     """
+    from ..operators.windows import distributed_rank_in_groups
+
     t = load_tables(spark, sf_dir)
     base = t["events"].where(F.col("value").isNotNull()).select(
         "event_id", "event_type",
@@ -1019,12 +1020,11 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _median_of(df, col, out):
-        w = Window.partitionBy("event_type").orderBy(F.col(col).asc(), F.col("event_id").asc())
-        wn = Window.partitionBy("event_type")
-        ranked = df.select(
-            "event_type", col,
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(wn).alias("n"),
+        ranked = distributed_rank_in_groups(
+            df.select("event_type", "event_id", col),
+            ["event_type"],
+            [F.col(col).asc(), F.col("event_id").asc()],
+            rank_name="rn", total_name="n",
         )
         return ranked.groupBy("event_type").agg(
             F.min(
@@ -1222,36 +1222,38 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrival-process profile: consecutive-event gaps per type with
     rank-exact median and p90 (row_number at the floored rank position
     — deterministic and cross-engine, where approx_percentile is
-    neither). Gaps are integer seconds from epoch-micros differences;
-    the lag window and the rank window share the event_type
-    partitioning (one exchange).
+    neither). Gaps are integer seconds from epoch-micros differences.
 
-    100 TB routing: this rank-exact form is the ORACLE/PARITY mode —
-    partitionBy(event_type) is low-cardinality, so one type's entire
-    data sorts in a single task (5.0x wall at 16x data in the round-7
-    probe). Production at scale routes to the mergeable sketch twin
-    `events_sketch_profile` (HLL + GK percentiles, one-pass, +/-5%
-    pytest-bounded in tests/test_plans.py); keep this exact form for
-    verification and type-scoped slices.
+    100 TB shape: the consecutive-event delta rides `distributed_lag`
+    and the percentile rank rides `distributed_rank_in_groups` — both
+    range-partition on the composite (event_type, order) key, so one
+    heavy type's data sorts across MANY tasks in parallel (the plain
+    partitionBy(event_type) windows this replaced sorted each type in
+    ONE task: 5.0x wall at 16x data in the round-7 probe). Exact same
+    gaps and ranks; the sketch twin `events_sketch_profile` (HLL + GK,
+    one-pass, +/-5% pytest-bounded) remains the cheaper option.
     """
+    from ..operators.windows import distributed_lag, distributed_rank_in_groups
+
     t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = distributed_lag(
+        t["events"].select("event_type", "event_id", "ts"),
+        ["event_type"], [F.col("ts"), F.col("event_id")], "ts",
+        lag_name="prev_ts",
+    )
     gaps = (
-        t["events"]
+        lagged
         .select(
             "event_type",
-            ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / F.lit(1000000))
+            ((F.unix_micros("ts") - F.unix_micros("prev_ts")) / F.lit(1000000))
             .cast("long").alias("gap_sec"),
         )
         .where(F.col("gap_sec").isNotNull())
     )
-    wr = Window.partitionBy("event_type").orderBy("gap_sec")
-    wn = Window.partitionBy("event_type")
-    ranked = gaps.select(
-        "event_type", "gap_sec",
-        F.row_number().over(wr.orderBy(F.col("gap_sec").asc())).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
+    ranked = distributed_rank_in_groups(
+        gaps, ["event_type"], [F.col("gap_sec").asc()],
+        rank_name="rn", total_name="n",
+    ).select("event_type", "gap_sec", "rn", "n")
     return ranked.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n_gaps"),
         F.min("gap_sec").cast("long").alias("min_sec"),

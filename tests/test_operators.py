@@ -638,3 +638,81 @@ def test_tracked_caches_release_after_action(spark):
     # follows. A second release is a no-op.
     assert c.release_tracked() == 0
     _ = release0
+
+
+def test_distributed_rank_in_groups_matches_partitioned_row_number(spark):
+    """distributed_rank_in_groups == row_number() OVER (PARTITION BY g
+    ORDER BY ...) exactly — heavy ties spanning range-partition
+    boundaries, NULL group keys (a real window group, unlike an
+    equi-join key), per-group totals, and the plan shape: range
+    partitioning on the composite key, no single-task per-group sort of
+    the input."""
+    from pyspark.sql.window import Window
+
+    from sm_etl_cloud_run_spark.operators.windows import (
+        distributed_rank_in_groups,
+    )
+
+    n = 5_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 3).cast("string")))
+        .alias("g"),
+        (F.col("id") % 7).alias("v"),  # heavy ties
+    )
+    order = [F.col("v").asc_nulls_last(), F.col("id")]
+    got = distributed_rank_in_groups(
+        df, ["g"], order, rank_name="rn", num_partitions=8, total_name="n_g"
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    want = df.select(
+        "id", "g",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("g")).alias("n_g"),
+    )
+    gm = {(r["id"],): (r["rn"], r["n_g"]) for r in got.collect()}
+    assert len(gm) == n
+    for r in want.collect():
+        assert gm[(r["id"],)] == (r["rn"], r["n_g"]), r
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower().replace(" ", "")
+
+    from sm_etl_cloud_run_spark.cache import release_tracked
+    release_tracked()
+
+
+def test_distributed_lag_matches_partitioned_lag(spark):
+    """distributed_lag == lag(v) OVER (PARTITION BY g ORDER BY ...) —
+    boundary rows across range partitions get their predecessor from
+    the shifted per-(partition, group) last-value relation; NULL values
+    and NULL group keys survive (the patch keys on local row number,
+    not on lag-is-NULL)."""
+    from pyspark.sql.window import Window
+
+    from sm_etl_cloud_run_spark.cache import release_tracked
+    from sm_etl_cloud_run_spark.operators.windows import distributed_lag
+
+    n = 5_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 3).cast("string")))
+        .alias("g"),
+        F.when(F.col("id") % 17 == 0, None)
+        .otherwise(F.col("id") * 3)
+        .alias("v"),
+    )
+    order = [F.col("id")]
+    got = distributed_lag(
+        df, ["g"], order, "v", lag_name="pv", num_partitions=8
+    )
+    w = Window.partitionBy("g").orderBy("id")
+    want = df.withColumn("pv", F.lag("v").over(w))
+    gm = {r["id"]: r["pv"] for r in got.collect()}
+    assert len(gm) == n
+    for r in want.collect():
+        assert gm[r["id"]] == r["pv"], (r["id"], gm[r["id"]], r["pv"])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower().replace(" ", "")
+    release_tracked()
