@@ -987,7 +987,16 @@ def corpus_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CCNet-style perplexity buckets: head / middle / tail per language
 # ---------------------------------------------------------------------------
 
-_PPL_SAMPLE_HEX = "'4'"   # md5 first hex char < '4' → 4/16 = 25% calibration
+# Calibration-sample BOUND (docs per language, in expectation). The
+# per-lang Bernoulli rate is min(1, TARGET / N_lang), realized as the
+# deterministic integer test  h32(doc_id) * N_lang < TARGET * 2^32
+# (h32 = first 8 md5 hex chars) — both engines agree on membership
+# exactly, and the sample stays TARGET-sized no matter how large the
+# corpus or how skewed its language mix. 128 exercises the cap on the
+# dominant language at every test SF (en: 193/218/2059 docs).
+_PPL_CAL_TARGET = 128
+_PPL_CAL_T32 = _PPL_CAL_TARGET * 4294967296  # precomputed: DuckDB would
+# evaluate the bare literal product in INT32 and overflow
 
 _PPL_BUCKETS_ORACLE = f"""
 WITH tok AS (
@@ -1007,8 +1016,12 @@ WITH tok AS (
          CAST((-CAST(SUM(tf.tf * logp.logp_micro) AS BIGINT)) // SUM(tf.tf) AS BIGINT) AS ppl_micro
   FROM tf JOIN logp USING (term)
   GROUP BY tf.doc_id, tf.lang
+), ln AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM doc GROUP BY lang
 ), samp AS (
-  SELECT * FROM doc WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < {_PPL_SAMPLE_HEX}
+  SELECT doc.doc_id, doc.lang, doc.ppl_micro FROM doc JOIN ln USING (lang)
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        * n_lang < {_PPL_CAL_T32}
 ), rk AS (
   SELECT lang, ppl_micro, doc_id,
          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ppl_micro ASC, doc_id ASC) AS rn
@@ -1048,19 +1061,26 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     census that drives downstream mixing ("train on head+middle").
 
     The scale design is CCNet's own: tercile thresholds come from a
-    CALIBRATION SAMPLE (deterministic md5(doc_id) 25% — both engines
-    agree on membership), so the only rank window runs over the
-    sample, per language — calibration-sized by construction, never
-    the corpus. Full-corpus assignment is then a broadcast join of the
-    per-lang threshold table + a CASE comparison: map-side, no
-    shuffle beyond the scoring aggregates. The perplexity proxy is
-    the text_unigram_logprob convention (1e6-floored unigram logprobs,
-    summed as BIGINT — order-free), negated BEFORE the floored
-    division so both engines floor a POSITIVE dividend. Languages
-    absent from the sample surface as an explicit 'unsampled' bucket
-    rather than silently joining a tercile.
+    BOUNDED calibration sample — per-language Bernoulli rate
+    min(1, {_PPL_CAL_TARGET} / N_lang), realized as the deterministic
+    integer test h32(doc_id) * N_lang < {_PPL_CAL_TARGET} * 2^32 over
+    the md5 hash, after one cheap per-lang count. Both engines agree
+    on membership exactly, and the sample holds ~{_PPL_CAL_TARGET}
+    docs per language IN EXPECTATION regardless of corpus size or
+    language skew (a fixed FRACTION would asymptotically BE the corpus
+    — the round-5 scale flag this replaces). Belt and braces, the
+    sample rank ALSO rides distributed_rank_in_groups, so even a
+    mis-sized sample never sorts in one task. Full-corpus assignment
+    is a broadcast join of the per-lang threshold table + a CASE
+    comparison: map-side, no shuffle beyond the scoring aggregates.
+    The perplexity proxy is the text_unigram_logprob convention
+    (1e6-floored unigram logprobs, summed as BIGINT — order-free),
+    negated BEFORE the floored division so both engines floor a
+    POSITIVE dividend. Languages absent from the sample surface as an
+    explicit 'unsampled' bucket rather than silently joining a
+    tercile.
     """
-    from pyspark.sql.window import Window
+    from ..operators.windows import distributed_rank_in_groups
 
     t = load_tables(spark, sf_dir)
     toks = t["documents"].select(
@@ -1089,16 +1109,24 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(-slp) div nt").cast("long").alias("ppl_micro"),
         )
     )
-    samp = doc.where(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < F.lit("4")
+    lang_n = doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lang")
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.col("ppl_micro").asc(), F.col("doc_id").asc()
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    samp = (
+        doc.join(F.broadcast(lang_n), "lang")
+        .where(h32 * F.col("n_lang") < F.lit(_PPL_CAL_T32))
+        .select("doc_id", "lang", "ppl_micro")
     )
-    rk = samp.withColumn("rn", F.row_number().over(w))
-    sn = rk.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk = distributed_rank_in_groups(
+        samp, ["lang"],
+        [F.col("ppl_micro").asc(), F.col("doc_id").asc()],
+        rank_name="rn", total_name="n",
+    )
     thr = (
-        rk.join(sn, "lang")
+        rk
         .groupBy("lang")
         .agg(
             F.min(F.when(F.col("rn") == F.expr("(n + 2) div 3"), F.col("ppl_micro")))

@@ -151,7 +151,9 @@ def test_fact_rank_plans_are_range_partitioned(spark, sf_dir):
                  # per-type ranks/medians/lags ride the grouped
                  # distributed operators — no single-task per-type sort
                  "events_winsorized_stats", "events_mad_outliers",
-                 "events_inter_arrival_stats"):
+                 "events_inter_arrival_stats",
+                 # bounded calibration sample, rank distributed (r5 item 1)
+                 "corpus_perplexity_buckets"):
         df = all_queries()[name].fn(spark, sf_dir)
         plan = _explain(df, mode="simple")
         assert "rangepartitioning" in plan.lower(), name
