@@ -402,3 +402,26 @@ def test_cms_heavy_hitters_bounds_vs_exact(spark, sf_dir):
     # determinism: same seed, same estimates
     again = dict(cms_heavy_hitters(ev, "user_id", list(exact)))
     assert again == dict(cms_heavy_hitters(ev, "user_id", list(exact)))
+
+
+def test_minhash_accuracy_sampled_subset(spark, sf_dir):
+    """sample_rate < 1 must yield a deterministic, engine-stable SUBSET
+    of the exhaustive rows (identical values per kept pair — the md5
+    gate only filters, never perturbs), sized near rate * |pairs|."""
+    from sm_etl_cloud_run_spark.cache import release_tracked
+    from sm_etl_cloud_run_spark.plans.textops import minhash_accuracy
+
+    key = lambda r: (r["id_a"], r["id_b"])
+    full = {key(r): tuple(r) for r in minhash_accuracy(spark, sf_dir).collect()}
+    samp = {key(r): tuple(r)
+            for r in minhash_accuracy(spark, sf_dir, sample_rate=0.5).collect()}
+    again = {key(r): tuple(r)
+             for r in minhash_accuracy(spark, sf_dir, sample_rate=0.5).collect()}
+    release_tracked()
+    assert samp == again                      # deterministic membership
+    assert set(samp) < set(full)              # strict subset
+    for k, row in samp.items():
+        assert row == full[k]                 # values untouched
+    # uniform gate: Binomial(n, .5) stays inside 4 sigma comfortably
+    n = len(full)
+    assert abs(len(samp) - 0.5 * n) <= 4 * (0.25 * n) ** 0.5 + 1, (len(samp), n)
