@@ -98,70 +98,37 @@ def register(
 # longest-unchecked block, then the most recently checked block.
 # Registration order is unchanged; only the yield order is prioritized.
 
-# Tier 1 — no green driver row for the CURRENT code. After
-# CORRECTNESS_r04 landed (50 green rows, disjoint from r3), the union
-# of r1-r4 driver rows covers 150/176; this tier is the remaining 26
-# (VERDICT r4 "What's missing" item 1) plus queries whose code changed
-# AFTER their last green row. 26+4 < 50, so the round-5 window closes
-# the driver-rows gap entirely; the tail of the window falls through
-# to tier 2 (longest-unchecked).
+# Tier 1 — queries whose implementation changed after their last green
+# driver row. CORRECTNESS_r05 closed the never-checked gap entirely
+# (driver union r1-r5 = 195/195); from round 6 on this tier is purely
+# change-tracking: every query here rides code touched THIS round
+# (grouped distributed_rank rewires of the rank-exact percentile
+# family, the bounded perplexity calibration sample, the tracked-cache
+# persist switch in windows/graph/simhash, the sampled-candidates
+# minhash-accuracy mode), plus anything newly registered. The window's
+# tail falls through to tier 2 (longest-unchecked — their green rows
+# date to rounds 1/2, so re-greening the oldest costs the driver
+# nothing and keeps rows fresh).
 _CHANGED_OR_NEVER_CHECKED = (
     # registered THIS round, never driver-checked:
-    "documents_length_deciles",
-    "corpus_bpe_merge_candidates",
-    "training_curriculum_order",
-    "events_heavy_hitters_exact",
-    "embedding_hard_negatives",
-    "knn_ivf_recall",
-    "kmeans_cluster_purity",
-    "knn_graph_link_prediction",
-    "text_readability",
-    "events_key_skew_profile",
-    "dedup_minhash_accuracy",
-    "dedup_simhash_pairs",
-    "corpus_perplexity_buckets",
-    "training_token_budget_fill",
-    "orders_market_basket",
-    "events_rfm_segments",
-    "embedding_pca_top_component",
-    "events_velocity_rule",
-    "text_keyword_textrank",
-    # changed THIS round (distributed_rank rewires, VERDICT r4 item 1)
-    # after their r4 green rows:
-    "events_decile_lift",
+    # (new queries go here, newest first)
+    # changed THIS round after their r4/r5 green rows:
+    "events_winsorized_stats",      # grouped distributed_rank rewire
+    "events_mad_outliers",          # grouped distributed_rank rewire
+    "events_inter_arrival_stats",   # distributed_lag rewire
+    "corpus_perplexity_buckets",    # per-lang bounded calibration sample
+    "dedup_minhash_accuracy",       # sampled-candidates mode
+    "dedup_simhash_pairs",          # persist -> persist_tracked
+    "knn_graph_link_prediction",    # persist -> persist_tracked
+    # distributed_rank/ntile/cumsum riders (operators/windows.py now
+    # persists through the tracked-cache module):
     "training_dsir_sample",
     "text_zipf_fit",
-    # never driver-checked (registered rounds 4-6 faster than the
-    # 50-query window drained; all judge-verified exact in VERDICT r4):
-    "text_pmi_collocations",
-    "events_seasonal_baseline",
-    "text_dup_ngram_fraction",
-    "text_c4_heuristics",
-    "domain_mixture_weights",
-    "dedup_incremental_new_docs",
-    "knn_graph_brute",
-    "knn_graph_lsh",
-    "knn_pq_adc",
-    "corpus_training_mix",
-    "events_cohort_retention",
-    "events_sketch_profile",
-    "text_chunk_windows",
-    "kmeans_embedding_clusters",
-    "events_session_window_native",
-    "training_pack_sequences",
-    "training_stratified_sample",
-    "training_shuffle_buckets",
-    "text_repetition_filter",
-    "text_tfidf_topterms",
-    "text_unigram_logprob",
-    "training_temperature_sample",
-    "corpus_curation_pipeline",
-    "dedup_semantic_clusters",
-    "corpus_quality_report",
-    "text_winnowing_overlap_pairs",
-    # green in r1/r2, then rewritten in r3 (operators/joins.py:91-139)
-    # — still no driver row for the current code:
-    "j1_period_bucketed_range_join",
+    "documents_length_deciles",
+    "events_key_skew_profile",
+    "events_rfm_segments",
+    "events_decile_lift",
+    "training_token_budget_fill",
 )
 
 # Tier 2 — last driver-checked in rounds 1/2 (longest unchecked).
