@@ -111,7 +111,9 @@ def register(
 # nothing and keeps rows fresh).
 _CHANGED_OR_NEVER_CHECKED = (
     # registered THIS round, never driver-checked:
-    # (new queries go here, newest first)
+    "quality_score_calibration",
+    "training_decontaminate_report",
+    "dedup_cross_lingual",
     # changed THIS round after their r4/r5 green rows:
     "events_winsorized_stats",      # grouped distributed_rank rewire
     "events_mad_outliers",          # grouped distributed_rank rewire

@@ -710,6 +710,134 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_DF_CAP = 1000
+
+_DECON_REPORT_ORACLE = f"""
+WITH {_shingle_cte()},
+ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+rare AS (
+  SELECT s FROM ex WHERE doc_id >= 25
+  GROUP BY 1 HAVING COUNT(*) <= {_DECON_DF_CAP}
+),
+ev AS (
+  SELECT d.doc_id, d.source AS suite, e.s
+  FROM documents d JOIN ex e ON e.doc_id = d.doc_id
+  JOIN rare r ON r.s = e.s
+  WHERE d.doc_id < 25
+),
+overlap AS (
+  SELECT ev.doc_id AS eval_doc, ev.suite, ex.doc_id AS train_doc,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ev JOIN ex ON ex.s = ev.s AND ex.doc_id >= 25
+  GROUP BY 1, 2, 3
+),
+hits AS (
+  SELECT eval_doc, suite,
+         CAST(COUNT(*) AS BIGINT) AS n_leaking,
+         CAST(MAX(n_shared) AS BIGINT) AS top_overlap
+  FROM overlap WHERE n_shared >= {_CONTAM_MIN_OVERLAP}
+  GROUP BY 1, 2
+),
+suites AS (
+  SELECT source AS suite, CAST(COUNT(*) AS BIGINT) AS n_eval
+  FROM documents WHERE doc_id < 25 GROUP BY 1
+)
+SELECT s.suite, s.n_eval,
+       CAST(COALESCE(COUNT(h.eval_doc), 0) AS BIGINT) AS n_contaminated,
+       CAST((10000 * COALESCE(COUNT(h.eval_doc), 0)) // s.n_eval AS BIGINT) AS contaminated_bp,
+       CAST(COALESCE(MAX(h.top_overlap), 0) AS BIGINT) AS top_overlap,
+       CAST(COALESCE(SUM(h.n_leaking), 0) AS BIGINT) AS n_leaking_train_docs
+FROM suites s LEFT JOIN hits h ON h.suite = s.suite
+GROUP BY 1, 2
+"""
+
+
+@register("training_decontaminate_report", oracle=_DECON_REPORT_ORACLE,
+          description="eval-suite contamination canary: per suite, how many "
+                      "held-out docs leak into the training corpus")
+def training_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-suite canary on top of text_contamination_check: that
+    query flags contaminated TRAINING docs for removal; this one reports
+    the leak from the EVAL side — per suite (source stands in for the
+    benchmark name; doc_id < 25 for its held-out docs), how many eval
+    docs share >= K distinct shingles with any training doc, the
+    contamination rate in bp, the worst single-doc overlap, and the
+    total count of leaking training docs. This is the go/no-go sheet a
+    training run reads before trusting its benchmark deltas — a suite
+    at 5000 bp is not measuring generalization.
+
+    Ubiquitous shingles are EXCLUDED (training document frequency >
+    df_cap): an n-gram that appears in thousands of training docs is
+    language, not leakage — exactly why production decontamination
+    matches on long, rare n-grams. The cap is also what makes the
+    join finite: without it, one stop-phrase shingle shared by 25
+    eval docs and 1% of a 10^9-doc corpus alone emits 2.5x10^8 join
+    rows (the 16x probe ran minutes before the cap, seconds after —
+    same mechanism as text_dup_ngram_fraction's df-capped inverted
+    index).
+
+    100 TB shape: the eval side is small BY CONSTRUCTION (benchmark
+    suites are thousands of docs), so its rare-shingle relation
+    broadcasts; the corpus pays one shingle scan for the df counts
+    plus one hash join against the broadcast, with join fan-out
+    bounded by df_cap x |eval shingles|, grouped to
+    (eval_doc, train_doc) — the same affordable-verify discipline as
+    dedup_minhash_accuracy. All aggregates beyond the join are suite-
+    or eval-doc-sized.
+    """
+    from ..functions.text import word_shingles
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), SHINGLE_K))).alias("s"),
+    )
+    rare = (
+        ex.where(F.col("doc_id") >= 25)
+        .groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= _DECON_DF_CAP)
+        .select("s")
+    )
+    ev = (
+        ex.where(F.col("doc_id") < 25)
+        .join(rare, "s")
+        .join(docs.select("doc_id", F.col("source").alias("suite")), "doc_id")
+        .select(F.col("doc_id").alias("eval_doc"), "suite", "s")
+    )
+    overlap = (
+        ex.where(F.col("doc_id") >= 25)
+        .withColumnRenamed("doc_id", "train_doc")
+        .join(F.broadcast(ev), "s")
+        .groupBy("eval_doc", "suite", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    hits = (
+        overlap.where(F.col("n_shared") >= _CONTAM_MIN_OVERLAP)
+        .groupBy("eval_doc", "suite")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_leaking"),
+            F.max("n_shared").cast("long").alias("top_overlap"),
+        )
+    )
+    suites = (
+        docs.where(F.col("doc_id") < 25)
+        .groupBy(F.col("source").alias("suite"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eval"))
+    )
+    return (
+        suites.join(hits, "suite", "left")
+        .groupBy("suite", "n_eval")
+        .agg(
+            F.count("eval_doc").cast("long").alias("n_contaminated"),
+            F.expr("(10000 * COUNT(eval_doc)) DIV FIRST(n_eval)")
+            .cast("long").alias("contaminated_bp"),
+            F.coalesce(F.max("top_overlap"), F.lit(0)).cast("long").alias("top_overlap"),
+            F.coalesce(F.sum("n_leaking"), F.lit(0)).cast("long").alias("n_leaking_train_docs"),
+        )
+    )
+
+
 _SPLIT_ORACLE = """
 SELECT doc_id,
        CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
@@ -829,6 +957,100 @@ def text_quality_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "q_micro",
         z_safe.alias("z"),
         F.when((d > 0) & (z < -1.0), 0).otherwise(1).cast("long").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-score calibration (reliability diagram)
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+_CALIBRATION_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+                              w -> w IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop
+  FROM documents
+), q AS (
+  SELECT doc_id, n_tokens, n_distinct,
+         (500000 * n_distinct) // n_tokens
+         + 300000 - (300000 * n_stop) // n_tokens
+         + CASE WHEN n_tokens >= 20 THEN 200000 ELSE 10000 * n_tokens END AS q_micro
+  FROM f
+), r AS (SELECT MIN(q_micro) AS mn, MAX(q_micro) AS mx FROM q),
+scored AS (
+  SELECT ((q.q_micro - r.mn) * 10000) // (r.mx - r.mn + 1) AS p_bp,
+         CASE WHEN 4 * q.n_distinct >= 3 * q.n_tokens THEN 1 ELSE 0 END AS y
+  FROM q, r
+)
+SELECT CAST(p_bp // {10000 // _CAL_BINS} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p_bp) // COUNT(*) AS BIGINT) AS mean_pred_bp,
+       CAST((10000 * SUM(y)) // COUNT(*) AS BIGINT) AS pos_bp,
+       CAST(ABS(SUM(p_bp) // COUNT(*) - (10000 * SUM(y)) // COUNT(*)) AS BIGINT) AS gap_bp
+FROM scored
+GROUP BY 1
+"""
+
+
+@register("quality_score_calibration", oracle=_CALIBRATION_ORACLE,
+          description="classifier-QA reliability diagram: per score-decile "
+                      "predicted-vs-empirical positive rate (ECE inputs)")
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram buckets for a quality classifier — the QA
+    report that decides whether a filtering threshold on the score is
+    trustworthy or needs recalibration (Platt/isotonic) before it
+    gates terabytes. The 'classifier' is the integer q_micro heuristic
+    (same basis as text_quality_zscore_by_lang) squashed to basis
+    points against the observed score range; the outcome it is graded
+    on is high lexical diversity (type-token ratio >= 3/4 — a signal
+    the score only partially encodes, so the diagram has real gaps).
+    Per score-decile: doc count, mean predicted bp, empirical positive
+    bp, |gap| — the per-bin inputs of expected calibration error;
+    ECE = sum(n_docs * gap_bp) / sum(n_docs) downstream.
+
+    Everything is floored-integer (DIV), so both engines agree
+    bit-for-bit. 100 TB shape: one scan for the 1-row score range
+    (broadcast scalar), one scan for binning, a {_CAL_BINS}-group
+    aggregate — map-side combinable, output is bin-sized.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    f = t["documents"].select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).cast("long").alias("n_stop"),
+    )
+    q = f.select(
+        "n_tokens", "n_distinct",
+        (
+            F.expr("(500000 * n_distinct) DIV n_tokens")
+            + 300000
+            - F.expr("(300000 * n_stop) DIV n_tokens")
+            + F.when(F.col("n_tokens") >= 20, 200000).otherwise(10000 * F.col("n_tokens"))
+        ).cast("long").alias("q_micro"),
+    )
+    rng = q.agg(F.min("q_micro").alias("mn"), F.max("q_micro").alias("mx"))
+    scored = q.crossJoin(F.broadcast(rng)).select(
+        F.expr("((q_micro - mn) * 10000) DIV (mx - mn + 1)").alias("p_bp"),
+        F.when(4 * F.col("n_distinct") >= 3 * F.col("n_tokens"), 1)
+        .otherwise(0).cast("long").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        scored.groupBy(F.expr(f"p_bp DIV {10000 // _CAL_BINS}").cast("long").alias("bin"))
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.expr("SUM(p_bp) DIV COUNT(*)").cast("long").alias("mean_pred_bp"),
+            F.expr("(10000 * SUM(y)) DIV COUNT(*)").cast("long").alias("pos_bp"),
+            F.expr("ABS(SUM(p_bp) DIV COUNT(*) - (10000 * SUM(y)) DIV COUNT(*))")
+            .cast("long").alias("gap_bp"),
+        )
     )
 
 

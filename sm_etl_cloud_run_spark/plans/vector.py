@@ -124,6 +124,120 @@ def _bucket_sql(vec: str) -> str:
     return " + ".join(bits)
 
 
+_XLING_THRESHOLD = 0.40
+
+_XLING_ORACLE = f"""
+WITH h1 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 1)}),
+h2 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 2)}),
+h3 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 3)}),
+eb AS (
+  SELECT e.vec_id, e.embedding, d.lang, {_bucket_sql('e.embedding')} AS bucket
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, h1, h2, h3
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.lang AS lang_a, b.lang AS lang_b,
+         {_dot_sql('a.embedding', 'b.embedding')} AS dot_s,
+         {_dot_sql('a.embedding', 'a.embedding')} AS na_s,
+         {_dot_sql('b.embedding', 'b.embedding')} AS nb_s
+  FROM eb a JOIN eb b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id AND a.lang <> b.lang
+)
+SELECT id_a, id_b, lang_a, lang_b,
+       round(CAST(dot_s AS DOUBLE) / (sqrt(CAST(na_s AS DOUBLE)) * sqrt(CAST(nb_s AS DOUBLE))), 6) AS cosine
+FROM pairs
+WHERE round(CAST(dot_s AS DOUBLE) / (sqrt(CAST(na_s AS DOUBLE)) * sqrt(CAST(nb_s AS DOUBLE))), 6) >= {_XLING_THRESHOLD}
+"""
+
+
+@register("dedup_cross_lingual", oracle=_XLING_ORACLE,
+          description="cross-lingual near-dup candidates: LSH-bucketed "
+                      "embedding pairs restricted to DIFFERENT languages")
+def dedup_cross_lingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translated near-duplicates — the dedup class MinHash can never
+    see (zero lexical overlap by definition), caught in embedding
+    space where translations land close. Same hyperplane-LSH bucketing
+    as the monolingual scale path (planes = ranks 1-3), but the pair
+    join demands DIFFERENT document languages, so same-language dups
+    (the monolingual pipeline's job) never form pairs at all — the
+    language column is attached BEFORE bucketing, making the inequality
+    part of the join condition, not a post-filter over formed pairs.
+
+    SQL `<>` semantics both engines share: a NULL lang never pairs —
+    language-unidentified docs belong to the monolingual pipeline
+    until language-ID assigns them. Cosine is the fixed-point dot
+    (bit-identical across engines).
+
+    The bucket self-join runs over DISTINCT (embedding, lang) CLONES,
+    not vectors — the simhash/pagerank clone-collapse, which is
+    mandatory for any pair-emitting dedup query: a cluster of c
+    byte-identical vectors costs c² inside every shared bucket, and
+    the 16x probe (16 exact copies of each vector) ran minutes
+    vector-level vs seconds clone-level. Clone-level pairs expand back
+    to vector pairs through the member mapping — output-sized work,
+    the answer itself.
+
+    100 TB shape: lang lookup is a doc-keyed hash join (fact-to-fact,
+    shuffle on id — NOT broadcast; both sides are corpus-sized), then
+    the bucket-equality join over clones bounds candidates exactly
+    like embedding_cosine_dup_pairs; norms are hoisted per-clone. More
+    planes → smaller buckets at bigger corpora (same dial as the
+    monolingual path; recall decays per the hyperplane-LSH S-curve).
+    """
+    from ..cache import persist_tracked
+    from ..operators.similarity import _fixed_point_dot, hyperplane_lsh_bucket
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = _seed_rows(emb, 4)
+    planes = [[float(x) for x in seeds[i]["embedding"]] for i in (1, 2, 3)]
+    langs = t["documents"].select(F.col("doc_id").alias("vec_id"), "lang")
+    tagged = emb.join(langs, "vec_id")
+    # clone table feeds three branches (pair sides + member expansion)
+    reps = persist_tracked(
+        tagged.groupBy("embedding", "lang").agg(F.min("vec_id").alias("rid"))
+    )
+    scored = reps.select(
+        "rid", "lang",
+        hyperplane_lsh_bucket(F.col("embedding"), planes).alias("__bucket"),
+        F.col("embedding"),
+        _fixed_point_dot(F.col("embedding"), F.col("embedding")).alias("__sq"),
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    dot = _fixed_point_dot(F.col("a.embedding"), F.col("b.embedding")).cast("double")
+    cosine = F.round(
+        dot / (F.sqrt(F.col("a.__sq").cast("double")) * F.sqrt(F.col("b.__sq").cast("double"))), 6
+    )
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.rid") < F.col("b.rid"))
+            & (F.col("a.lang") != F.col("b.lang")),
+        )
+        .select(
+            F.col("a.rid").alias("ra"), F.col("b.rid").alias("rb"),
+            F.col("a.lang").alias("la"), F.col("b.lang").alias("lb"),
+            cosine.alias("cosine"),
+        )
+        .where(F.col("cosine") >= _XLING_THRESHOLD)
+    )
+    members = tagged.join(
+        reps.select("embedding", "lang", "rid"), ["embedding", "lang"]
+    ).select("vec_id", "rid")
+    ma = members.select(F.col("rid").alias("ra"), F.col("vec_id").alias("da"))
+    mb = members.select(F.col("rid").alias("rb"), F.col("vec_id").alias("db"))
+    return (
+        rep_pairs.join(ma, "ra").join(mb, "rb")
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            F.when(F.col("da") < F.col("db"), F.col("la")).otherwise(F.col("lb")).alias("lang_a"),
+            F.when(F.col("da") < F.col("db"), F.col("lb")).otherwise(F.col("la")).alias("lang_b"),
+            "cosine",
+        )
+    )
+
+
 _LSH_KNN_ORACLE = f"""
 WITH h1 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 1)}),
 h2 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 2)}),

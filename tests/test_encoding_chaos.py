@@ -258,6 +258,9 @@ _HOSTILE_QUERIES = (
     "corpus_perplexity_buckets",
     "training_token_budget_fill",
     "text_keyword_textrank",
+    "quality_score_calibration",
+    "training_decontaminate_report",
+    "dedup_cross_lingual",
 )
 
 

@@ -116,6 +116,7 @@ _NESTED_LOOP_OK = {
     "events_sliding_window",
     "set_intersect_except",  # three 1-row aggs crossJoined into one output row
     "text_tfidf_topterms",   # 1-row corpus-size scalar broadcast (N for idf)
+    "quality_score_calibration",  # 1-row score-range (mn,mx) scalar broadcast
     "text_unigram_logprob",  # 1-row total-token scalar broadcast
     "text_bigram_logprob",   # same 1-row total-token scalar broadcast
     # exact dup-pair self-join edge discovery (small-input twin of the

@@ -1,0 +1,142 @@
+"""Rehearsal at the reference's real monthly-file scale.
+
+The pytest rehearsal (tests/test_rehearsal.py) proves the EP1/EP2/EP3
+lifecycle on 24k synthetic rows; the reference's production PA shards
+run 10^5-10^6 rows per monthly file (SURVEY §3). This probe is the
+one-command version at that envelope: same canned FTP, same DBC
+shards, same runner dispatch, same staged Derby load — just more rows.
+
+Usage: python tools/rehearsal_probe.py [rows_per_shard] [n_shards]
+       (default 100000 x 4 = 400k raw rows)
+Prints one JSON line {"rows_raw": N, "loaded_rows": N, "ep3_sec": ...,
+"ep1_sec": ..., "ep2_sec": ..., "rows_per_sec_ep1": ...}.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+from pyspark import cloudpickle  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from dbc_fixtures import make_dbc, make_dbf  # noqa: E402
+from test_datasus_ftp import FakeFtpSession  # noqa: E402
+
+from sm_etl_cloud_run_spark import runner  # noqa: E402
+from sm_etl_cloud_run_spark.pipelines import PA_SPEC, rehearsal  # noqa: E402
+from sm_etl_cloud_run_spark.session import get_spark  # noqa: E402
+from sm_etl_cloud_run_spark.sources.jdbc import read_jdbc_table  # noqa: E402
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+_DIR = "/dissemin/publicos/SIASUS/200801_/Dados"
+
+
+def _shard_bytes(shard_idx: int, rows: int) -> bytes:
+    """Same row recipe as tests/test_rehearsal.py: even rows pass the
+    panel+condition gate, odd rows are dropped by F1."""
+    cols = PA_SPEC.raw_columns
+    base = {c: "X" for c in cols}
+    base.update({
+        "PA_TPUPS": "70", "PA_MVM": "202408", "PA_CMP": "202408",
+        "PA_MN_IND": "M", "PA_OBITO": "1", "PA_ENCERR": "0",
+        "PA_PERMAN": "", "PA_ALTA": "1", "PA_TRANSF": "0",
+        "PA_MOTSAI": "11", "PA_CNPJMNT": "00000000000000",
+        "PA_IDADE": "042", "PA_SRV_C": "121001",
+        "PA_CIDPRI": "F200", "PA_CATEND": "01",
+    })
+    data = []
+    for i in range(rows):
+        r = dict(base)
+        n = shard_idx * rows + i
+        r["PA_CODUNI"] = f"{n % 9999999:07d}"
+        r["PA_PROC_ID"] = f"{n % 999999999:09d}"
+        r["PA_CBOCOD"] = f"{n % 999999:06d}"
+        r["PA_QTDPRO"] = str(5 + n % 7)
+        r["PA_QTDAPR"] = str(1 + n % 5)
+        if i % 2 == 0:
+            r["PA_UFMUN"], r["PA_MUNPCN"] = "355030", "355030"
+        else:
+            r["PA_UFMUN"], r["PA_MUNPCN"] = "111111", "222222"
+        data.append([r[c] for c in cols])
+    widths = {c: max(1, max(len(row[i]) for row in data))
+              for i, c in enumerate(cols)}
+    fields = [(c, "C", widths[c]) for c in cols]
+    return make_dbc(make_dbf(fields, data))
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_shards = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    shards = [f"PASP2408{chr(ord('a') + i)}.dbc" for i in range(n_shards)]
+
+    t0 = time.perf_counter()
+    tree = {_DIR: {name: _shard_bytes(i, rows) for i, name in enumerate(shards)}}
+    gen_sec = time.perf_counter() - t0
+
+    spark = get_spark("rehearsal-probe")
+    work = tempfile.mkdtemp(prefix="rehearsal_probe_")
+    try:
+        control = os.path.join(work, "sm_metadados_ftp")
+        derby = f"jdbc:derby:{work}/wh;create=true"
+        periods = spark.createDataFrame(
+            [(dt.date(2024, 8, 1), "p-2024-08-M")], "data_inicio date, id string"
+        )
+        geo = spark.createDataFrame(
+            [("355030", "m-sp"), ("330455", "m-rj")], "id_sus string, id string"
+        )
+        rehearsal.configure(
+            host="ftp.fake", directory=_DIR,
+            transport_factory=lambda: FakeFtpSession(tree),
+            control_path=control, bronze_root=os.path.join(work, "bronze"),
+            panel_ids=["355030", "330455"], periods=periods, geo=geo,
+            jdbc_url=derby, jdbc_table="pa_fato",
+            jdbc_column_types="ftp_arquivo_nome VARCHAR(64)",
+        )
+
+        t0 = time.perf_counter()
+        ctl = rehearsal.refresh_control(spark)
+        assert ctl.count() == n_shards
+        ep3_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        rc = runner.main([
+            "--control", control, "--tipo", "PA", "--acao", "baixar",
+            "--job", "sm_etl_cloud_run_spark.pipelines.rehearsal:ep1_baixar_pa",
+        ])
+        assert rc == 0
+        ep1_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        rc = runner.main([
+            "--control", control, "--tipo", "PA", "--acao", "inserir",
+            "--job", "sm_etl_cloud_run_spark.pipelines.rehearsal:ep2_inserir_pa",
+        ])
+        assert rc == 0
+        ep2_sec = time.perf_counter() - t0
+
+        loaded = read_jdbc_table(spark, url=derby, table="pa_fato").count()
+        raw = rows * n_shards
+        assert loaded == raw // 2, (loaded, raw)
+        print(json.dumps({
+            "rows_raw": raw, "loaded_rows": loaded,
+            "gen_sec": round(gen_sec, 1), "ep3_sec": round(ep3_sec, 1),
+            "ep1_sec": round(ep1_sec, 1), "ep2_sec": round(ep2_sec, 1),
+            "rows_per_sec_ep1": int(raw / ep1_sec),
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
