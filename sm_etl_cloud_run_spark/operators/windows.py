@@ -48,20 +48,33 @@ def distributed_rank(
     1. ``repartitionByRange`` on the FULL ordering (tiebreakers
        included, so heavy ties still split across partitions — range
        boundaries are whole ordering tuples, not first-key values),
-       and PERSIST the partitioned relation: ``spark_partition_id()``
-       is nondeterministic, which defeats canonicalization-based
-       exchange reuse, so without materialization every downstream
-       branch (counts, data) would replay the full upstream pipeline
-       plus the range sampler — measured 85 s unpersisted vs under 7 s
+       then ``sortWithinPartitions`` on the same ordering and a
+       ``monotonically_increasing_id`` projected ABOVE the sort (both
+       id functions are nondeterministic, so the optimizer cannot
+       reorder them below it). PERSIST that relation:
+       nondeterministic ids defeat canonicalization-based exchange
+       reuse, so without materialization every downstream branch
+       (counts, data) would replay the full upstream pipeline plus the
+       range sampler — measured 85 s unpersisted vs under 7 s
        persisted for training_dsir_sample at the 16× probe.
        The cached relation is rank-input-sized (typically an aggregate:
        users, docs, vocabulary — far smaller than the fact table) and
        MEMORY_AND_DISK, so executors spill rather than OOM;
-    2. local ``row_number`` per range partition (window partitioned by
-       ``spark_partition_id()`` — every partition sorts in parallel);
-    3. per-partition counts → cumulative offsets (a partition-count-
-       sized relation; its own global window is parameter-sized);
-    4. rank = offset + local row number, offsets broadcast-joined back.
+    2. the local row number is ``mid - min(mid)`` within the partition:
+       ``monotonically_increasing_id`` counts consecutively from 0
+       inside each partition (partition id in the high bits, a
+       per-row counter in the low 33 — pinned by the tie/NULL
+       equivalence tests), and the stream it numbers is the sorted
+       one. NO window over the data — the earlier row_number form
+       planned ``Exchange hashpartitioning(__dr_pid) + Sort + Window``
+       downstream of the cache (Catalyst cannot know a
+       spark_partition_id column IS the physical partition), i.e. a
+       second fact-sized shuffle and a second sort this form deletes;
+    3. per-partition counts + first-ids → cumulative offsets (a
+       partition-count-sized relation; its own global window is
+       parameter-sized);
+    4. rank = offset + (mid - first_mid + 1), offsets broadcast-joined
+       back.
 
     ``order_by`` must be a total order (include a tiebreaker) and
     should pin NULLS LAST explicitly when values can be NULL. With
@@ -73,19 +86,29 @@ def distributed_rank(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    part = df.repartitionByRange(num_partitions, *order_by).withColumn(
-        "__dr_pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__dr_pid"),
+            F.monotonically_increasing_id().alias("__dr_mid"),
+        )
     )
     part = persist_tracked(part)
-    counts = part.groupBy("__dr_pid").agg(F.count(F.lit(1)).alias("__dr_cnt"))
+    counts = part.groupBy("__dr_pid").agg(
+        F.count(F.lit(1)).alias("__dr_cnt"),
+        F.min("__dr_mid").alias("__dr_first"),
+    )
     w_off = Window.orderBy("__dr_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     off_cols = [
         F.col("__dr_pid"),
+        F.col("__dr_first"),
         F.coalesce(F.sum("__dr_cnt").over(w_off), F.lit(0)).alias("__dr_off"),
     ]
-    drop_cols = ["__dr_pid", "__dr_off"]
+    drop_cols = ["__dr_pid", "__dr_mid", "__dr_first", "__dr_off"]
     if total_name is not None:
         w_all = Window.orderBy("__dr_pid").rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
@@ -94,12 +117,12 @@ def distributed_rank(
             F.sum("__dr_cnt").over(w_all).cast("long").alias(total_name)
         )
     offsets = counts.select(*off_cols)
-    w_local = Window.partitionBy("__dr_pid").orderBy(*order_by)
     return (
         part.join(F.broadcast(offsets), "__dr_pid")
         .withColumn(
             rank_name,
-            (F.row_number().over(w_local) + F.col("__dr_off")).cast("long"),
+            (F.col("__dr_mid") - F.col("__dr_first") + 1 + F.col("__dr_off"))
+            .cast("long"),
         )
         .drop(*drop_cols)
     )
@@ -127,16 +150,23 @@ def distributed_rank_in_groups(
     partitions and every partition sorts in parallel:
 
     1. ``repartitionByRange`` on ``(group_cols..., order_by...)``,
+       ``sortWithinPartitions`` on the same composite, a
+       ``monotonically_increasing_id`` projected above the sort,
        persisted (same exchange-reuse rationale as distributed_rank);
-    2. per-``(partition, group)`` counts → per-group EXCLUSIVE running
-       offsets over partition id. Groups are contiguous in the range
-       order, so this offsets relation has at most
-       ``|groups| + num_partitions - 1`` rows — parameter-sized for the
-       low-cardinality groups this operator targets, and its window is
-       partitioned by group (never a global sort);
-    3. local ``row_number`` per ``(partition, group)``;
-    4. rank = offset + local row number, offsets broadcast-joined back
-       on ``(partition, group)``.
+    2. per-``(partition, group)`` counts + first-ids → per-group
+       EXCLUSIVE running offsets over partition id. Groups are
+       contiguous in the range order, so this offsets relation has at
+       most ``|groups| + num_partitions - 1`` rows — parameter-sized
+       for the low-cardinality groups this operator targets, and its
+       window is partitioned by group (never a global sort);
+    3. the local row number is ``mid - min(mid)`` within the
+       ``(partition, group)`` segment — group rows are contiguous in
+       the sorted stream the id numbers, so no window ever touches the
+       data (the earlier row_number form planned an extra fact-sized
+       ``Exchange hashpartitioning(__dg_pid, group) + Sort`` downstream
+       of the cache — see distributed_rank);
+    4. rank = offset + (mid - first_mid + 1), offsets broadcast-joined
+       back on ``(partition, group)``.
 
     ``order_by`` must totally order rows WITHIN a group (include a
     tiebreaker; pin NULLS LAST explicitly for nullable keys). With
@@ -150,12 +180,19 @@ def distributed_rank_in_groups(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     gcols = list(group_cols)
-    part = df.repartitionByRange(
-        num_partitions, *[F.col(g) for g in gcols], *order_by
-    ).withColumn("__dg_pid", F.spark_partition_id())
+    part = (
+        df.repartitionByRange(num_partitions, *[F.col(g) for g in gcols], *order_by)
+        .sortWithinPartitions(*[F.col(g) for g in gcols], *order_by)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__dg_pid"),
+            F.monotonically_increasing_id().alias("__dg_mid"),
+        )
+    )
     part = persist_tracked(part)
     counts = part.groupBy("__dg_pid", *gcols).agg(
-        F.count(F.lit(1)).alias("__dg_cnt")
+        F.count(F.lit(1)).alias("__dg_cnt"),
+        F.min("__dg_mid").alias("__dg_first"),
     )
     w_off = (
         Window.partitionBy(*gcols)
@@ -168,9 +205,10 @@ def distributed_rank_in_groups(
     off_cols = [
         F.col("__dg_pid").alias("__dg_pid2"),
         *[F.col(g).alias(f"__dg_g{i}") for i, g in enumerate(gcols)],
+        F.col("__dg_first"),
         F.coalesce(F.sum("__dg_cnt").over(w_off), F.lit(0)).alias("__dg_off"),
     ]
-    drop_cols = ["__dg_pid", "__dg_pid2", "__dg_off"] + [
+    drop_cols = ["__dg_pid", "__dg_pid2", "__dg_mid", "__dg_first", "__dg_off"] + [
         f"__dg_g{i}" for i in range(len(gcols))
     ]
     if total_name is not None:
@@ -186,12 +224,12 @@ def distributed_rank_in_groups(
     cond = F.col("__dg_pid") == F.col("__dg_pid2")
     for i, g in enumerate(gcols):
         cond = cond & F.col(g).eqNullSafe(F.col(f"__dg_g{i}"))
-    w_local = Window.partitionBy("__dg_pid", *gcols).orderBy(*order_by)
     return (
         part.join(F.broadcast(offsets), cond)
         .withColumn(
             rank_name,
-            (F.row_number().over(w_local) + F.col("__dg_off")).cast("long"),
+            (F.col("__dg_mid") - F.col("__dg_first") + 1 + F.col("__dg_off"))
+            .cast("long"),
         )
         .drop(*drop_cols)
     )
