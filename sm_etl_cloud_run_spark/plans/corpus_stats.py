@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import tokens, word_shingles
+from ..functions.text import token_count, tokens, word_shingles
 from ..tables import load_tables
 from .registry import register
 
@@ -1259,4 +1259,67 @@ def text_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr.select(F.col("id").alias("word"), "deg", "pr_micro")
         .orderBy(F.col("pr_micro").desc(), F.col("word").asc())
         .limit(_TR_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility (bytes / chars per token, per language)
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = """
+WITH f AS (
+  SELECT lang,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((1000 * SUM(n_bytes)) // SUM(n_tokens) AS BIGINT) AS bytes_per_token_milli,
+       CAST((1000 * SUM(n_chars)) // SUM(n_tokens) AS BIGINT) AS chars_per_token_milli,
+       CAST((1000 * SUM(n_tokens)) // COUNT(*) AS BIGINT) AS tokens_per_doc_milli
+FROM f
+GROUP BY lang
+"""
+
+
+@register("corpus_bytes_per_token", oracle=_FERTILITY_ORACLE,
+          description="per-language tokenizer fertility: bytes/chars per "
+                      "token and tokens per doc (token-budget planning)")
+def corpus_bytes_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility profile per language: how many bytes and
+    characters one token costs, and how many tokens one document
+    yields. The planning input for token-budgeted corpus mixes (a
+    100 GB slice of high-fertility text buys fewer training tokens
+    than the same bytes of English) and for sizing per-script
+    tokenizer vocabularies; bytes and chars diverge exactly where
+    multi-byte scripts live, which is why both ratios are reported.
+
+    Ratios are floored-integer milli (DIV) so both engines agree
+    bit-for-bit; token_count >= 1 for every document (the ['']
+    empty-split contract, functions/text.py), so no division guard is
+    needed. 100 TB shape: one map-side projection (three codegen
+    expressions), one |langs|-sized hash aggregate with map-side
+    combine — no joins, no windows, output is language-cardinality.
+    """
+    t = load_tables(spark, sf_dir)
+    f = t["documents"].select(
+        "lang",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.length("text").cast("long").alias("n_chars"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr("(1000 * SUM(n_bytes)) DIV SUM(n_tokens)").cast("long")
+        .alias("bytes_per_token_milli"),
+        F.expr("(1000 * SUM(n_chars)) DIV SUM(n_tokens)").cast("long")
+        .alias("chars_per_token_milli"),
+        F.expr("(1000 * SUM(n_tokens)) DIV COUNT(*)").cast("long")
+        .alias("tokens_per_doc_milli"),
     )

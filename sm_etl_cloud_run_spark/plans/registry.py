@@ -111,6 +111,9 @@ def register(
 # nothing and keeps rows fresh).
 _CHANGED_OR_NEVER_CHECKED = (
     # registered THIS round, never driver-checked:
+    "corpus_bytes_per_token",
+    "dedup_cluster_canonical",
+    "embedding_int8_quant_error",
     "quality_score_calibration",
     "training_decontaminate_report",
     "dedup_cross_lingual",

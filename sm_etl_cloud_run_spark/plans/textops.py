@@ -344,6 +344,93 @@ def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_dedup_components(sigs, id_col="doc_id", num_hashes=NUM_HASHES, bands=LSH_BANDS)
 
 
+_CANONICAL_ORACLE = f"""
+WITH {_shingle_cte()},
+sig AS ({_sig_select()}),
+bands AS (
+{_bands_cte()}
+),
+reps AS (
+  SELECT band, bucket, CAST(MIN(doc_id) AS BIGINT) AS bucket_rep
+  FROM bands GROUP BY band, bucket
+),
+grp AS (
+  SELECT b.doc_id, CAST(MIN(r.bucket_rep) AS BIGINT) AS group_rep
+  FROM bands b JOIN reps r ON b.band = r.band AND b.bucket = r.bucket
+  GROUP BY b.doc_id
+),
+m AS (
+  SELECT g.group_rep, d.doc_id, d.n_chars
+  FROM grp g JOIN documents d ON d.doc_id = g.doc_id
+),
+agg AS (
+  SELECT group_rep,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MAX(n_chars) AS BIGINT) AS canonical_n_chars,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM m GROUP BY group_rep
+),
+canon AS (
+  SELECT m.group_rep, CAST(MIN(m.doc_id) AS BIGINT) AS canonical_doc_id
+  FROM m JOIN agg ON agg.group_rep = m.group_rep
+                 AND m.n_chars = agg.canonical_n_chars
+  GROUP BY m.group_rep
+)
+SELECT agg.group_rep, canon.canonical_doc_id, agg.canonical_n_chars,
+       agg.n_members,
+       agg.n_members - 1 AS n_dupes_removed,
+       agg.total_chars - agg.canonical_n_chars AS chars_removed
+FROM agg LEFT JOIN canon ON canon.group_rep = agg.group_rep
+"""
+
+
+@register("dedup_cluster_canonical", oracle=_CANONICAL_ORACLE,
+          description="keep-one-per-near-dup-cluster: longest member wins "
+                      "(min doc_id tiebreak), removal accounting per cluster")
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup ACTION on top of the LSH machinery: for
+    every near-dup cluster (the dedup_lsh_groups assignment), elect one
+    canonical survivor — the longest member (keep-longest is the
+    standard representative policy; Lee et al. 2022 keep one member per
+    duplicate cluster), min doc_id as the deterministic tiebreak — and
+    account for what deletion buys (docs and chars removed per
+    cluster). Singletons appear with n_dupes_removed = 0, so the output
+    doubles as the full post-dedup manifest.
+
+    100 TB shape: rides the banded LSH bucket join (probed to 1.28M
+    docs), then two group_rep-keyed hash aggregates and one
+    (group_rep, n_chars) equi-join — every shuffle is on the cluster
+    key, no windows, no all-pairs. Election is max-then-min (aggregate
+    + join-back), never a per-cluster sort.
+    """
+    from ..operators.dedup import lsh_dedup_groups
+
+    t = load_tables(spark, sf_dir)
+    sigs = minhash_signatures(
+        t["documents"], text_col="text", id_col="doc_id",
+        num_hashes=NUM_HASHES, shingle_k=SHINGLE_K,
+    )
+    grp = lsh_dedup_groups(sigs, id_col="doc_id", num_hashes=NUM_HASHES, bands=LSH_BANDS)
+    m = grp.join(t["documents"].select("doc_id", "n_chars"), "doc_id")
+    agg = m.groupBy("group_rep").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("n_chars").cast("long").alias("canonical_n_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    canon = (
+        m.join(agg.select("group_rep", "canonical_n_chars"), "group_rep")
+        .where(F.col("n_chars") == F.col("canonical_n_chars"))
+        .groupBy("group_rep")
+        .agg(F.min("doc_id").cast("long").alias("canonical_doc_id"))
+    )
+    return agg.join(canon, "group_rep", "left").select(
+        "group_rep", "canonical_doc_id", "canonical_n_chars", "n_members",
+        (F.col("n_members") - 1).cast("long").alias("n_dupes_removed"),
+        (F.col("total_chars") - F.col("canonical_n_chars")).cast("long")
+        .alias("chars_removed"),
+    )
+
+
 _JACCARD_THRESHOLD = 0.18
 
 _JACCARD_ORACLE = f"""

@@ -1245,3 +1245,102 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("loading"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 affine quantization error profile (vector-store sizing QA)
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label,
+         CAST(round(CAST(u.x AS DOUBLE) * 1000000000) AS BIGINT) AS x_nano
+  FROM embeddings, unnest(embedding) AS u(x)
+  WHERE len(embedding) > 0
+),
+v AS (
+  SELECT vec_id, label,
+         MIN(x_nano) AS mn,
+         MAX(x_nano) - MIN(x_nano) AS span,
+         CAST(COUNT(*) AS BIGINT) AS n_dims
+  FROM e GROUP BY vec_id, label
+),
+err AS (
+  SELECT e.vec_id, e.label, v.span, v.n_dims,
+         CASE WHEN v.span = 0 THEN 0
+              ELSE ABS(e.x_nano - (v.mn +
+                   ((((e.x_nano - v.mn) * 255) // v.span) * v.span) // 255))
+         END AS err_nano
+  FROM e JOIN v ON v.vec_id = e.vec_id
+),
+pv AS (
+  SELECT vec_id, label, MAX(span) AS span, MAX(n_dims) AS n_dims,
+         MAX(err_nano) AS max_err_nano, SUM(err_nano) AS sum_err_nano
+  FROM err GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MAX(max_err_nano) AS BIGINT) AS max_err_nano,
+       CAST(SUM(sum_err_nano) // SUM(n_dims) AS BIGINT) AS avg_err_nano,
+       CAST(SUM(span) // COUNT(*) AS BIGINT) AS mean_span_nano
+FROM pv
+GROUP BY label
+"""
+
+_QUANT_ERRS = (
+    "CASE WHEN span = 0 THEN transform(x_nano, x -> CAST(0 AS BIGINT)) "
+    "ELSE transform(x_nano, x -> "
+    "ABS(x - (mn + ((((x - mn) * 255) DIV span) * span) DIV 255))) END"
+)
+
+
+@register("embedding_int8_quant_error", oracle=_QUANT_ORACLE,
+          description="per-label int8 affine-quantization error profile "
+                      "(max/avg reconstruction error, nano fixed-point)")
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-planning QA for vector indexes: quantize every embedding
+    to per-vector affine int8 (the 4x-smaller, cache-resident layout
+    scalar-quantizing ANN stores use), reconstruct, and report the
+    error budget per label: max and average absolute reconstruction
+    error plus mean dynamic range, all in nano fixed-point.
+
+    Arithmetic contract: coordinates enter nano space via
+    round(x * 1e9) — float widens to double exactly and both engines
+    round the identical double (the plans/vector.py centroid
+    convention) — then quantization is pure integer math
+    (q = (x-mn)*255 DIV span, dequant = mn + q*span DIV 255; every
+    dividend is non-negative so trunc == floor on both engines).
+
+    100 TB shape: the per-vector pass is map-side ONLY — array
+    transform/min/max/aggregate inside codegen, no explode, no
+    shuffle — followed by one |labels|-sized hash aggregate with
+    map-side combine. The oracle unnests instead (same integers,
+    element rows never materialize on the Spark side).
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].where(F.size("embedding") > 0)
+    v = e.select(
+        "label",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(round(CAST(x AS DOUBLE) * 1000000000, 0) AS BIGINT))"
+        ).alias("x_nano"),
+    ).select(
+        "label", "x_nano",
+        F.array_min("x_nano").alias("mn"),
+        (F.array_max("x_nano") - F.array_min("x_nano")).alias("span"),
+        F.size("x_nano").cast("long").alias("n_dims"),
+    )
+    pv = v.select(
+        "label", "span", "n_dims",
+        F.array_max(F.expr(_QUANT_ERRS)).alias("max_err_nano"),
+        F.expr(
+            f"aggregate({_QUANT_ERRS}, CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias("sum_err_nano"),
+    )
+    return pv.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.max("max_err_nano").cast("long").alias("max_err_nano"),
+        F.expr("SUM(sum_err_nano) DIV SUM(n_dims)").cast("long").alias("avg_err_nano"),
+        F.expr("SUM(span) DIV COUNT(*)").cast("long").alias("mean_span_nano"),
+    )

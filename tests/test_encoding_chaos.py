@@ -261,6 +261,8 @@ _HOSTILE_QUERIES = (
     "quality_score_calibration",
     "training_decontaminate_report",
     "dedup_cross_lingual",
+    "corpus_bytes_per_token",
+    "dedup_cluster_canonical",
 )
 
 
@@ -296,7 +298,8 @@ def renumbered_embeddings_dir(tmp_path_factory):
      "knn_graph_brute", "knn_graph_lsh", "knn_pq_adc",
      "kmeans_embedding_clusters", "pq_codebook_train", "knn_graph_pagerank",
      "knn_ivf_pq", "embedding_hard_negatives",
-     "knn_ivf_recall", "kmeans_cluster_purity", "knn_graph_link_prediction"],
+     "knn_ivf_recall", "kmeans_cluster_purity", "knn_graph_link_prediction",
+     "embedding_int8_quant_error"],
 )
 def test_renumbered_vec_ids_keep_oracle_parity(spark, renumbered_embeddings_dir, qname):
     problems = _oracle_compare(spark, renumbered_embeddings_dir, qname)
