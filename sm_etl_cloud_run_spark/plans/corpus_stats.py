@@ -1323,3 +1323,78 @@ def corpus_bytes_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000 * SUM(n_tokens)) DIV COUNT(*)").cast("long")
         .alias("tokens_per_doc_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer vocabulary coverage / OOV rate per language
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB_SIZE = 2000
+
+_OOV_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(trim(text), ' ')) AS term FROM documents
+), ltf AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY lang, term
+), uni AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM ltf GROUP BY term
+), vocab AS (
+  SELECT term FROM uni ORDER BY c DESC, term ASC LIMIT {_OOV_VOCAB_SIZE}
+)
+SELECT l.lang,
+       CAST(SUM(l.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN l.tf ELSE 0 END) AS BIGINT) AS oov_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_types,
+       CAST((10000 * SUM(CASE WHEN v.term IS NULL THEN l.tf ELSE 0 END)) // SUM(l.tf) AS BIGINT) AS oov_bp
+FROM ltf l LEFT JOIN vocab v ON v.term = l.term
+GROUP BY l.lang
+"""
+
+
+@register("corpus_oov_rate", oracle=_OOV_ORACLE,
+          description="per-language OOV rate against the corpus top-V "
+                      "vocabulary (tokenizer coverage QA)")
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage QA: fix the vocabulary at the corpus's top-V
+    terms (the stand-in for a trained tokenizer's word list) and
+    measure, per language, the share of token INSTANCES and distinct
+    token TYPES that fall outside it. A language whose oov_bp is high
+    under a shared vocabulary is the language the tokenizer will
+    shatter into bytes — the signal that drives per-script vocab
+    allocation, and the twin input (with corpus_bytes_per_token) to
+    token-budget planning.
+
+    The vocabulary boundary is deterministic: (freq DESC, term ASC) is
+    a total order, so both engines cut the same V terms. Shares are
+    floored bp.
+
+    100 TB shape: explode → two map-side-combined hash aggregates; the
+    top-V cut is TakeOrdered (V rows to the driver, never a global
+    sort); vocab broadcasts back onto the |langs × terms| aggregate —
+    the zipfian term join never touches raw token instances.
+    """
+    t = load_tables(spark, sf_dir)
+    ltf = (
+        t["documents"]
+        .select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    uni = ltf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    vocab = (
+        uni.orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(_OOV_VOCAB_SIZE)
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    j = ltf.join(F.broadcast(vocab), "term", "left")
+    return j.groupBy("lang").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), F.col("tf")).otherwise(0))
+        .cast("long").alias("oov_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("long").alias("oov_types"),
+        F.expr(
+            "CAST((10000 * SUM(CASE WHEN __in_vocab IS NULL THEN tf ELSE 0 END))"
+            " DIV SUM(tf) AS BIGINT)"
+        ).alias("oov_bp"),
+    )

@@ -693,3 +693,148 @@ def training_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nt").cast("long").alias("tokens_kept"),
         F.max("ppl_micro").cast("long").alias("cutoff_ppl_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting step (multiplicative weights on excess loss)
+# ---------------------------------------------------------------------------
+
+_DOREMI_ETA_BP = 2000  # eta = 0.2 per step
+
+_DOREMI_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, source, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+), dtf AS (
+  SELECT lang, source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY lang, source, term
+), uni AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM dtf GROUP BY term
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_tokens FROM uni),
+logp AS (
+  SELECT term, CAST(FLOOR(1000000.0 * ln(CAST(c AS DOUBLE) / t_tokens)) AS BIGINT) AS logp_micro
+  FROM uni CROSS JOIN tot
+),
+dom AS (
+  SELECT d.lang, d.source,
+         CAST(SUM(d.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(d.tf * l.logp_micro) AS BIGINT) AS sum_logp
+  FROM dtf d JOIN logp l USING (term)
+  GROUP BY d.lang, d.source
+),
+base AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+         CAST((-SUM(sum_logp)) // SUM(n_tokens) AS BIGINT) AS base_nll
+  FROM dom
+),
+step AS (
+  SELECT dom.lang, dom.source, dom.n_tokens,
+         (-dom.sum_logp) // dom.n_tokens AS nll_micro,
+         (-dom.sum_logp) // dom.n_tokens - base.base_nll AS excess_micro,
+         (10000 * dom.n_tokens) // base.t AS w_old_bp,
+         GREATEST(
+           CASE WHEN (-dom.sum_logp) // dom.n_tokens - base.base_nll >= 0
+                THEN 1000000 + ({_DOREMI_ETA_BP} * ((-dom.sum_logp) // dom.n_tokens - base.base_nll)) // 10000
+                ELSE 1000000 - ({_DOREMI_ETA_BP} * (base.base_nll - (-dom.sum_logp) // dom.n_tokens)) // 10000
+           END, 100000) AS factor_micro
+  FROM dom CROSS JOIN base
+)
+SELECT lang, source, n_tokens,
+       CAST(nll_micro AS BIGINT) AS nll_micro,
+       CAST(excess_micro AS BIGINT) AS excess_micro,
+       CAST(w_old_bp AS BIGINT) AS w_old_bp,
+       CAST(factor_micro AS BIGINT) AS factor_micro,
+       CAST((10000 * w_old_bp * factor_micro)
+            // SUM(w_old_bp * factor_micro) OVER () AS BIGINT) AS w_new_bp
+FROM step
+"""
+
+
+@register("mixture_doremi_step", oracle=_DOREMI_ORACLE,
+          description="DoReMi-style domain reweight: one multiplicative-"
+                      "weights step on per-domain excess unigram loss")
+def mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One reweighting step of the DoReMi idea (Xie et al. 2023,
+    'Doremi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining'): domains whose loss exceeds the corpus baseline get
+    upweighted so the next mixture spends more budget where the model
+    is worst. The reference proxy model's per-domain loss is stood in
+    by the corpus-unigram negative log-likelihood per token (the same
+    integer-exact LM machinery as text_unigram_logprob), and the
+    exponentiated-gradient update is linearized to stay in integer
+    space: factor = 1 + eta * excess (floored micro, clamped at 0.1),
+    w_new = normalize(w_old * factor). Iterating IEEE exp() would
+    drift between engines — scale design rule 9.
+
+    Output is |domains| rows: token counts, per-domain nll, excess vs
+    baseline, the natural-share prior w_old_bp, the update factor, and
+    the reweighted w_new_bp (sums to <= 10000 with floored division).
+
+    100 TB shape: the inverted-index unigram pipeline (two map-side-
+    combined aggregates, one zipfian term join — AQE skew-join is the
+    guard there), then everything runs on the |domains|-sized
+    aggregate: two 1-row scalar broadcasts (whitelisted) and one
+    window OVER () on parameter-sized rows.
+    """
+    t = load_tables(spark, sf_dir)
+    dtf = (
+        t["documents"]
+        .select("lang", "source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    uni = dtf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
+    tot = uni.agg(F.sum("c").cast("long").alias("t_tokens"))
+    logp = uni.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.floor(1000000.0 * F.log(F.col("c").cast("double") / F.col("t_tokens")))
+        .cast("long").alias("logp_micro"),
+    )
+    dom = (
+        dtf.join(logp, "term")
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("logp_micro")).cast("long").alias("sum_logp"),
+        )
+    )
+    base = dom.agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.expr("(-SUM(sum_logp)) DIV SUM(n_tokens)").cast("long").alias("base_nll"),
+    )
+    nll = F.expr("(-sum_logp) DIV n_tokens")
+    excess = nll - F.col("base_nll")
+    factor = F.greatest(
+        F.when(
+            excess >= 0,
+            F.lit(1000000) + F.expr(
+                f"({_DOREMI_ETA_BP} * ((-sum_logp) DIV n_tokens - base_nll)) DIV 10000"
+            ),
+        ).otherwise(
+            F.lit(1000000) - F.expr(
+                f"({_DOREMI_ETA_BP} * (base_nll - (-sum_logp) DIV n_tokens)) DIV 10000"
+            )
+        ),
+        F.lit(100000),
+    ).cast("long")
+    step = dom.crossJoin(F.broadcast(base)).select(
+        "lang", "source", "n_tokens",
+        nll.cast("long").alias("nll_micro"),
+        excess.cast("long").alias("excess_micro"),
+        F.expr("(10000 * n_tokens) DIV t").cast("long").alias("w_old_bp"),
+        factor.alias("factor_micro"),
+    )
+    # the normalizer runs OVER () on the |domains|-sized relation —
+    # parameter-sized by construction, same class as the decile cumsums
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    den = F.sum(F.col("w_old_bp") * F.col("factor_micro")).over(w_all).cast("long")
+    return (
+        step.withColumn("__den", den)
+        .withColumn(
+            "w_new_bp",
+            F.expr("CAST((10000 * w_old_bp * factor_micro) DIV __den AS BIGINT)"),
+        )
+        .drop("__den")
+    )

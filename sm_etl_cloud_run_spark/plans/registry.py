@@ -114,6 +114,9 @@ _CHANGED_OR_NEVER_CHECKED = (
     "corpus_bytes_per_token",
     "dedup_cluster_canonical",
     "embedding_int8_quant_error",
+    "mixture_doremi_step",
+    "corpus_oov_rate",
+    "dedup_survivorship",
     "quality_score_calibration",
     "training_decontaminate_report",
     "dedup_cross_lingual",

@@ -1657,3 +1657,144 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(clones)
+
+
+# ---------------------------------------------------------------------------
+# dedup survivorship: composition shift after canonical deletion
+# ---------------------------------------------------------------------------
+
+_SURVIVORSHIP_ORACLE = f"""
+WITH {_shingle_cte()},
+sig AS ({_sig_select()}),
+bands AS (
+{_bands_cte()}
+),
+reps AS (
+  SELECT band, bucket, CAST(MIN(doc_id) AS BIGINT) AS bucket_rep
+  FROM bands GROUP BY band, bucket
+),
+grp AS (
+  SELECT b.doc_id, CAST(MIN(r.bucket_rep) AS BIGINT) AS group_rep
+  FROM bands b JOIN reps r ON b.band = r.band AND b.bucket = r.bucket
+  GROUP BY b.doc_id
+),
+m AS (
+  SELECT g.group_rep, d.doc_id, d.n_chars
+  FROM grp g JOIN documents d ON d.doc_id = g.doc_id
+),
+agg AS (
+  SELECT group_rep, MAX(n_chars) AS mx FROM m GROUP BY group_rep
+),
+canon AS (
+  SELECT m.group_rep, CAST(MIN(m.doc_id) AS BIGINT) AS doc_id
+  FROM m JOIN agg ON agg.group_rep = m.group_rep AND m.n_chars = agg.mx
+  GROUP BY m.group_rep
+),
+surv AS (
+  SELECT doc_id FROM canon
+  UNION ALL
+  SELECT d.doc_id FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id
+  WHERE g.doc_id IS NULL
+),
+before AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_before,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_before
+  FROM documents GROUP BY source
+),
+after AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS docs_after,
+         CAST(SUM(d.n_chars) AS BIGINT) AS chars_after
+  FROM surv s JOIN documents d ON d.doc_id = s.doc_id
+  GROUP BY d.source
+)
+SELECT b.source, b.docs_before,
+       CAST(coalesce(a.docs_after, 0) AS BIGINT) AS docs_after,
+       CAST(b.chars_before - coalesce(a.chars_after, 0) AS BIGINT) AS chars_removed,
+       CAST((10000 * b.docs_before) // SUM(b.docs_before) OVER () AS BIGINT) AS share_before_bp,
+       CAST((10000 * coalesce(a.docs_after, 0)) // SUM(coalesce(a.docs_after, 0)) OVER () AS BIGINT) AS share_after_bp,
+       CAST((10000 * coalesce(a.docs_after, 0)) // SUM(coalesce(a.docs_after, 0)) OVER ()
+            - (10000 * b.docs_before) // SUM(b.docs_before) OVER () AS BIGINT) AS shift_bp
+FROM before b LEFT JOIN after a ON a.source IS NOT DISTINCT FROM b.source
+"""
+
+
+@register("dedup_survivorship", oracle=_SURVIVORSHIP_ORACLE,
+          description="per-source composition shift after canonical dedup "
+                      "(the governance report deletion decisions need)")
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What deletion does to corpus COMPOSITION: after the
+    keep-longest canonical election (dedup_cluster_canonical's policy),
+    each source's share of the corpus moves — boilerplate-heavy mirrors
+    shrink, and a source whose docs lose elections to longer copies
+    hosted elsewhere shrinks even if its content survives under another
+    source's id. Per source: docs before/after, chars removed, share
+    in bp before/after, and the signed shift — the report a curation
+    review signs off before terabytes are dropped. Docs outside every
+    LSH bucket (too short to shingle) survive by construction.
+
+    100 TB shape: rides the same banded machinery as the canonical
+    query; survivors come from group-keyed aggregates plus an anti-join
+    for unbucketed docs; the final report is two |sources|-sized
+    aggregates with OVER () share windows on parameter-sized rows.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import lsh_dedup_groups
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "source", "n_chars")
+    sigs = minhash_signatures(
+        t["documents"], text_col="text", id_col="doc_id",
+        num_hashes=NUM_HASHES, shingle_k=SHINGLE_K,
+    )
+    grp = lsh_dedup_groups(sigs, id_col="doc_id", num_hashes=NUM_HASHES, bands=LSH_BANDS)
+    m = grp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    agg = m.groupBy("group_rep").agg(F.max("n_chars").alias("mx"))
+    canon = (
+        m.join(agg, "group_rep")
+        .where(F.col("n_chars") == F.col("mx"))
+        .groupBy("group_rep")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    unbucketed = docs.select("doc_id").join(grp.select("doc_id"), "doc_id", "left_anti")
+    surv = canon.unionByName(unbucketed)
+    before = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_before"),
+        F.sum("n_chars").cast("long").alias("chars_before"),
+    )
+    after = (
+        surv.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_after"),
+            F.sum("n_chars").cast("long").alias("chars_after"),
+        )
+        .withColumnRenamed("source", "__src2")
+    )
+    j = before.join(
+        after, F.col("source").eqNullSafe(F.col("__src2")), "left"
+    ).select(
+        "source", "docs_before", "chars_before",
+        F.coalesce(F.col("docs_after"), F.lit(0)).cast("long").alias("docs_after"),
+        F.coalesce(F.col("chars_after"), F.lit(0)).cast("long").alias("chars_after"),
+    )
+    # share windows run OVER () on the |sources|-sized report — parameter-sized
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tb = F.sum("docs_before").over(w_all)
+    ta = F.sum("docs_after").over(w_all)
+    return j.select(
+        "source", "docs_before", "docs_after",
+        (F.col("chars_before") - F.col("chars_after")).cast("long").alias("chars_removed"),
+        F.expr("CAST((10000 * docs_before) AS BIGINT)").alias("__nb"),
+        F.expr("CAST((10000 * docs_after) AS BIGINT)").alias("__na"),
+        tb.cast("long").alias("__tb"),
+        ta.cast("long").alias("__ta"),
+    ).select(
+        "source", "docs_before", "docs_after", "chars_removed",
+        F.expr("CAST(__nb DIV __tb AS BIGINT)").alias("share_before_bp"),
+        F.expr("CAST(__na DIV __ta AS BIGINT)").alias("share_after_bp"),
+        F.expr("CAST(__na DIV __ta - __nb DIV __tb AS BIGINT)").alias("shift_bp"),
+    )

@@ -263,6 +263,9 @@ _HOSTILE_QUERIES = (
     "dedup_cross_lingual",
     "corpus_bytes_per_token",
     "dedup_cluster_canonical",
+    "mixture_doremi_step",
+    "corpus_oov_rate",
+    "dedup_survivorship",
 )
 
 

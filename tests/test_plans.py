@@ -118,6 +118,7 @@ _NESTED_LOOP_OK = {
     "text_tfidf_topterms",   # 1-row corpus-size scalar broadcast (N for idf)
     "quality_score_calibration",  # 1-row score-range (mn,mx) scalar broadcast
     "text_unigram_logprob",  # 1-row total-token scalar broadcast
+    "mixture_doremi_step",   # two 1-row scalar broadcasts (vocab total, loss baseline)
     "text_bigram_logprob",   # same 1-row total-token scalar broadcast
     # exact dup-pair self-join edge discovery (small-input twin of the
     # LSH candidate path) + 1-row pr0/teleport scalar broadcast:
