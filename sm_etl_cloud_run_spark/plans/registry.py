@@ -117,6 +117,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "mixture_doremi_step",
     "corpus_oov_rate",
     "dedup_survivorship",
+    "knn_label_propagation",
     "quality_score_calibration",
     "training_decontaminate_report",
     "dedup_cross_lingual",

@@ -1344,3 +1344,134 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(sum_err_nano) DIV SUM(n_dims)").cast("long").alias("avg_err_nano"),
         F.expr("SUM(span) DIV COUNT(*)").cast("long").alias("mean_span_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label propagation (bucketed majority-vote classification QA)
+# ---------------------------------------------------------------------------
+
+_KLP_K = 5
+_KLP_PROBES = 64
+
+_KLP_ORACLE = f"""
+WITH h1 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 1)}),
+h2 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 2)}),
+h3 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 3)}),
+qs AS (
+  SELECT vec_id, embedding, label
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KLP_PROBES}
+),
+bq AS (
+  SELECT q.vec_id AS qid, q.embedding AS qv, q.label AS true_label,
+         {_bucket_sql('q.embedding')} AS bucket
+  FROM qs q, h1, h2, h3
+),
+bt AS (
+  SELECT e.vec_id, e.embedding, e.label, {_bucket_sql('e.embedding')} AS bucket
+  FROM embeddings e LEFT JOIN qs ON qs.vec_id = e.vec_id, h1, h2, h3
+  WHERE qs.vec_id IS NULL
+),
+scored AS (
+  SELECT bq.qid, bq.true_label, bt.vec_id, bt.label,
+         {_cos_sql('bt.embedding', 'bq.qv')} AS cosine
+  FROM bt JOIN bq ON bt.bucket = bq.bucket
+),
+top AS (
+  SELECT qid, true_label, label,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored
+),
+votes AS (
+  SELECT qid, true_label, label, CAST(COUNT(*) AS BIGINT) AS v
+  FROM top WHERE rn <= {_KLP_K}
+  GROUP BY qid, true_label, label
+),
+pred AS (
+  SELECT qid, true_label, label,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY v DESC, label ASC NULLS LAST) AS rv
+  FROM votes
+)
+SELECT true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN label IS NOT DISTINCT FROM true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST((10000 * SUM(CASE WHEN label IS NOT DISTINCT FROM true_label THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS accuracy_bp
+FROM pred WHERE rv = 1
+GROUP BY true_label
+"""
+
+
+@register("knn_label_propagation", oracle=_KLP_ORACLE,
+          description="k-NN majority-vote label propagation over LSH "
+                      "buckets, per-label holdout accuracy")
+def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak supervision via neighborhood vote — label a held-out slice
+    by the majority label of its k nearest labeled neighbors, then
+    grade the vote against the true labels. This is both the cheap
+    labeler for semi-supervised corpus tagging AND the standard probe
+    of embedding quality (if k-NN can't recover labels, neither will a
+    linear head).
+
+    Determinism: the probe set is the 64 lowest vectors by
+    (md5(vec_id), vec_id) — a fixed-SIZE deterministic sample, robust
+    to id renumbering; neighbor top-k orders by (cosine, vec_id) and
+    the vote by (count DESC, label ASC NULLS LAST) — total orders on
+    both engines. Probes whose bucket has no labeled vector drop out
+    on both sides (inner bucket join).
+
+    100 TB shape: the probe set is FIXED-SIZE (a sampling-based
+    accuracy estimate — the first draft used a fixed FRACTION and the
+    16x probe measured the resulting N²/buckets blowup at 30x wall:
+    6.3 s → 187 s; a fraction-sized query set needs plane count grown
+    with log N, a fixed probe set does not). Candidates come from
+    hyperplane-bucket EQUALITY (the knn_join_lsh hash-join path, probe
+    side broadcast); per-probe work is bucket-sized, total work is
+    probes × bucket — LINEAR in the corpus at fixed probe budget.
+    Votes and the final report are k-bounded and |labels|-sized.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import cosine_similarity, hyperplane_lsh_bucket
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = _seed_rows(emb, 4)
+    planes = [[float(x) for x in seeds[i]["embedding"]] for i in (1, 2, 3)]
+    qs = (
+        emb.select("vec_id", "embedding", "label")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_KLP_PROBES)
+    )
+    bq = qs.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+        hyperplane_lsh_bucket(F.col("embedding"), planes).alias("__bucket"),
+    )
+    bt = emb.join(qs.select("vec_id"), "vec_id", "left_anti").select(
+        "vec_id", "embedding", "label",
+        hyperplane_lsh_bucket(F.col("embedding"), planes).alias("__bucket"),
+    )
+    scored = bt.join(F.broadcast(bq), "__bucket").select(
+        "qid", "true_label", "vec_id", "label",
+        cosine_similarity(F.col("embedding"), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    top = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _KLP_K)
+    votes = top.groupBy("qid", "true_label", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("v").desc(), F.col("label").asc_nulls_last()
+    )
+    pred = votes.withColumn("rv", F.row_number().over(wv)).where(F.col("rv") == 1)
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("label").eqNullSafe(F.col("true_label")), 1).otherwise(0))
+        .cast("long").alias("n_correct"),
+        F.expr(
+            "CAST((10000 * SUM(CASE WHEN label <=> true_label THEN 1 ELSE 0 END))"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("accuracy_bp"),
+    )

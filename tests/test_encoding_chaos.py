@@ -302,7 +302,7 @@ def renumbered_embeddings_dir(tmp_path_factory):
      "kmeans_embedding_clusters", "pq_codebook_train", "knn_graph_pagerank",
      "knn_ivf_pq", "embedding_hard_negatives",
      "knn_ivf_recall", "kmeans_cluster_purity", "knn_graph_link_prediction",
-     "embedding_int8_quant_error"],
+     "embedding_int8_quant_error", "knn_label_propagation"],
 )
 def test_renumbered_vec_ids_keep_oracle_parity(spark, renumbered_embeddings_dir, qname):
     problems = _oracle_compare(spark, renumbered_embeddings_dir, qname)
