@@ -1398,3 +1398,160 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV SUM(tf) AS BIGINT)"
         ).alias("oov_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# topic-lexicon tagging (domain-classifier stand-in for mixture planning)
+# ---------------------------------------------------------------------------
+
+_TOPIC_LEXICONS: dict[str, tuple[str, ...]] = {
+    "querying": ("query", "filter", "join", "agg", "group"),
+    "storage": ("table", "scan", "part", "column", "row"),
+    "streaming": ("stream", "window", "batch", "spark"),
+}
+
+_TOPIC_CASES = " ".join(
+    f"WHEN w IN ({', '.join(repr(t) for t in terms)}) THEN '{topic}'"
+    for topic, terms in _TOPIC_LEXICONS.items()
+)
+
+_TOPIC_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS w FROM documents
+), tagged AS (
+  SELECT doc_id, lang, CASE {_TOPIC_CASES} ELSE NULL END AS topic
+  FROM tok
+), hits AS (
+  SELECT doc_id, lang, topic, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM tagged WHERE topic IS NOT NULL GROUP BY doc_id, lang, topic
+), dominant AS (
+  SELECT doc_id, lang, topic,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, topic ASC) AS rn
+  FROM hits
+), labeled AS (
+  SELECT d.doc_id, d.lang, coalesce(dom.topic, 'untagged') AS topic
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, topic FROM dominant WHERE rn = 1) dom
+    ON dom.doc_id = d.doc_id
+)
+SELECT lang, topic,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST((10000 * COUNT(*)) // SUM(COUNT(*)) OVER (PARTITION BY lang) AS BIGINT)
+         AS share_of_lang_bp
+FROM labeled
+GROUP BY lang, topic
+"""
+
+
+@register("corpus_topic_tags", oracle=_TOPIC_ORACLE,
+          description="lexicon-based dominant-topic tagging per document, "
+                      "per-(lang, topic) composition shares")
+def corpus_topic_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The domain-classifier stand-in every mixture pipeline starts
+    with before a trained classifier exists: tag each document with its
+    dominant topic by lexicon hit counts (ties break lexicographically,
+    docs with no hits are 'untagged'), then report per-(lang, topic)
+    composition — the input corpus_training_mix-style reweighting needs
+    when the mixing axis is topical rather than source-based.
+
+    100 TB shape: explode → one (doc, topic)-keyed map-side-combined
+    aggregate; the dominant-topic window partitions by doc_id — groups
+    are |lexicons|-bounded (≤3 rows each) by pigeonhole; the report is
+    a |langs × topics|-sized aggregate whose share window runs over
+    parameter-sized groups.
+    """
+    t = load_tables(spark, sf_dir)
+    topic_case = None
+    for topic, terms in _TOPIC_LEXICONS.items():
+        cond = F.col("w").isin(*terms)
+        topic_case = (
+            F.when(cond, F.lit(topic)) if topic_case is None
+            else topic_case.when(cond, F.lit(topic))
+        )
+    tok = t["documents"].select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    hits = (
+        tok.select("doc_id", "lang", topic_case.alias("topic"))
+        .where(F.col("topic").isNotNull())
+        .groupBy("doc_id", "lang", "topic")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("topic").asc()
+    )
+    dom = hits.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    labeled = (
+        t["documents"].select("doc_id", "lang")
+        .join(dom.select("doc_id", "topic"), "doc_id", "left")
+        .select("lang", F.coalesce(F.col("topic"), F.lit("untagged")).alias("topic"))
+    )
+    wl = Window.partitionBy("lang")
+    return (
+        labeled.groupBy("lang", "topic")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("__lang_total", F.sum("n_docs").over(wl).cast("long"))
+        .withColumn(
+            "share_of_lang_bp",
+            F.expr("CAST((10000 * n_docs) DIV __lang_total AS BIGINT)"),
+        )
+        .drop("__lang_total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-distribution Shannon entropy (gibberish / keyword-stuffing signal)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+), tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(CAST(FLOOR(1000000.0 * ln(SUM(tf))) AS BIGINT)
+            - SUM(tf * CAST(FLOOR(1000000.0 * ln(tf)) AS BIGINT)) // SUM(tf)
+            AS BIGINT) AS entropy_micro
+FROM tf
+GROUP BY doc_id
+"""
+
+
+@register("text_token_entropy", oracle=_ENTROPY_ORACLE,
+          description="per-document Shannon entropy of the token "
+                      "distribution (gibberish / keyword-stuffing signal)")
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    quality signal TTR misses: a doc that repeats one word 100 times
+    and a doc cycling 5 words 20 times each have different entropy at
+    similar TTR bands, and keyword-stuffed spam sits at the low end.
+    H = ln(n) - (1/n)·Σ tf·ln(tf), carried as floored-micro integers
+    (each ln is one IEEE op on identical inputs, everything after is
+    exact BIGINT — the text_unigram_logprob convention), so both
+    engines agree bit-for-bit.
+
+    100 TB shape: explode → one (doc, token)-keyed map-side-combined
+    aggregate → one doc-keyed aggregate. No joins, no windows, output
+    is doc-cardinality.
+    """
+    t = load_tables(spark, sf_dir)
+    tf = (
+        t["documents"]
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        (
+            F.floor(1000000.0 * F.log(F.sum("tf").cast("double"))).cast("long")
+            - F.expr(
+                "SUM(tf * CAST(FLOOR(1000000.0 * ln(CAST(tf AS DOUBLE))) AS BIGINT))"
+                " DIV SUM(tf)"
+            )
+        ).cast("long").alias("entropy_micro"),
+    )

@@ -750,7 +750,7 @@ FROM step
 """
 
 
-@register("mixture_doremi_step", oracle=_DOREMI_ORACLE,
+@register("mixture_doremi_step", oracle=_DOREMI_ORACLE, bench=True,
           description="DoReMi-style domain reweight: one multiplicative-"
                       "weights step on per-domain excess unigram loss")
 def mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:

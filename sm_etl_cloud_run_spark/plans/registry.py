@@ -118,6 +118,8 @@ _CHANGED_OR_NEVER_CHECKED = (
     "corpus_oov_rate",
     "dedup_survivorship",
     "knn_label_propagation",
+    "corpus_topic_tags",
+    "text_token_entropy",
     "quality_score_calibration",
     "training_decontaminate_report",
     "dedup_cross_lingual",

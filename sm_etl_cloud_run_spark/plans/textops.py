@@ -384,7 +384,7 @@ FROM agg LEFT JOIN canon ON canon.group_rep = agg.group_rep
 """
 
 
-@register("dedup_cluster_canonical", oracle=_CANONICAL_ORACLE,
+@register("dedup_cluster_canonical", oracle=_CANONICAL_ORACLE, bench=True,
           description="keep-one-per-near-dup-cluster: longest member wins "
                       "(min doc_id tiebreak), removal accounting per cluster")
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -266,6 +266,8 @@ _HOSTILE_QUERIES = (
     "mixture_doremi_step",
     "corpus_oov_rate",
     "dedup_survivorship",
+    "corpus_topic_tags",
+    "text_token_entropy",
 )
 
 
