@@ -553,3 +553,119 @@ def finish_topk_trending(counts: DataFrame, *, k: int = 5) -> DataFrame:
         .withColumn("delta_n", (F.col("n") - F.col("prev_n")).cast("long"))
         .select("window_start", "window_end", "key", "n", "rank", "prev_n", "delta_n")
     )
+
+
+def minhash_band_keys(
+    text_col,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+):
+    """Array of LSH band keys for one document, computed ENTIRELY
+    map-side (array-native xxhash64 MinHash — no explode, no groupBy),
+    so it is legal in a streaming projection where the batch operator's
+    explode→aggregate signature plan would be a stateful aggregation.
+
+    Returns array<string> of `bands` keys, each embedding its band
+    index (band collisions across different band positions are not
+    matches — same contract as operators/dedup._band_buckets). Docs
+    shorter than `shingle_k` words yield an empty array (they cannot
+    near-dup match; same drop-out as minhash_signatures).
+    """
+    from ..functions.text import word_shingles
+
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(text_col, shingle_k)
+    sigs = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)
+    ]
+    keys = [
+        F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            *sigs[b * rows_per_band:(b + 1) * rows_per_band],
+        )
+        for b in range(bands)
+    ]
+    return F.when(F.size(sh) > 0, F.array(*keys)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def streaming_near_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "2 hours",
+    emit_window: str = "10 minutes",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """NEAR-duplicate suppression on a document stream: a document
+    survives only if it is the FIRST claimant of EVERY one of its
+    MinHash-LSH band keys within the watermark horizon — i.e. it is
+    dropped as soon as ANY band collides with an earlier document (the
+    standard LSH candidate rule, turned into an online filter).
+
+    Streaming plan — two chained stateful operators, both
+    watermark-bounded (runnable forever at firehose scale):
+
+    1. band keys are computed map-side (:func:`minhash_band_keys`) and
+       posexploded to (band_key, doc) claim rows;
+    2. ``dropDuplicatesWithinWatermark("band_key")`` keeps each band
+       key's first claim — state is |distinct band keys in horizon|;
+    3. an event-time-windowed count per doc (append mode) keeps docs
+       whose surviving claims == ``bands`` — every band was
+       first-claimed by this doc. ``emit_window`` only buckets the
+       aggregation for append emission; a doc's claims share its own
+       timestamp, so the bucket never splits a document.
+
+    Batch twin (same call on a bounded frame): first claimant per band
+    is min(ts, id) — equivalent when stream arrival follows event time
+    (replays/backfills should feed in event-time order, the same
+    contract streaming_dedup documents). Short docs (< shingle_k words)
+    have no bands and drop out on both paths.
+    """
+    banded = docs.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.explode(
+            minhash_band_keys(
+                F.col(text_col),
+                num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            )
+        ).alias("__band_key"),
+    )
+    if docs.isStreaming:
+        claims = (
+            banded.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__band_key"])
+        )
+        return (
+            claims.groupBy(F.window(F.col(ts_col), emit_window), F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("__n_claims"))
+            .where(F.col("__n_claims") == bands)
+            .select(id_col)
+        )
+    first = banded.groupBy("__band_key").agg(
+        F.min(F.struct(F.col(ts_col), F.col(id_col))).alias("__first")
+    )
+    return (
+        banded.join(first, "__band_key")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_bands"),
+            F.sum(
+                F.when(F.col(f"__first.{id_col}") == F.col(id_col), 1).otherwise(0)
+            ).alias("__n_won"),
+        )
+        .where(F.col("__n_bands") == F.col("__n_won"))
+        .select(id_col)
+    )

@@ -693,3 +693,47 @@ def test_stream_topk_trending_matches_batch(spark, tmp_path):
     assert h1_top == [(1, 1, 10, 0, 10), (2, 2, 5, 0, 5)]
     # hour 2: user 2 surged 5→8, user 7 entered the top-k from nothing
     assert h2_top == [(1, 2, 8, 5, 3), (2, 7, 3, 0, 3)]
+
+
+def test_streaming_near_dedup_matches_batch(spark, tmp_path):
+    """LSH near-dup suppression on a stream: an exact clone arriving
+    later is dropped (every band collides with the original's claims),
+    distinct docs survive, sub-shingle docs drop out — and the batch
+    twin of the same call returns the identical survivor set."""
+    from sm_etl_cloud_run_spark.streaming.stream_ops import (
+        run_stream_to_memory,
+        streaming_near_dedup,
+    )
+
+    base = dt.datetime(2024, 8, 1, 12, 0)
+    t_a = "the quick brown fox jumps over the lazy dog tonight"
+    t_b = "spark plans joins with broadcast hash exchange strategies today"
+    t_c = "columnar parquet scans prune row groups via min max footers"
+    rows1 = [(1, base, t_a), (2, base + dt.timedelta(minutes=1), t_b)]
+    rows2 = [
+        (3, base + dt.timedelta(minutes=30), t_a),   # exact clone of 1 → drop
+        (4, base + dt.timedelta(minutes=31), t_c),   # distinct → survive
+        (5, base + dt.timedelta(minutes=32), "ab"),  # < shingle_k words → no bands
+    ]
+    sentinel = [(99, base + dt.timedelta(days=2), "watermark mover sentinel text rolls far ahead now")]
+    schema = "doc_id long, ts timestamp, text string"
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = streaming_near_dedup(read_events_stream(spark, src, spark.createDataFrame(rows1, schema).schema))
+    q = run_stream_to_memory(stream, "near_dedup_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.table("near_dedup_out").collect()}
+    finally:
+        q.stop()
+    assert got - {99} == {1, 2, 4}
+
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    batch_surv = {r["doc_id"] for r in streaming_near_dedup(batch).collect()}
+    assert batch_surv == {1, 2, 4}
