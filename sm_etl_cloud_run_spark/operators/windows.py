@@ -442,3 +442,47 @@ def distributed_cumsum(
         )
         .drop(*drop_cols)
     )
+
+
+def distributed_ntile_in_groups(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    n: int,
+    *,
+    tile_name: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(n) OVER (PARTITION BY group ORDER BY ...)`` without any
+    single task sorting one group's full data — the per-group form of
+    :func:`distributed_ntile`, riding :func:`distributed_rank_in_groups`
+    (the group's row count arrives on the broadcast offsets for free)
+    plus the closed-form rank→tile map.
+
+    ntile semantics per group of N rows: ``q = N div n``,
+    ``r = N mod n``; the first ``r`` tiles hold ``q+1`` rows, the rest
+    ``q``. ``greatest(q, 1)`` guards the never-taken divide branch of
+    the vectorized CASE when N < n. Same contract as the rank form:
+    ``order_by`` totally orders within a group, group cardinality far
+    below fact cardinality.
+    """
+    ranked = distributed_rank_in_groups(
+        df, group_cols, order_by, rank_name="__dgn_rn",
+        num_partitions=num_partitions, total_name="__dgn_total",
+    )
+    return (
+        ranked
+        .withColumn("__dgn_q", F.expr(f"__dgn_total div {n}").cast("long"))
+        .withColumn("__dgn_r", (F.col("__dgn_total") % n).cast("long"))
+        .withColumn(
+            tile_name,
+            F.expr(
+                "CAST(CASE WHEN __dgn_rn <= __dgn_r * (__dgn_q + 1)"
+                " THEN (__dgn_rn - 1) div (__dgn_q + 1)"
+                " ELSE __dgn_r + (__dgn_rn - __dgn_r * (__dgn_q + 1) - 1)"
+                "       div greatest(__dgn_q, 1)"
+                " END + 1 AS BIGINT)"
+            ),
+        )
+        .drop("__dgn_rn", "__dgn_total", "__dgn_q", "__dgn_r")
+    )

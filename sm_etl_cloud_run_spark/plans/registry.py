@@ -124,6 +124,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "training_decontaminate_report",
     "dedup_cross_lingual",
     # changed THIS round after their r4/r5 green rows:
+    "events_value_ntile",       # grouped distributed_ntile rewire
     "events_winsorized_stats",      # grouped distributed_rank rewire
     "events_mad_outliers",          # grouped distributed_rank rewire
     "events_inter_arrival_stats",   # distributed_lag rewire

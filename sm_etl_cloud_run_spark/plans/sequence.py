@@ -281,21 +281,31 @@ FROM binned GROUP BY event_type, quartile
 def events_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile boundaries by equal-frequency binning: ntile(4) per
     event type (deterministic — the ORDER BY carries an event_id
-    tiebreaker), then min/max/count per bin. One shuffle; the aggregate
-    reuses the window's partitioning.
+    tiebreaker), then min/max/count per bin.
+
+    100 TB shape: the per-type quartile rides
+    `distributed_ntile_in_groups` — the range partitioner splits on
+    (event_type, value, event_id), so one heavy type's data sorts
+    across MANY tasks (the bare partitionBy(event_type) ntile this
+    replaced sorted each type in ONE task — the same single-task-group
+    hazard the rank-exact percentile family was rewired off).
     """
+    from ..operators.windows import distributed_ntile_in_groups
+
     t = load_tables(spark, sf_dir)
     # NULLS LAST explicitly on BOTH engines: Spark defaults ASC NULLS
     # FIRST, DuckDB NULLS LAST — a hostile NULL measure would silently
     # shift every bin boundary apart (the round-5 NULL-ordering lesson).
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc_nulls_last(), "event_id"
-    )
-    binned = t["events"].select(
-        "event_type",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-    )
+    binned = distributed_ntile_in_groups(
+        t["events"].select(
+            "event_type", "event_id", "value",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        ),
+        ["event_type"],
+        [F.col("value").asc_nulls_last(), F.col("event_id")],
+        4,
+        tile_name="quartile",
+    ).select("event_type", "cents", "quartile")
     return binned.groupBy("event_type", "quartile").agg(
         F.count("*").cast("long").alias("n"),
         F.min("cents").alias("min_cents"),

@@ -716,3 +716,38 @@ def test_distributed_lag_matches_partitioned_lag(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower().replace(" ", "")
     release_tracked()
+
+
+def test_distributed_ntile_in_groups_matches_partitioned_ntile(spark):
+    """distributed_ntile_in_groups == ntile(n) OVER (PARTITION BY g
+    ORDER BY ...) for dividing / remainder / n > N-per-group cases,
+    including NULL group keys and heavy ties, with the plan range-
+    partitioned on the composite key."""
+    from pyspark.sql.window import Window
+
+    from sm_etl_cloud_run_spark.operators.windows import (
+        distributed_ntile_in_groups,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                None if i % 13 == 0 else f"g{i % 3}",
+                (i * 37) % 7,  # heavy ties
+            )
+            for i in range(2000)
+        ],
+        "id long, g string, v long",
+    )
+    order = [F.col("v").desc_nulls_last(), F.col("id").asc()]
+    for n in (4, 7, 5000):
+        got = distributed_ntile_in_groups(
+            df, ["g"], order, n, tile_name="t", num_partitions=8
+        )
+        w = Window.partitionBy("g").orderBy(*order)
+        exp = df.withColumn("t", F.ntile(n).over(w).cast("long"))
+        assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower().replace(" ", "")
+    assert "ntile(" not in plan

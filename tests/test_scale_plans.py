@@ -152,6 +152,8 @@ def test_fact_rank_plans_are_range_partitioned(spark, sf_dir):
                  # distributed operators — no single-task per-type sort
                  "events_winsorized_stats", "events_mad_outliers",
                  "events_inter_arrival_stats",
+                 # per-type equal-frequency bins (grouped ntile rewire)
+                 "events_value_ntile",
                  # bounded calibration sample, rank distributed (r5 item 1)
                  "corpus_perplexity_buckets"):
         df = all_queries()[name].fn(spark, sf_dir)
