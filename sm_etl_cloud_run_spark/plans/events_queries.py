@@ -516,20 +516,52 @@ WHERE event_type = 'purchase'
 @register("events_cume_dist", oracle=_CUME_ORACLE,
           description="cumulative distribution / percent rank window over purchase values")
 def events_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    """cume_dist / percent_rank over one event type's values, WITHOUT
+    the bare `PARTITION BY event_type` window (that sorts the whole
+    type in ONE task — the single-task-group hazard the rank-exact
+    percentile family was rewired off). The identities over a total-
+    order rank with an event_id tiebreaker:
+
+        cume_dist(v)    = max(rank among rows with value v) / N
+        percent_rank(v) = (min(rank among rows with value v) - 1) / (N - 1)
+
+    so the plan is `distributed_rank_in_groups` (range-partitioned
+    parallel sort, N rides the broadcast offsets) → one (type, value)
+    hash aggregate → re-expand each distinct value's `count` duplicate
+    rows with explode(sequence) — output-sized, no join back to the
+    fact. Both quotients are single IEEE divisions of identical
+    integers, rounded to 6 on both engines; percent_rank of a 1-row
+    group pins to 0.0 (the SQL definition) to avoid a NULL divide.
+    """
+    from ..operators.windows import distributed_rank_in_groups
 
     t = load_tables(spark, sf_dir)
     cents = F.round(F.col("value") * 100, 0).cast("long")
-    w = Window.partitionBy("event_type").orderBy("value_cents")
-    return (
+    ranked = distributed_rank_in_groups(
         t["events"]
         .where(F.col("event_type") == "purchase")
-        .select("event_type", cents.alias("value_cents"))
-        .select(
+        .select("event_type", "event_id", cents.alias("value_cents")),
+        ["event_type"],
+        [F.col("value_cents").asc_nulls_last(), F.col("event_id")],
+        rank_name="__rk", total_name="__n",
+    )
+    vals = ranked.groupBy("event_type", "value_cents").agg(
+        F.min("__rk").alias("__mn"),
+        F.max("__rk").alias("__mx"),
+        F.max("__n").alias("__n"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    return (
+        vals.select(
             "event_type", "value_cents",
-            F.round(F.cume_dist().over(w), 6).alias("cd"),
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.col("__mx").cast("double") / F.col("__n"), 6).alias("cd"),
+            F.when(F.col("__n") == 1, F.lit(0.0))
+            .otherwise(
+                F.round((F.col("__mn") - 1).cast("double") / (F.col("__n") - 1), 6)
+            ).alias("pr"),
+            F.explode(F.sequence(F.lit(1), F.col("__c"))).alias("__i"),
         )
+        .drop("__i")
     )
 
 

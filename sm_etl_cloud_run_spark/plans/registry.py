@@ -125,6 +125,8 @@ _CHANGED_OR_NEVER_CHECKED = (
     "dedup_cross_lingual",
     # changed THIS round after their r4/r5 green rows:
     "events_value_ntile",       # grouped distributed_ntile rewire
+    "events_cume_dist",         # cume_dist/percent_rank via grouped rank
+            # cume_dist/percent_rank via grouped rank
     "events_winsorized_stats",      # grouped distributed_rank rewire
     "events_mad_outliers",          # grouped distributed_rank rewire
     "events_inter_arrival_stats",   # distributed_lag rewire
@@ -151,7 +153,7 @@ _DRIVER_CHECKED_R1_R2 = (
     "events_asof_last_click", "skew_salted_user_join",
     "events_pivot_type_counts", "events_running_balance",
     "events_daily_from_hourly", "events_value_histogram",
-    "events_cume_dist", "events_hourly_gapfill", "dedup_last_write",
+    "events_hourly_gapfill", "dedup_last_write",
     "events_anomaly_zscore", "events_conversion_funnel",
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "f1_panel_semi_join", "f2_composite_predicate", "f3_conditional_null",

@@ -154,6 +154,8 @@ def test_fact_rank_plans_are_range_partitioned(spark, sf_dir):
                  "events_inter_arrival_stats",
                  # per-type equal-frequency bins (grouped ntile rewire)
                  "events_value_ntile",
+                 # cume_dist/percent_rank identities over the grouped rank
+                 "events_cume_dist",
                  # bounded calibration sample, rank distributed (r5 item 1)
                  "corpus_perplexity_buckets"):
         df = all_queries()[name].fn(spark, sf_dir)
