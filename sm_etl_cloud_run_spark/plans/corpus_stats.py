@@ -1555,3 +1555,185 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("entropy_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM (continuation-count discounting)
+# ---------------------------------------------------------------------------
+
+_KN_TOP = 50
+
+_KN_ORACLE = f"""
+WITH toks AS (SELECT string_split(trim(text), ' ') AS t FROM documents),
+bg AS (
+  SELECT t[r.i] AS w1, t[r.i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i) r
+),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1_fw
+        FROM c2 GROUP BY w1),
+bk AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_bw FROM c2 GROUP BY w2),
+bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_types FROM c2)
+SELECT c2.w1, c2.w2 AS w2, c12, c1, n1_fw, n1_bw,
+       CAST((1000000 * (4 * c12 - 3)) // (4 * c1)
+            + (3 * n1_fw * ((1000000000 * n1_bw) // b_types)) // (4 * c1 * 1000)
+         AS BIGINT) AS pkn_micro
+FROM c2 JOIN ctx USING (w1) JOIN bk ON bk.w2 = c2.w2 CROSS JOIN bt
+ORDER BY c12 DESC, w1 ASC, w2 ASC
+LIMIT {_KN_TOP}
+"""
+
+
+@register("text_bigram_kneser_ney", oracle=_KN_ORACLE,
+          description="interpolated Kneser-Ney bigram probabilities "
+                      "(continuation-count discounting, D=0.75)")
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram estimates (Kneser & Ney 1995;
+    Chen & Goodman 1999) — the LM smoothing whose backoff weight is a
+    CONTINUATION count (how many distinct contexts a word follows),
+    not a raw frequency; the standard strong-baseline scorer for
+    perplexity-style data filtering:
+
+        P_KN(w2|w1) = (c(w1,w2) - D)/c(w1)
+                    + D * N1+(w1,*)/c(w1) * N1+(*,w2)/B
+
+    with D = 0.75 = 3/4 exactly, so everything stays in integer space:
+    term1 = (4*c12 - 3) * 1e6 // (4*c1); the continuation probability
+    enters through a nano-scaled ratio (1e9*N1bw // B) so the term-2
+    product 3 * N1fw * r_cont_nano stays under 2^63 even at a 1e8-type
+    vocabulary (term1's bound: the top bigram count must stay under
+    ~2.3e12, comfortably true of any real corpus). Both engines
+    evaluate the identical floor chain — exact parity including the
+    smoothing tail.
+
+    Output: the {_KN_TOP} most frequent bigrams (count DESC, bigram
+    ASC tiebreak) with their raw counts, context counts, forward /
+    backward continuation counts, and pkn_micro.
+
+    100 TB shape: one (w1,w2) hash aggregate (map-side combined; the
+    exploded bigram stream never materializes), two vocabulary-sized
+    aggregates off the bigram-type table, two vocabulary-keyed joins
+    (zipfian heads — AQE skew-join splits them), one 1-row scalar
+    broadcast for B (whitelisted), TakeOrdered for the top slice.
+    """
+    t = load_tables(spark, sf_dir)
+    bg = t["documents"].select(
+        F.explode(word_shingles(F.col("text"), 2)).alias("s")
+    ).select(
+        F.split(F.col("s"), " ").getItem(0).alias("w1"),
+        F.split(F.col("s"), " ").getItem(1).alias("w2"),
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    ctx = c2.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1_fw"),
+    )
+    bk = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1_bw"))
+    bt = c2.agg(F.count(F.lit(1)).cast("long").alias("b_types"))
+    scored = (
+        c2.join(ctx, "w1")
+        .join(bk, "w2")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "w1", "w2", "c12", "c1", "n1_fw", "n1_bw",
+            F.expr(
+                "CAST((1000000 * (4 * c12 - 3)) DIV (4 * c1)"
+                " + (3 * n1_fw * ((1000000000 * n1_bw) DIV b_types)) DIV (4 * c1 * 1000)"
+                " AS BIGINT)"
+            ).alias("pkn_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(_KN_TOP)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (tokenizer sizing diagnostic)
+# ---------------------------------------------------------------------------
+
+# Ladder points scaled to this synthetic corpus's 31-term vocabulary;
+# production uses a power-of-4 ladder up to the candidate vocab sizes
+# (16k / 64k / 256k / 1M).
+_COVERAGE_KS = (4, 8, 16, 24)
+
+_COVERAGE_ORACLE = f"""
+WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
+uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+r AS (
+  SELECT term, c,
+         CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS BIGINT) AS rnk,
+         CAST(SUM(c) OVER (ORDER BY c DESC, term ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS tot,
+         CAST(COUNT(*) OVER () AS BIGINT) AS v
+  FROM uni
+)
+SELECT rnk AS vocab_k, term AS boundary_term, c AS boundary_count,
+       cum AS tokens_covered,
+       CAST((10000 * cum) // tot AS BIGINT) AS coverage_bp,
+       v AS vocab_total
+FROM r WHERE rnk IN {_COVERAGE_KS} OR rnk = v
+"""
+
+
+@register("corpus_vocab_coverage", oracle=_COVERAGE_ORACLE,
+          description="token-coverage curve at candidate vocabulary sizes "
+                      "(tokenizer sizing; distributed_rank over the vocab)")
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer sizing diagnostic: what fraction of all token
+    OCCURRENCES the top-k vocabulary covers, at each candidate k plus
+    the full-vocabulary anchor — the curve that picks a vocab size
+    before training a tokenizer (the corpus_oov_rate twin, swept over
+    k instead of fixed at one V).
+
+    Shape: one map-side-combined term-count aggregate, then the
+    vocabulary rank rides :func:`distributed_rank` (range-partitioned,
+    no single-task sort even at web-scale vocabularies). The coverage
+    numbers do NOT use a second global prefix-sum pass: each ladder
+    point is one conditional SUM inside a single aggregate over the
+    persisted ranked relation (ladder-width CASE columns, map-side
+    combined), unpivoted against the <=|ladder|+1 boundary rows via a
+    1-row scalar broadcast (whitelisted). The oracle mirrors with a
+    window prefix-sum — same integers, single-task is fine for DuckDB.
+    """
+    from ..operators.windows import distributed_rank
+
+    t = load_tables(spark, sf_dir)
+    uni = (
+        t["documents"]
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = distributed_rank(
+        uni, [F.col("c").desc(), F.col("term").asc()],
+        rank_name="rnk", total_name="v",
+    )
+    sums = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rnk") <= k, F.col("c"))).cast("long").alias(f"s{k}")
+            for k in _COVERAGE_KS
+        ],
+        F.sum("c").cast("long").alias("tot"),
+    )
+    bounds = ranked.where(
+        F.col("rnk").isin(*_COVERAGE_KS) | (F.col("rnk") == F.col("v"))
+    )
+    covered = F.coalesce(
+        *[F.when(F.col("rnk") == k, F.col(f"s{k}")) for k in _COVERAGE_KS],
+        F.col("tot"),
+    ).cast("long")
+    return bounds.crossJoin(F.broadcast(sums)).select(
+        F.col("rnk").cast("long").alias("vocab_k"),
+        F.col("term").alias("boundary_term"),
+        F.col("c").alias("boundary_count"),
+        covered.alias("tokens_covered"),
+        F.expr(
+            "CAST((10000 * "
+            + "coalesce("
+            + ", ".join(f"CASE WHEN rnk = {k} THEN s{k} END" for k in _COVERAGE_KS)
+            + ", tot)) DIV tot AS BIGINT)"
+        ).alias("coverage_bp"),
+        F.col("v").cast("long").alias("vocab_total"),
+    )

@@ -838,3 +838,144 @@ def mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("__den")
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax per-language budget allocation (epoch-capped waterfilling)
+# ---------------------------------------------------------------------------
+
+_UNIMAX_EPOCH_CAP = 4       # no language repeats more than 4 epochs
+_UNIMAX_BUDGET_X = 3        # training budget = 3 x the corpus token count
+
+_UNIMAX_ORACLE = f"""
+WITH g AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), c AS (
+  SELECT *, n_tokens * {_UNIMAX_EPOCH_CAP} AS capacity,
+         {_UNIMAX_BUDGET_X} * SUM(n_tokens) OVER () AS budget,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_langs,
+         CAST(ROW_NUMBER() OVER (
+              ORDER BY n_tokens * {_UNIMAX_EPOCH_CAP} ASC, lang ASC NULLS LAST)
+           AS BIGINT) AS idx,
+         COALESCE(SUM(n_tokens * {_UNIMAX_EPOCH_CAP}) OVER (
+              ORDER BY n_tokens * {_UNIMAX_EPOCH_CAP} ASC, lang ASC NULLS LAST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM g
+), k AS (
+  SELECT *, CASE WHEN capacity * (n_langs - idx + 1) <= budget - cum_prev
+                 THEN 1 ELSE 0 END AS capped
+  FROM c
+), a AS (
+  SELECT *, CAST(SUM(capped) OVER () AS BIGINT) AS n_capped,
+         COALESCE(SUM(CASE WHEN capped = 1 THEN capacity END) OVER (), 0) AS capped_sum
+  FROM k
+), b AS (
+  SELECT lang, n_docs, n_tokens, capacity, budget, CAST(capped AS BIGINT) AS capped,
+         CAST(CASE WHEN capped = 1 THEN capacity
+              ELSE (budget - capped_sum) // (n_langs - n_capped)
+                   + CASE WHEN idx - n_capped <= (budget - capped_sum) % (n_langs - n_capped)
+                          THEN 1 ELSE 0 END
+              END AS BIGINT) AS budget_tokens
+  FROM a
+)
+SELECT lang, n_docs, n_tokens, capacity, capped, budget_tokens,
+       CAST((1000 * budget_tokens) // n_tokens AS BIGINT) AS epochs_milli,
+       CAST((10000 * budget_tokens) // budget AS BIGINT) AS share_bp
+FROM b
+"""
+
+
+@register("mixture_unimax_budget", oracle=_UNIMAX_ORACLE,
+          description="UniMax language budget allocation: epoch-capped "
+                      "waterfilling of the training token budget")
+def mixture_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax allocation (Chung et al. 2023, 'UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual
+    Pretraining'): distribute a total training budget across languages
+    as uniformly as possible, but never repeat any language more than
+    the epoch cap. Sequentially, smallest language first: a language
+    takes min(its capacity, remaining budget / remaining languages).
+
+    The sequential loop has a closed form once languages are sorted
+    ascending by capacity — the capped set is a PREFIX (if language i
+    cannot absorb the equal share, no larger language can either), so
+    one window pass decides cap membership: capped(i) iff
+    capacity_i * (L - i + 1) <= budget - sum(capacity_{j<i}). Uncapped
+    languages then split the leftover exactly: floor share each, one
+    extra token to the first (leftover mod U) of them in sort order —
+    integer-exact on both engines, no iterative floor drift.
+
+    Output: |langs| rows — corpus tokens, 4-epoch capacity, cap flag,
+    the allocated budget_tokens, epochs_milli (how many times that
+    language's corpus is traversed), and share_bp of the total budget.
+
+    100 TB shape: ONE map-side-combined corpus aggregate down to
+    |langs| rows; every window after that runs over the tiny aggregate
+    (the `domain_mixture_weights` pattern). A training sampler
+    broadcasts the result.
+    """
+    t = load_tables(spark, sf_dir)
+    g = t["documents"].groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    cap = (F.col("n_tokens") * _UNIMAX_EPOCH_CAP).cast("long")
+    w_ord = Window.orderBy(
+        F.col("capacity").asc(), F.col("lang").asc_nulls_last()
+    )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = (
+        g.withColumn("capacity", cap)
+        .withColumn("budget", (F.sum("n_tokens").over(w_all) * _UNIMAX_BUDGET_X).cast("long"))
+        .withColumn("n_langs", F.count(F.lit(1)).over(w_all).cast("long"))
+        .withColumn("idx", F.row_number().over(w_ord).cast("long"))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum("capacity").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    k = c.withColumn(
+        "capped",
+        F.when(
+            F.col("capacity") * (F.col("n_langs") - F.col("idx") + 1)
+            <= F.col("budget") - F.col("cum_prev"),
+            1,
+        ).otherwise(0).cast("long"),
+    )
+    a = (
+        k.withColumn("n_capped", F.sum("capped").over(w_all).cast("long"))
+        .withColumn(
+            "capped_sum",
+            F.coalesce(
+                F.sum(F.when(F.col("capped") == 1, F.col("capacity"))).over(w_all),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    budget_tokens = F.when(F.col("capped") == 1, F.col("capacity")).otherwise(
+        F.expr("(budget - capped_sum) DIV (n_langs - n_capped)")
+        + F.when(
+            F.col("idx") - F.col("n_capped")
+            <= F.expr("(budget - capped_sum) % (n_langs - n_capped)"),
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    b = a.select(
+        "lang", "n_docs", "n_tokens", "capacity", "budget", "capped",
+        budget_tokens.alias("budget_tokens"),
+    )
+    return b.select(
+        "lang", "n_docs", "n_tokens", "capacity", "capped", "budget_tokens",
+        F.expr("(1000 * budget_tokens) DIV n_tokens").cast("long").alias("epochs_milli"),
+        F.expr("(10000 * budget_tokens) DIV budget").cast("long").alias("share_bp"),
+    )

@@ -110,7 +110,14 @@ def register(
 # date to rounds 1/2, so re-greening the oldest costs the driver
 # nothing and keeps rows fresh).
 _CHANGED_OR_NEVER_CHECKED = (
-    # registered THIS round, never driver-checked:
+    # registered THIS round (driver r7), never driver-checked:
+    "mixture_unimax_budget",
+    "corpus_vocab_coverage",
+    "join_bloom_prefilter",
+    "text_bigram_kneser_ney",
+    "embedding_jl_distortion",
+    # registered last round; kept in the window until a CORRECTNESS
+    # row is observed for them (r6 artifacts did not land in-repo):
     "corpus_bytes_per_token",
     "dedup_cluster_canonical",
     "embedding_int8_quant_error",

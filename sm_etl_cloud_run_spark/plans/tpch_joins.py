@@ -297,3 +297,168 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     only95 = y95.exceptAll(y96).agg(F.count(F.lit(1)).alias("only_1995"))
     only96 = y96.exceptAll(y95).agg(F.count(F.lit(1)).alias("only_1996"))
     return both.crossJoin(only95).crossJoin(only96)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join prefilter (broadcast a bitset, not the keys)
+# ---------------------------------------------------------------------------
+
+# 4 Kbit keeps the test-scale fill factor high enough that false
+# positives actually occur (and must match the oracle bit-for-bit);
+# production sizes m to the key count (docstring).
+_BLOOM_BITS = 1 << 12          # m = 4096 bits = 128 x 32-bit words
+_BLOOM_HASHES = 3              # k = 3 md5-derived hash functions
+_BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_pos(key: str, i: int) -> str:
+    """Bit position i for a key expression — identical SQL on both
+    engines: first 8 hex chars of md5(key || ':' || i) mod m."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || ':{i}'), 1, 8)) AS BIGINT)"
+        f" % {_BLOOM_BITS}"
+    )
+
+
+def _bloom_pos_spark(key: str, i: int) -> str:
+    """Spark-SQL twin of `_bloom_pos` (conv() instead of the '0x' cast)."""
+    return (
+        f"CAST(conv(substring(md5(CAST({key} AS STRING) || ':{i}'), 1, 8), 16, 10)"
+        f" AS BIGINT) % {_BLOOM_BITS}"
+    )
+
+
+def _bloom_word(pos_sql: str) -> "F.Column":
+    return F.expr(f"CAST(({pos_sql}) DIV 32 AS BIGINT)")
+
+
+def _bloom_mask(pos_sql: str) -> "F.Column":
+    return F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(({pos_sql}) % 32 AS INT))")
+
+
+_BLOOM_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+),
+bits AS (
+  {" UNION ALL ".join(
+      f"SELECT ({_bloom_pos('c_custkey', i)}) // 32 AS word_idx,"
+      f" (CAST(1 AS BIGINT) << (({_bloom_pos('c_custkey', i)}) % 32)) AS mask FROM keys"
+      for i in range(_BLOOM_HASHES))}
+),
+bloom AS (
+  SELECT word_idx, CAST(bit_or(mask) AS BIGINT) AS word FROM bits GROUP BY word_idx
+),
+probe AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         {", ".join(
+             f"({_bloom_pos('o_custkey', i)}) // 32 AS w{i},"
+             f" (CAST(1 AS BIGINT) << (({_bloom_pos('o_custkey', i)}) % 32)) AS m{i}"
+             for i in range(_BLOOM_HASHES))}
+  FROM orders
+),
+tested AS (
+  SELECT p.o_orderkey, p.o_custkey, p.o_orderpriority,
+         CASE WHEN {" AND ".join(
+             f"COALESCE(b{i}.word, 0) & p.m{i} <> 0" for i in range(_BLOOM_HASHES))}
+              THEN 1 ELSE 0 END AS candidate
+  FROM probe p
+  {" ".join(f"LEFT JOIN bloom b{i} ON b{i}.word_idx = p.w{i}" for i in range(_BLOOM_HASHES))}
+),
+confirmed AS (
+  SELECT t.o_orderkey, t.o_orderpriority, t.candidate,
+         CASE WHEN t.candidate = 1 AND k.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS matched
+  FROM tested t LEFT JOIN keys k ON t.candidate = 1 AND k.c_custkey = t.o_custkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(candidate) AS BIGINT) AS n_candidates,
+       CAST(SUM(matched) AS BIGINT) AS n_matched,
+       CAST(SUM(candidate) - SUM(matched) AS BIGINT) AS n_false_pos,
+       CAST((10000 * (SUM(candidate) - SUM(matched)))
+            // GREATEST(COUNT(*) - SUM(matched), 1) AS BIGINT) AS fp_rate_bp
+FROM confirmed
+GROUP BY o_orderpriority
+"""
+
+
+@register("join_bloom_prefilter", oracle=_BLOOM_ORACLE,
+          description="distributed Bloom-filter build + broadcast bitset "
+                      "semi-join prefilter, with measured false-positive rate")
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join pruning via an explicitly-built Bloom filter: hash the
+    filtered dimension's keys into a 64 Kbit bitset (k=3 md5-derived
+    hashes, 32-bit words so every mask stays positive on both engines),
+    OR the words together with one tiny distributed aggregate, then
+    test every fact row against the broadcast bitset BEFORE the exact
+    join. The query reports, per order priority, how many fact rows
+    the bitset would admit (candidates), how many survive the exact
+    join (matched), and the false-positive rate among true negatives —
+    the number that decides whether the prefilter pays for itself.
+
+    Why this matters at 100 TB: broadcasting 10^8 dimension keys for a
+    semi-join is impossible, and shuffling the fact side for a 2%
+    selective dim filter wastes the whole exchange. The bitset is 8 KB
+    REGARDLESS of dim cardinality (size m to keys for the target fp
+    rate: m/n=10 bits/key, k=3 gives ~1.7% fp) — fact rows that fail
+    it never enter the exact join's shuffle. Spark's AQE runtime
+    filters do this implicitly for some shapes; the explicit operator
+    covers the rest (multi-stage reuse, sink-side pruning) and
+    MEASURES its own selectivity. Plan: one dim scan -> <=2048-row
+    bit_or aggregate -> 3 broadcast word-lookup joins + 1 broadcast
+    exact semi-check, fact side never shuffles until the final
+    |priorities|-sized aggregate.
+
+    Correctness is exact (and oracle-checked) because the md5 hash
+    family is engine-identical: both engines agree on every candidate
+    bit, so even the false positives match.
+    """
+    t = load_tables(spark, sf_dir)
+    keys = (
+        t["customer"].where(F.col("c_mktsegment") == _BLOOM_SEGMENT)
+        .select("c_custkey").distinct()
+    )
+    bits = None
+    for i in range(_BLOOM_HASHES):
+        pos = _bloom_pos_spark("c_custkey", i)
+        part = keys.select(
+            _bloom_word(pos).alias("word_idx"), _bloom_mask(pos).alias("mask")
+        )
+        bits = part if bits is None else bits.unionAll(part)
+    bloom = bits.groupBy("word_idx").agg(F.expr("CAST(bit_or(mask) AS BIGINT)").alias("word"))
+    probe = t["orders"].select("o_orderkey", "o_custkey", "o_orderpriority")
+    for i in range(_BLOOM_HASHES):
+        pos = _bloom_pos_spark("o_custkey", i)
+        probe = probe.withColumn(f"w{i}", _bloom_word(pos)).withColumn(
+            f"m{i}", _bloom_mask(pos)
+        )
+    tested = probe
+    for i in range(_BLOOM_HASHES):
+        b = F.broadcast(
+            bloom.withColumnRenamed("word_idx", f"bw{i}").withColumnRenamed("word", f"word{i}")
+        )
+        tested = tested.join(b, tested[f"w{i}"] == b[f"bw{i}"], "left")
+    candidate = F.when(
+        F.expr(" AND ".join(f"(COALESCE(word{i}, 0) & m{i}) <> 0" for i in range(_BLOOM_HASHES))),
+        1,
+    ).otherwise(0)
+    tested = tested.select("o_orderkey", "o_custkey", "o_orderpriority",
+                           candidate.alias("candidate"))
+    k = F.broadcast(keys.withColumnRenamed("c_custkey", "k_custkey"))
+    confirmed = tested.join(
+        k, (tested["candidate"] == 1) & (k["k_custkey"] == tested["o_custkey"]), "left"
+    ).select(
+        "o_orderpriority", "candidate",
+        F.when((F.col("candidate") == 1) & F.col("k_custkey").isNotNull(), 1)
+        .otherwise(0).alias("matched"),
+    )
+    return confirmed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("candidate").cast("long").alias("n_candidates"),
+        F.sum("matched").cast("long").alias("n_matched"),
+        (F.sum("candidate") - F.sum("matched")).cast("long").alias("n_false_pos"),
+        F.expr(
+            "CAST((10000 * (SUM(candidate) - SUM(matched)))"
+            " DIV GREATEST(COUNT(*) - SUM(matched), 1) AS BIGINT)"
+        ).alias("fp_rate_bp"),
+    )

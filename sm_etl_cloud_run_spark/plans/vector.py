@@ -1475,3 +1475,118 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV COUNT(*) AS BIGINT)"
         ).alias("accuracy_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection distortion QA (Rademacher sketch)
+# ---------------------------------------------------------------------------
+
+_JL_R = 16   # projected dimensionality
+
+
+def _jl_sign(j: int, i: int) -> int:
+    """Deterministic Rademacher sign for (out-dim j, in-dim i), defined
+    as md5 text so the DuckDB oracle reproduces it: +1 iff the first
+    hex digit of md5('j:i') < '8' (exactly p = 1/2)."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0] < "8" else -1
+
+
+_JL_ORACLE = f"""
+WITH d0 AS (SELECT len(embedding) AS d FROM embeddings
+            WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+e AS (SELECT vec_id, label, embedding FROM embeddings, d0 WHERE len(embedding) = d0.d),
+x AS (
+  SELECT vec_id, label, u.i,
+         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000) AS BIGINT) AS xm
+  FROM e, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+),
+s AS (
+  SELECT jj.j, ii.i,
+         CASE WHEN substr(md5(CAST(jj.j AS VARCHAR) || ':' || CAST(ii.i AS VARCHAR)), 1, 1) < '8'
+              THEN 1 ELSE -1 END AS sg
+  FROM (SELECT unnest(range(0, {_JL_R})) AS j) jj,
+       (SELECT unnest(range(1, (SELECT d FROM d0) + 1)) AS i) ii
+),
+y AS (
+  SELECT vec_id, label, s.j, CAST(SUM(s.sg * x.xm) AS BIGINT) AS yj
+  FROM x JOIN s ON s.i = x.i GROUP BY vec_id, label, s.j
+),
+ny AS (SELECT vec_id, label, CAST(SUM(yj * yj) AS BIGINT) AS y2 FROM y GROUP BY vec_id, label),
+nx AS (SELECT vec_id, CAST(SUM(xm * xm) AS BIGINT) AS x2 FROM x GROUP BY vec_id),
+pv AS (
+  SELECT ny.label, CAST((10000 * y2) // ({_JL_R} * x2) AS BIGINT) AS dist_bp
+  FROM ny JOIN nx USING (vec_id) WHERE x2 > 0
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(dist_bp) // COUNT(*) AS BIGINT) AS avg_distortion_bp,
+       CAST(MIN(dist_bp) AS BIGINT) AS min_distortion_bp,
+       CAST(MAX(dist_bp) AS BIGINT) AS max_distortion_bp
+FROM pv GROUP BY label
+"""
+
+
+@register("embedding_jl_distortion", oracle=_JL_ORACLE,
+          description="Johnson-Lindenstrauss Rademacher projection to 16 dims "
+                      "with per-label norm-distortion QA")
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality-reduction QA: project every embedding through a
+    deterministic Rademacher (+-1) matrix to {_JL_R} dims and measure
+    how well squared norms survive — the Johnson-Lindenstrauss check
+    that decides whether an ANN index can run on the sketch instead of
+    the full vector. For +-1 entries E[||y||^2] = r * ||x||^2, so the
+    per-vector distortion is (10000 * ||y||^2) DIV (r * ||x||^2),
+    reported per label as avg/min/max basis points.
+
+    Integer contract: coordinates enter MILLI space (round(x*1e3)) so
+    the worst-case |y_j| <= d * 2000 keeps y_j^2 and its r-term sum far
+    under 2^63 for any d <= 1e6; the sign matrix is data-independent
+    md5 over (j,i) index pairs, so both engines build the identical
+    matrix — the Spark side FOLDS it into literal arrays at plan time
+    (one 1-row dimension lookup), the oracle derives it in SQL.
+
+    100 TB shape: map-side ONLY — the projection is zip_with against
+    {_JL_R} constant arrays inside one projection (no explode of the
+    N x d element stream, no shuffle until the final |labels|-sized
+    aggregate). The interpreted higher-order-function cost is
+    r * d multiply-adds per row — the same arithmetic a Pandas-UDF
+    matmul would do, without leaving the JVM; swap to mapInPandas
+    BLAS only if r * d grows past ~10^5 per row.
+    """
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    # reference dimensionality = the MIN(vec_id) row's (mirrors the
+    # oracle's d0; parameter-sized 1-row lookup, the _seed_rows class)
+    row = emb.orderBy("vec_id").select(F.size("embedding").alias("d")).first()
+    d = row["d"] if row else 0
+    e = emb.where(F.size("embedding") == d)
+    xm = "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT))"
+    y2_expr = " + ".join(f"(__y{j} * __y{j})" for j in range(_JL_R))
+    proj = e.select("vec_id", "label", F.expr(xm).alias("__xm"))
+    for j in range(_JL_R):
+        signs = ",".join(str(_jl_sign(j, i)) for i in range(1, d + 1))
+        proj = proj.withColumn(
+            f"__y{j}",
+            F.expr(
+                f"aggregate(zip_with(__xm, array({signs}), (a, b) -> a * b),"
+                f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ),
+        )
+    pv = proj.select(
+        "label",
+        F.expr(y2_expr).cast("long").alias("y2"),
+        F.expr(
+            "aggregate(__xm, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+        ).alias("x2"),
+    ).where(F.col("x2") > 0).select(
+        "label",
+        F.expr(f"CAST((10000 * y2) DIV ({_JL_R} * x2) AS BIGINT)").alias("dist_bp"),
+    )
+    return pv.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr("CAST(SUM(dist_bp) DIV COUNT(*) AS BIGINT)").alias("avg_distortion_bp"),
+        F.min("dist_bp").cast("long").alias("min_distortion_bp"),
+        F.max("dist_bp").cast("long").alias("max_distortion_bp"),
+    )

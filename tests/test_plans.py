@@ -142,6 +142,8 @@ _NESTED_LOOP_OK = {
     "events_rfm_segments",        # 1-row anchor-date scalar broadcast
     "embedding_pca_top_component",  # 1-row max-abs normalizer broadcast
     "text_keyword_textrank",      # 1-row pr0/teleport scalar broadcast (pagerank base)
+    "text_bigram_kneser_ney",     # 1-row bigram-type-count scalar broadcast (B for P_cont)
+    "corpus_vocab_coverage",      # 1-row ladder-sums scalar broadcast onto <=5 boundary rows
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.
@@ -427,3 +429,90 @@ def test_minhash_accuracy_sampled_subset(spark, sf_dir):
     # uniform gate: Binomial(n, .5) stays inside 4 sigma comfortably
     n = len(full)
     assert abs(len(samp) - 0.5 * n) <= 4 * (0.25 * n) ** 0.5 + 1, (len(samp), n)
+
+
+def test_unimax_budget_allocation_invariants(spark, sf_dir):
+    """The UniMax waterfilling closed form must behave like the
+    sequential algorithm: the capped set is an ascending-capacity
+    prefix, capped languages get exactly their capacity (= the epoch
+    cap), and when at least one language is uncapped the budget is
+    exhausted EXACTLY (floor share + distributed remainder)."""
+    from sm_etl_cloud_run_spark.plans import get
+    from sm_etl_cloud_run_spark.plans.mixture import _UNIMAX_BUDGET_X, _UNIMAX_EPOCH_CAP
+
+    rows = get("mixture_unimax_budget").fn(spark, sf_dir).collect()
+    assert rows
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    budget = _UNIMAX_BUDGET_X * total_tokens
+    by_cap = sorted(rows, key=lambda r: (r["capacity"], r["lang"] or "~"))
+    flags = [r["capped"] for r in by_cap]
+    assert flags == sorted(flags, reverse=True), "capped set must be a prefix"
+    for r in rows:
+        assert r["capacity"] == r["n_tokens"] * _UNIMAX_EPOCH_CAP
+        assert r["budget_tokens"] <= r["capacity"]
+        if r["capped"] == 1:
+            assert r["budget_tokens"] == r["capacity"]
+            assert r["epochs_milli"] == 1000 * _UNIMAX_EPOCH_CAP
+    if any(r["capped"] == 0 for r in rows):
+        assert sum(r["budget_tokens"] for r in rows) == budget
+        # uncapped languages split the leftover within 1 token of equal
+        unc = [r["budget_tokens"] for r in rows if r["capped"] == 0]
+        assert max(unc) - min(unc) <= 1
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """A Bloom filter admits extra rows but NEVER drops a true match:
+    per priority, n_matched must equal the exact semi-join count, and
+    candidates must dominate matches."""
+    from pyspark.sql import functions as F
+
+    from sm_etl_cloud_run_spark.plans import get
+    from sm_etl_cloud_run_spark.plans.tpch_joins import _BLOOM_SEGMENT
+    from sm_etl_cloud_run_spark.tables import load_tables
+
+    got = {r["o_orderpriority"]: r for r in
+           get("join_bloom_prefilter").fn(spark, sf_dir).collect()}
+    t = load_tables(spark, sf_dir)
+    keys = t["customer"].where(F.col("c_mktsegment") == _BLOOM_SEGMENT).select("c_custkey")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in (
+            t["orders"].join(keys, t["orders"]["o_custkey"] == keys["c_custkey"], "left_semi")
+            .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+    }
+    assert set(exact) <= set(got)
+    for pri, r in got.items():
+        assert r["n_matched"] == exact.get(pri, 0), pri
+        assert r["n_candidates"] >= r["n_matched"], pri
+        assert r["n_false_pos"] == r["n_candidates"] - r["n_matched"], pri
+
+
+def test_jl_distortion_concentrates_around_unit(spark, sf_dir):
+    """E[||y||^2] = r * ||x||^2 for a Rademacher projection, so the
+    per-label AVERAGE distortion must concentrate near 10000 bp (the
+    per-vector spread is chi-square-wide, the mean is not)."""
+    from sm_etl_cloud_run_spark.plans import get
+
+    rows = get("embedding_jl_distortion").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_vecs"] > 0
+        assert 7000 <= r["avg_distortion_bp"] <= 13000, r
+        assert r["min_distortion_bp"] <= r["avg_distortion_bp"] <= r["max_distortion_bp"], r
+
+
+def test_kneser_ney_outputs_are_probabilities(spark, sf_dir):
+    """Every smoothed estimate must stay inside (0, 1] and the
+    discount must bite: pkn < raw MLE c12/c1 + the full backoff mass."""
+    from sm_etl_cloud_run_spark.plans import get
+
+    rows = get("text_bigram_kneser_ney").fn(spark, sf_dir).collect()
+    assert len(rows) == 50
+    counts = [r["c12"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 0 < r["pkn_micro"] <= 1_000_000, r
+        # discounted term1 stays below the raw MLE
+        assert (1_000_000 * (4 * r["c12"] - 3)) // (4 * r["c1"]) \
+            <= (1_000_000 * r["c12"]) // r["c1"], r

@@ -80,6 +80,15 @@ QUERIES = (
     "dedup_minhash_accuracy",
     "dedup_simhash_pairs",
     "knn_graph_link_prediction",
+    # round-10 additions: the broadcast-bitset prefilter (the join must
+    # stay 4x BroadcastHashJoin with the fact never shuffling), the
+    # bigram-type joins behind Kneser-Ney, the map-side JL projection,
+    # and the distributed_rank-riding coverage curve.
+    "join_bloom_prefilter",
+    "text_bigram_kneser_ney",
+    "embedding_jl_distortion",
+    "corpus_vocab_coverage",
+    "mixture_unimax_budget",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
