@@ -113,6 +113,8 @@ _CHANGED_OR_NEVER_CHECKED = (
     # registered THIS round (driver r7), never driver-checked:
     "mixture_unimax_budget",
     "corpus_vocab_coverage",
+    "corpus_filter_funnel",
+    "quality_linear_classifier",
     "join_bloom_prefilter",
     "text_bigram_kneser_ney",
     "embedding_jl_distortion",

@@ -1798,3 +1798,73 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(__na DIV __ta AS BIGINT)").alias("share_after_bp"),
         F.expr("CAST(__na DIV __ta - __nb DIV __tb AS BIGINT)").alias("shift_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (fasttext-architecture scoring plumbing)
+# ---------------------------------------------------------------------------
+
+_QLC_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+w AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 2001 - 1000 AS wt
+  FROM tok
+),
+sc AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(wt) AS BIGINT) AS w_sum
+  FROM w GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_tokens, w_sum,
+       CAST(FLOOR(1000.0 * w_sum / n_tokens) AS BIGINT) AS score_milli,
+       CAST(CASE WHEN w_sum >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sc
+"""
+
+
+@register("quality_linear_classifier", oracle=_QLC_ORACLE,
+          description="hashed linear quality classifier: bucket-weight scoring "
+                      "of every document, JVM-side (fasttext architecture)")
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering plumbing (the FineWeb-Edu /
+    fasttext-classifier stage of a pretraining pipeline): every token
+    maps to a hash-bucket weight, a document's score is its mean token
+    weight, and the keep verdict thresholds the score at zero. The
+    weight table here is the deterministic md5 stand-in
+    ((h mod 2001) - 1000, zero-mean), so both engines agree exactly;
+    swapping in TRAINED weights changes one expression to a broadcast
+    join against a |buckets| weight table — the distributed shape is
+    identical and is the point being tested.
+
+    Shape at 100 TB: explode -> inline weight arithmetic (no join, no
+    Python; with trained weights, a broadcast hash join against the
+    parameter-sized bucket table) -> one doc-keyed map-side-combined
+    aggregate. The mean uses FLOOR over the double quotient (the
+    registry's shared convention — exact for |w_sum| < 2^49 since both
+    engines floor the identical double), and the verdict uses the
+    integer sum, so the keep bit can never disagree with the score.
+    """
+    t = load_tables(spark, sf_dir)
+    wt = F.expr(
+        "CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000"
+    )
+    sc = (
+        t["documents"]
+        .select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .select("doc_id", "lang", wt.alias("wt"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("wt").cast("long").alias("w_sum"),
+        )
+    )
+    return sc.select(
+        "doc_id", "lang", "n_tokens", "w_sum",
+        F.floor(1000.0 * F.col("w_sum") / F.col("n_tokens")).cast("long")
+        .alias("score_milli"),
+        F.when(F.col("w_sum") >= 0, 1).otherwise(0).cast("long").alias("keep"),
+    )
