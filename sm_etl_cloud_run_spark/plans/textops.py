@@ -1826,7 +1826,7 @@ FROM sc
 """
 
 
-@register("quality_linear_classifier", oracle=_QLC_ORACLE,
+@register("quality_linear_classifier", oracle=_QLC_ORACLE, bench=True,
           description="hashed linear quality classifier: bucket-weight scoring "
                       "of every document, JVM-side (fasttext architecture)")
 def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
