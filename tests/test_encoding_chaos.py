@@ -268,6 +268,11 @@ _HOSTILE_QUERIES = (
     "dedup_survivorship",
     "corpus_topic_tags",
     "text_token_entropy",
+    "mixture_unimax_budget",
+    "corpus_vocab_coverage",
+    "corpus_filter_funnel",
+    "quality_linear_classifier",
+    "text_bigram_kneser_ney",
 )
 
 
@@ -304,7 +309,8 @@ def renumbered_embeddings_dir(tmp_path_factory):
      "kmeans_embedding_clusters", "pq_codebook_train", "knn_graph_pagerank",
      "knn_ivf_pq", "embedding_hard_negatives",
      "knn_ivf_recall", "kmeans_cluster_purity", "knn_graph_link_prediction",
-     "embedding_int8_quant_error", "knn_label_propagation"],
+     "embedding_int8_quant_error", "knn_label_propagation",
+     "embedding_jl_distortion"],
 )
 def test_renumbered_vec_ids_keep_oracle_parity(spark, renumbered_embeddings_dir, qname):
     problems = _oracle_compare(spark, renumbered_embeddings_dir, qname)
