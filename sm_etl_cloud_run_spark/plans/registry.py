@@ -115,6 +115,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "corpus_vocab_coverage",
     "corpus_filter_funnel",
     "quality_linear_classifier",
+    "events_multitouch_attribution",
     "join_bloom_prefilter",
     "text_bigram_kneser_ney",
     "embedding_jl_distortion",

@@ -89,6 +89,7 @@ QUERIES = (
     "embedding_jl_distortion",
     "corpus_vocab_coverage",
     "mixture_unimax_budget",
+    "events_multitouch_attribution",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
