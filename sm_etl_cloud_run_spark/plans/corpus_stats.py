@@ -1823,11 +1823,16 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         tokens(F.col("text")).alias("w"),
     )
+    from ..functions.text import doc_fingerprint
+
+    # flag definitions shared with corpus_curation_pipeline (same
+    # thresholds, same fingerprint helper) — this report is the
+    # ablation OF that funnel, so the two must not drift
     base = docs.select(
         "doc_id",
         F.size("w").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
-        F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).alias("fp"),
+        doc_fingerprint(F.col("text")).alias("fp"),
     )
     bgc = (
         docs.select("doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram"))

@@ -1674,11 +1674,12 @@ _MTA_TOUCH_TYPES = ("click", "view", "signup")
 
 _MTA_ORACLE = f"""
 WITH conv AS (
-  SELECT event_id AS conv_id, user_id, ts FROM events WHERE event_type = 'purchase'
+  SELECT event_id AS conv_id, user_id, ts FROM events
+  WHERE event_type = 'purchase' AND event_id IS NOT NULL
 ),
 tch AS (
   SELECT event_id AS touch_id, user_id, ts, event_type
-  FROM events WHERE event_type IN {_MTA_TOUCH_TYPES}
+  FROM events WHERE event_type IN {_MTA_TOUCH_TYPES} AND event_id IS NOT NULL
 ),
 p AS (
   SELECT c.conv_id, t.touch_id, t.event_type, t.ts
@@ -1738,11 +1739,20 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     t = load_tables(spark, sf_dir)
     ev = t["events"]
-    conv = ev.where(F.col("event_type") == "purchase").select(
+    # event_id NOT NULL on both sides (mirrored in the oracle): a
+    # conversion without an id cannot partition the credit windows and
+    # a touch without one cannot be ranked or counted — a NULL touch_id
+    # would rank NULLS FIRST on Spark / NULLS LAST on DuckDB AND leak
+    # credit (n counts non-NULL ids, every joined row gets a share)
+    conv = ev.where(
+        (F.col("event_type") == "purchase") & F.col("event_id").isNotNull()
+    ).select(
         F.col("event_id").alias("conv_id"), F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
     )
-    tch = ev.where(F.col("event_type").isin(*_MTA_TOUCH_TYPES)).select(
+    tch = ev.where(
+        F.col("event_type").isin(*_MTA_TOUCH_TYPES) & F.col("event_id").isNotNull()
+    ).select(
         F.col("event_id").alias("touch_id"), F.col("user_id").alias("t_user"),
         F.col("ts").alias("t_ts"), F.col("event_type").alias("t_type"),
     )

@@ -338,7 +338,8 @@ def _bloom_mask(pos_sql: str) -> "F.Column":
 
 _BLOOM_ORACLE = f"""
 WITH keys AS (
-  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+  SELECT DISTINCT c_custkey FROM customer
+  WHERE c_mktsegment = '{_BLOOM_SEGMENT}' AND c_custkey IS NOT NULL
 ),
 bits AS (
   {" UNION ALL ".join(
@@ -387,7 +388,7 @@ GROUP BY o_orderpriority
                       "semi-join prefilter, with measured false-positive rate")
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join pruning via an explicitly-built Bloom filter: hash the
-    filtered dimension's keys into a 64 Kbit bitset (k=3 md5-derived
+    filtered dimension's keys into a 4 Kbit bitset (k=3 md5-derived
     hashes, 32-bit words so every mask stays positive on both engines),
     OR the words together with one tiny distributed aggregate, then
     test every fact row against the broadcast bitset BEFORE the exact
@@ -401,9 +402,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Why this matters at 100 TB: broadcasting 10^8 dimension keys for a
     semi-join is impossible, and shuffling the fact side for a 2%
-    selective dim filter wastes the whole exchange. The bitset is 8 KB
-    REGARDLESS of dim cardinality (size m to keys for the target fp
-    rate: m/n=10 bits/key, k=3 gives ~1.7% fp) — fact rows that fail
+    selective dim filter wastes the whole exchange. The bitset size is
+    a PARAMETER independent of dim cardinality — size m to the key
+    count for the target fp rate (m/n = 10 bits/key with k = 3 gives
+    ~1.7% fp; 10^8 keys -> ~125 MB, still broadcastable where the keys
+    themselves are not). This test instance uses m = 4 Kbit (~0.5 KB)
+    so false positives actually occur at test scale — fact rows that fail
     it never enter the exact join's shuffle. Spark's AQE runtime
     filters do this implicitly for some shapes; the explicit operator
     covers the rest (multi-stage reuse, sink-side pruning) and
@@ -417,8 +421,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit, so even the false positives match.
     """
     t = load_tables(spark, sf_dir)
+    # NULL keys are dropped on BOTH engines: a NULL can never
+    # equi-match in the exact join, and on the Spark side a NULL hash
+    # position would poison map_from_entries (null map key)
     keys = (
-        t["customer"].where(F.col("c_mktsegment") == _BLOOM_SEGMENT)
+        t["customer"]
+        .where((F.col("c_mktsegment") == _BLOOM_SEGMENT) & F.col("c_custkey").isNotNull())
         .select("c_custkey").distinct()
     )
     bits = None

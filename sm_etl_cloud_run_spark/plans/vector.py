@@ -1494,7 +1494,7 @@ def _jl_sign(j: int, i: int) -> int:
 
 
 _JL_ORACLE = f"""
-WITH d0 AS (SELECT len(embedding) AS d FROM embeddings
+WITH d0 AS (SELECT MIN(len(embedding)) AS d FROM embeddings
             WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
 e AS (SELECT vec_id, label, embedding FROM embeddings, d0 WHERE len(embedding) = d0.d),
 x AS (
@@ -1557,9 +1557,13 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    # reference dimensionality = the MIN(vec_id) row's (mirrors the
+    # reference dimensionality = MIN(len) among the MIN(vec_id) rows —
+    # deterministic even if the minimum id is duplicated (mirrors the
     # oracle's d0; parameter-sized 1-row lookup, the _seed_rows class)
-    row = emb.orderBy("vec_id").select(F.size("embedding").alias("d")).first()
+    row = (
+        emb.orderBy(F.col("vec_id").asc(), F.size("embedding").asc())
+        .select(F.size("embedding").alias("d")).first()
+    )
     d = row["d"] if row else 0
     e = emb.where(F.size("embedding") == d)
     xm = "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT))"
