@@ -1789,3 +1789,143 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("conv_id").cast("long").alias("n_conversions"),
         F.sum("credit_bp").cast("long").alias("total_credit_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-decay attribution (half-life credit, exact integer weights)
+# ---------------------------------------------------------------------------
+
+_TDA_ORACLE = f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts FROM events
+  WHERE event_type = 'purchase' AND event_id IS NOT NULL
+),
+tch AS (
+  SELECT event_id AS touch_id, user_id, ts, event_type
+  FROM events WHERE event_type IN {_MTA_TOUCH_TYPES} AND event_id IS NOT NULL
+),
+p AS (
+  SELECT c.conv_id, t.touch_id, t.event_type,
+         CASE WHEN t.touch_id IS NULL THEN NULL
+              ELSE CAST((epoch_us(c.ts) - epoch_us(t.ts)) // 86400000000 AS BIGINT)
+         END AS age_days,
+         t.ts
+  FROM conv c LEFT JOIN tch t
+    ON t.user_id = c.user_id
+   AND t.ts <= c.ts
+   AND t.ts > c.ts - INTERVAL {_MTA_WINDOW_HOURS} HOUR
+),
+w AS (
+  SELECT conv_id, touch_id, event_type, age_days,
+         CASE WHEN touch_id IS NULL THEN 0 ELSE 4 // (1 << age_days) END AS wt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+                ORDER BY age_days ASC NULLS LAST, ts ASC, touch_id ASC) AS BIGINT) AS rnk
+  FROM p
+),
+s AS (
+  SELECT *, CAST(SUM(wt) OVER (PARTITION BY conv_id) AS BIGINT) AS w_total FROM w
+),
+base AS (
+  SELECT *, CASE WHEN w_total = 0 THEN 0
+                 ELSE (10000 * wt) // w_total END AS floor_bp
+  FROM s
+),
+fin AS (
+  SELECT conv_id, touch_id,
+         COALESCE(event_type, 'unattributed') AS touch_type,
+         CASE WHEN w_total = 0 THEN 10000
+              ELSE floor_bp
+                 + CASE WHEN rnk <= 10000 - SUM(floor_bp) OVER (PARTITION BY conv_id)
+                        THEN 1 ELSE 0 END
+         END AS credit_bp
+  FROM base
+)
+SELECT touch_type,
+       CAST(COUNT(touch_id) AS BIGINT) AS n_touches,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       CAST(SUM(credit_bp) AS BIGINT) AS total_credit_bp
+FROM fin GROUP BY touch_type
+"""
+
+
+@register("events_timedecay_attribution", oracle=_TDA_ORACLE,
+          description="time-decay attribution: halving credit per day of "
+                      "touch age, exact integer weights and bp conservation")
+def events_timedecay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution family's recency-weighted member (last-click =
+    events_asof_last_click, linear = events_multitouch_attribution):
+    a touch's weight HALVES for every full day between it and the
+    conversion — with the 72 h lookback the ages are 0/1/2 days, so the
+    weights are the exact integers 4/2/1 (no pow(), no doubles).
+    Credit is (10000 * w) DIV W floored, and the floor loss (at most
+    |touches|-1 bp) tops up the most-recent touches first — every
+    conversion still distributes exactly 10000 bp, unattributed bucket
+    included; the conservation test covers both attribution models.
+
+    Shape: identical to the linear model — user-keyed equi join,
+    per-conversion windows (count/rank/two sums, all on conv_id's tiny
+    groups), one |touch types|-sized aggregate. Age arithmetic is
+    integer microseconds (unix_micros / epoch_us), floor-dividing
+    non-negative dividends — exact on both engines.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    conv = ev.where(
+        (F.col("event_type") == "purchase") & F.col("event_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("conv_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    tch = ev.where(
+        F.col("event_type").isin(*_MTA_TOUCH_TYPES) & F.col("event_id").isNotNull()
+    ).select(
+        F.col("event_id").alias("touch_id"), F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"), F.col("event_type").alias("t_type"),
+    )
+    p = conv.join(
+        tch,
+        (F.col("t_user") == F.col("c_user"))
+        & (F.col("t_ts") <= F.col("c_ts"))
+        & (F.col("t_ts") > F.col("c_ts") - F.expr(f"INTERVAL {_MTA_WINDOW_HOURS} HOURS")),
+        "left",
+    ).select(
+        "conv_id", "touch_id", "t_type", "t_ts",
+        F.when(
+            F.col("touch_id").isNotNull(),
+            F.expr("CAST((unix_micros(c_ts) - unix_micros(t_ts)) DIV 86400000000 AS BIGINT)"),
+        ).alias("age_days"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w_rnk = W.partitionBy("conv_id").orderBy(
+        F.col("age_days").asc_nulls_last(), F.col("t_ts").asc(), F.col("touch_id").asc()
+    )
+    w_conv = W.partitionBy("conv_id")
+    wdf = p.select(
+        "conv_id", "touch_id", "t_type",
+        F.when(F.col("touch_id").isNull(), 0)
+        .otherwise(F.expr("4 DIV shiftleft(1, CAST(age_days AS INT))"))
+        .cast("long").alias("wt"),
+        F.row_number().over(w_rnk).cast("long").alias("rnk"),
+    ).withColumn("w_total", F.sum("wt").over(w_conv).cast("long"))
+    base = wdf.withColumn(
+        "floor_bp",
+        F.when(F.col("w_total") == 0, 0)
+        .otherwise(F.expr("(10000 * wt) DIV w_total")).cast("long"),
+    ).withColumn("floor_sum", F.sum("floor_bp").over(w_conv).cast("long"))
+    fin = base.select(
+        "conv_id", "touch_id",
+        F.coalesce(F.col("t_type"), F.lit("unattributed")).alias("touch_type"),
+        F.when(F.col("w_total") == 0, 10000)
+        .otherwise(
+            F.col("floor_bp")
+            + F.when(F.col("rnk") <= 10000 - F.col("floor_sum"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("credit_bp"),
+    )
+    return fin.groupBy("touch_type").agg(
+        F.count("touch_id").cast("long").alias("n_touches"),
+        F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+        F.sum("credit_bp").cast("long").alias("total_credit_bp"),
+    )

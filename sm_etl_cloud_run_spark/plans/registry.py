@@ -116,6 +116,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "corpus_filter_funnel",
     "quality_linear_classifier",
     "events_multitouch_attribution",
+    "events_timedecay_attribution",
     "join_bloom_prefilter",
     "text_bigram_kneser_ney",
     "embedding_jl_distortion",

@@ -366,7 +366,7 @@ def hostile_events_dir(tmp_path_factory):
      "events_anomaly_zscore", "events_asof_last_click",
      "events_cohort_retention", "events_conversion_funnel",
      "events_cume_dist", "events_daily_from_hourly",
-     "events_multitouch_attribution",
+     "events_multitouch_attribution", "events_timedecay_attribution",
      "events_hourly_gapfill", "events_hourly_rollup",
      "events_json_extract", "events_variant_extract",
      "events_concurrency_profile", "events_trend_regression",

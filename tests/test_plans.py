@@ -519,19 +519,30 @@ def test_kneser_ney_outputs_are_probabilities(spark, sf_dir):
             <= (1_000_000 * r["c12"]) // r["c1"], r
 
 
-def test_multitouch_attribution_conserves_credit(spark, sf_dir):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "qname", ["events_multitouch_attribution", "events_timedecay_attribution"]
+)
+def test_attribution_conserves_credit(spark, sf_dir, qname):
     """Every conversion distributes EXACTLY 10000 bp — summed over all
     touch types (including 'unattributed'), total credit must equal
     10000 x the number of purchase conversions, and per-row credit
-    never exceeds the conversions it touches."""
+    never exceeds the conversions it touches. Holds for BOTH
+    attribution models (linear and time-decay)."""
     from pyspark.sql import functions as F
 
     from sm_etl_cloud_run_spark.plans import get
     from sm_etl_cloud_run_spark.tables import load_tables
 
-    rows = get("events_multitouch_attribution").fn(spark, sf_dir).collect()
+    rows = get(qname).fn(spark, sf_dir).collect()
     t = load_tables(spark, sf_dir)
-    n_conv = t["events"].where(F.col("event_type") == "purchase").count()
+    n_conv = (
+        t["events"]
+        .where((F.col("event_type") == "purchase") & F.col("event_id").isNotNull())
+        .count()
+    )
     assert sum(r["total_credit_bp"] for r in rows) == 10000 * n_conv
     for r in rows:
         assert r["total_credit_bp"] <= 10000 * r["n_conversions"], r

@@ -90,6 +90,7 @@ QUERIES = (
     "corpus_vocab_coverage",
     "mixture_unimax_budget",
     "events_multitouch_attribution",
+    "events_timedecay_attribution",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
