@@ -117,6 +117,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "quality_linear_classifier",
     "events_multitouch_attribution",
     "events_timedecay_attribution",
+    "orders_cohort_ltv",
     "join_bloom_prefilter",
     "text_bigram_kneser_ney",
     "embedding_jl_distortion",

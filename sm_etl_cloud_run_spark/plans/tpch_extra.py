@@ -205,3 +205,80 @@ def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("days_to_fulfill")))
         .cast("long").alias("p90_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV triangle (first-order cohort x order-age month, exact cents)
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+first AS (
+  SELECT o_custkey, CAST(MIN(ym) AS BIGINT) AS cohort_ym FROM o GROUP BY o_custkey
+)
+SELECT
+  CAST(cohort_ym // 12 AS BIGINT) AS cohort_year,
+  CAST(cohort_ym % 12 + 1 AS BIGINT) AS cohort_month,
+  CAST(o.ym - f.cohort_ym AS BIGINT) AS age_months,
+  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+FROM o JOIN first f USING (o_custkey)
+GROUP BY cohort_ym, o.ym - f.cohort_ym
+"""
+
+
+@register("orders_cohort_ltv", oracle=_LTV_ORACLE,
+          description="cohort LTV triangle: first-order cohort month x order "
+                      "age in months, customers/orders/revenue in exact cents")
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value triangle — the revenue twin of
+    events_cohort_retention (which counts active users on the events
+    stream): orders roll up by the customer's FIRST-order month
+    (cohort) and the order's age in months since that first order,
+    with revenue in exact cents-longs so partition order can never
+    perturb the sums. Month arithmetic is pure integers
+    (year*12 + month), immune to calendar/interval edge cases.
+    NULL o_custkey rows are dropped on both engines — an order without
+    a customer belongs to no cohort.
+
+    Shape at 100 TB: one customer-keyed aggregate for the first-order
+    month (map-side combined), one customer-keyed join back (both
+    sides hash-partitioned on o_custkey — AQE may broadcast the
+    |customers|-sized first table when it fits), one
+    |cohorts x ages|-sized aggregate (~thousands of cells regardless
+    of fact size). Two shuffles total, both on the natural key.
+    """
+    t = load_tables(spark, sf_dir)
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
+    o = (
+        t["orders"]
+        .where(F.col("o_custkey").isNotNull())
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+            ym.alias("ym"),
+        )
+    )
+    first = o.groupBy("o_custkey").agg(F.min("ym").cast("long").alias("cohort_ym"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            F.col("cohort_ym"),
+            (F.col("ym") - F.col("cohort_ym")).cast("long").alias("age_months"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            F.expr("CAST(cohort_ym DIV 12 AS BIGINT)").alias("cohort_year"),
+            F.expr("CAST(cohort_ym % 12 + 1 AS BIGINT)").alias("cohort_month"),
+            "age_months", "n_customers", "n_orders", "revenue_cents",
+        )
+    )
