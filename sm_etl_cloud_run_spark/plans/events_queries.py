@@ -1819,7 +1819,7 @@ w AS (
   SELECT conv_id, touch_id, event_type, age_days,
          CASE WHEN touch_id IS NULL THEN 0 ELSE 4 // (1 << age_days) END AS wt,
          CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
-                ORDER BY age_days ASC NULLS LAST, ts ASC, touch_id ASC) AS BIGINT) AS rnk
+                ORDER BY age_days ASC NULLS LAST, ts DESC, touch_id ASC) AS BIGINT) AS rnk
   FROM p
 ),
 s AS (
@@ -1897,8 +1897,11 @@ def events_timedecay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window as W
 
+    # most-recent-first top-up: youngest age, then LATEST timestamp
+    # within a same-age day (t_ts DESC — ADVICE r7 caught the ASC
+    # order contradicting the documented semantics), id tiebreak.
     w_rnk = W.partitionBy("conv_id").orderBy(
-        F.col("age_days").asc_nulls_last(), F.col("t_ts").asc(), F.col("touch_id").asc()
+        F.col("age_days").asc_nulls_last(), F.col("t_ts").desc(), F.col("touch_id").asc()
     )
     w_conv = W.partitionBy("conv_id")
     wdf = p.select(

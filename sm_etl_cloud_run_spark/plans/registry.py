@@ -42,7 +42,10 @@ _TABLE_CONTRACTS = {
     # IsNotNull adds no ReadSchema cost.
     "documents": "(SELECT * REPLACE (coalesce(text, '') AS text) FROM documents"
                  " WHERE doc_id IS NOT NULL)",
-    "events": "(SELECT * FROM events WHERE ts IS NOT NULL)",
+    # a row with no timestamp is not an event; a row with no event_id is
+    # not addressable (conversion key in attribution, dedup key in CDC).
+    "events": "(SELECT * FROM events"
+              " WHERE ts IS NOT NULL AND event_id IS NOT NULL)",
     # a vector without an id or payload can be neither ranked (seed
     # selection is ORDER BY vec_id) nor scored — dropped.
     "embeddings": "(SELECT * FROM embeddings"
@@ -99,74 +102,88 @@ def register(
 # Registration order is unchanged; only the yield order is prioritized.
 
 # Tier 1 — queries whose implementation changed after their last green
-# driver row. CORRECTNESS_r05 closed the never-checked gap entirely
-# (driver union r1-r5 = 195/195); from round 6 on this tier is purely
-# change-tracking: every query here rides code touched THIS round
-# (grouped distributed_rank rewires of the rank-exact percentile
-# family, the bounded perplexity calibration sample, the tracked-cache
-# persist switch in windows/graph/simhash, the sampled-candidates
-# minhash-accuracy mode), plus anything newly registered. The window's
-# tail falls through to tier 2 (longest-unchecked — their green rows
-# date to rounds 1/2, so re-greening the oldest costs the driver
-# nothing and keeps rows fresh).
+# driver row, plus anything newly registered. Round 8: the
+# `events.event_id IS NOT NULL` load contract (tables.load_tables +
+# _TABLE_CONTRACTS above — VERDICT r7 "Next round" item 1) re-opens the
+# whole events family, so the window LEADS with it, ordered
+# longest-unchecked-first; the time-decay attribution additionally
+# changed behavior (most-recent-first top-up, ADVICE r7). The ~9-query
+# tail of the family that misses this 50-slot window stays at the top
+# of tier 1 for round 9.
 _CHANGED_OR_NEVER_CHECKED = (
-    # registered THIS round (driver r7), never driver-checked:
-    "mixture_unimax_budget",
-    "corpus_vocab_coverage",
-    "corpus_filter_funnel",
-    "quality_linear_classifier",
-    "events_multitouch_attribution",
+    # registered THIS round (driver r8), never driver-checked:
+    "multimodal_phash_dedup",
+    "corpus_bpe_merge_step",
+    "dedup_domain_rollup",
+    # behavior change (top-up order) on top of the contract change:
     "events_timedecay_attribution",
-    "orders_cohort_ltv",
-    "join_bloom_prefilter",
-    "text_bigram_kneser_ney",
-    "embedding_jl_distortion",
-    # registered last round; kept in the window until a CORRECTNESS
-    # row is observed for them (r6 artifacts did not land in-repo):
-    "corpus_bytes_per_token",
-    "dedup_cluster_canonical",
-    "embedding_int8_quant_error",
-    "mixture_doremi_step",
-    "corpus_oov_rate",
-    "dedup_survivorship",
-    "knn_label_propagation",
-    "corpus_topic_tags",
-    "text_token_entropy",
-    "quality_score_calibration",
-    "training_decontaminate_report",
-    "dedup_cross_lingual",
-    # changed THIS round after their r4/r5 green rows:
-    "events_value_ntile",       # grouped distributed_ntile rewire
-    "events_cume_dist",         # cume_dist/percent_rank via grouped rank
-            # cume_dist/percent_rank via grouped rank
-    "events_winsorized_stats",      # grouped distributed_rank rewire
-    "events_mad_outliers",          # grouped distributed_rank rewire
-    "events_inter_arrival_stats",   # distributed_lag rewire
-    "corpus_perplexity_buckets",    # per-lang bounded calibration sample
-    "dedup_minhash_accuracy",       # sampled-candidates mode
-    "dedup_simhash_pairs",          # persist -> persist_tracked
-    "knn_graph_link_prediction",    # persist -> persist_tracked
-    # distributed_rank/ntile/cumsum riders (operators/windows.py now
-    # persists through the tracked-cache module):
-    "training_dsir_sample",
-    "text_zipf_fit",
-    "documents_length_deciles",
+    # events family under the new event_id contract — last checked r1/r2:
+    "events_running_balance",
+    "events_daily_from_hourly",
+    "events_value_histogram",
+    "events_hourly_gapfill",
+    "dedup_last_write",
+    "events_anomaly_zscore",
+    "events_conversion_funnel",
+    "c13_c17_timestamp_roundtrip",
+    # events family under the new contract — last checked r4/r5:
+    "events_cohort_retention",
+    "events_session_window_native",
+    "events_variant_extract",
+    "events_concurrency_profile",
+    "events_trend_regression",
+    "events_sample_estimate",
+    "events_seasonal_baseline",
+    "events_autocorrelation",
+    "events_heavy_hitters_exact",
+    "events_velocity_rule",
+    "events_distribution_drift",
+    "events_json_key_profile",
+    "events_transition_matrix",
+    "events_top_paths",
+    "events_cdc_snapshot",
+    "events_ewma",
+    "events_seasonal_anomaly",
+    "events_user_coherent_sample",
+    "events_grouping_sets",
+    "events_asof_tolerance",
+    "events_rolling_wau",
+    "events_type_cooccurrence",
+    "events_session_stats",
+    "events_nstep_funnel",
+    "events_ab_test_readout",
+    "events_benford_audit",
+    # rows-only by design (weaker driver check, still contract-touched):
+    "events_sketch_profile",
+    "events_sketch_rollup_merge",
+    "events_rolling_wau_hll",
+    # events family under the new contract — checked r7 (freshest, so
+    # last; the tail past slot 50 rolls to round 9's window):
+    "events_multitouch_attribution",
+    "events_value_ntile",
+    "events_cume_dist",
+    "events_winsorized_stats",
+    "events_mad_outliers",
+    "events_inter_arrival_stats",
     "events_key_skew_profile",
     "events_rfm_segments",
     "events_decile_lift",
-    "training_token_budget_fill",
+    "events_hourly_rollup",
+    "events_sliding_window",
+    "percentile_metrics",
+    "events_sessionize",
+    "events_json_extract",
+    "f4_watermark_gate",
+    "events_asof_last_click",
+    "skew_salted_user_join",
+    "events_pivot_type_counts",
 )
 
-# Tier 2 — last driver-checked in rounds 1/2 (longest unchecked).
+# Tier 2 — longest unchecked among unchanged queries (green rows from
+# rounds 1/2; the events members of the old tier-2 list moved into
+# tier 1 above because the contract touches them).
 _DRIVER_CHECKED_R1_R2 = (
-    "events_hourly_rollup", "events_sliding_window", "percentile_metrics",
-    "corr_qty_discount", "events_sessionize", "events_json_extract",
-    "topk_per_group", "f5_sliding_month_gate", "f4_watermark_gate",
-    "events_asof_last_click", "skew_salted_user_join",
-    "events_pivot_type_counts", "events_running_balance",
-    "events_daily_from_hourly", "events_value_histogram",
-    "events_hourly_gapfill", "dedup_last_write",
-    "events_anomaly_zscore", "events_conversion_funnel",
+    "corr_qty_discount", "topk_per_group", "f5_sliding_month_gate",
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "f1_panel_semi_join", "f2_composite_predicate", "f3_conditional_null",
     "f6_retention_window", "j1_period_range_join", "j1_period_equi_join",
@@ -177,7 +194,7 @@ _DRIVER_CHECKED_R1_R2 = (
     "c19_decimal_comma", "c18_c20_typed_measures",
     "flagship_panel_enrichment", "pipeline_fact_transform",
     "p1_p6_rename_project", "c5_substance_flags",
-    "c13_c17_timestamp_roundtrip", "s3_ftp_list_scan", "a5_distinct",
+    "s3_ftp_list_scan", "a5_distinct",
     "p9_deterministic_row_id",
 )
 

@@ -1868,3 +1868,82 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score_milli"),
         F.when(F.col("w_sum") >= 0, 1).otherwise(0).cast("long").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# domain-level dedup rollup: within/cross-domain duplicate share per source
+# ---------------------------------------------------------------------------
+
+_DOMAIN_FP_CHARS = 32
+
+_DOMAIN_ROLLUP_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id, coalesce(source, '<none>') AS src,
+         md5(substr(text, 1, {_DOMAIN_FP_CHARS})) AS f
+  FROM documents
+),
+g AS (
+  SELECT f, COUNT(*) AS c, COUNT(DISTINCT src) AS s FROM fp GROUP BY f
+),
+j AS (SELECT fp.src, fp.f, g.c, g.s FROM fp JOIN g ON g.f = fp.f)
+SELECT coalesce(src, '<all>') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT f) AS BIGINT) AS n_fingerprints,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(CASE WHEN s > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source_docs,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         AS dup_bp
+FROM j GROUP BY ROLLUP (src)
+"""
+
+
+@register("dedup_domain_rollup", oracle=_DOMAIN_ROLLUP_ORACLE,
+          description="domain/URL-level dedup rollup: per-source and total "
+                      "within- and cross-domain duplicate share, exact bp")
+def dedup_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inter-document twin of boilerplate removal (VERDICT r7 item
+    5c): treat `source` as the domain/URL prefix a crawler would group
+    by and report, per domain AND as a grand total (ROLLUP), how much
+    of the domain is duplicated content — within the domain and across
+    domains (syndication/mirror detection, the CCNet/C4 per-domain QA
+    table). The content key is a 32-char-prefix md5 fingerprint (the
+    cheap head-fingerprint real crawl dedup uses before full-shingle
+    passes; on this corpus it yields a real collision structure —
+    23 dup groups, 22 cross-source at sf0.01 — where full-text md5
+    has none).
+
+    Exactness: counts and a 10000-bp integer share; a real NULL source
+    is coalesced to '<none>' BEFORE the rollup on both engines so it
+    can never collide with the rollup's own total row ('<all>').
+
+    Shape at 100 TB: md5 is codegen'd at the scan; one fact shuffle
+    groups fingerprints (map-side combined), the join back on the
+    fingerprint key reuses that partitioning, and the rollup aggregate
+    lands on |sources| rows. Zipfian domains are the skew risk and
+    ride AQE skew-join like the other term-keyed joins.
+    """
+    t = load_tables(spark, sf_dir)
+    fp = t["documents"].select(
+        "doc_id",
+        F.coalesce(F.col("source"), F.lit("<none>")).alias("src"),
+        F.md5(F.substring(F.col("text"), 1, _DOMAIN_FP_CHARS)).alias("f"),
+    )
+    g = fp.groupBy("f").agg(
+        F.count(F.lit(1)).alias("c"), F.countDistinct("src").alias("s")
+    )
+    j = fp.join(g, "f")
+    return (
+        j.rollup("src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("f").cast("long").alias("n_fingerprints"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+            F.sum(F.when(F.col("s") > 1, 1).otherwise(0)).cast("long")
+            .alias("n_cross_source_docs"),
+        )
+        .select(
+            F.coalesce(F.col("src"), F.lit("<all>")).alias("source"),
+            "n_docs", "n_fingerprints", "n_dup_docs", "n_cross_source_docs",
+            F.expr("CAST(n_dup_docs * 10000 DIV n_docs AS BIGINT)").alias("dup_bp"),
+        )
+    )

@@ -1594,3 +1594,191 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dist_bp").cast("long").alias("min_distortion_bp"),
         F.max("dist_bp").cast("long").alias("max_distortion_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup: real BMP roundtrip → aHash → pigeonhole bands
+# ---------------------------------------------------------------------------
+
+_PH_BANDS = 4        # 60-bit hash → 4 bands of 15 bits (keeps every
+_PH_BAND_BITS = 15   # shifted band < 2^60, no int64 sign trouble)
+_PH_MAX_HAMMING = 3  # ≤ bands-1 flips ⇒ one band intact (exact recall)
+_PH_MASK = 2 ** _PH_BAND_BITS - 1
+# Knuth multiplicative constant: the synthetic motif generator both
+# engines mirror (public domain arithmetic, exact in int64).
+_PH_K = 2654435761
+
+
+def _phash_target(doc_id: int) -> int:
+    """Closed-form 60-bit target hash: docs sharing doc_id DIV 4 form a
+    near-dup cluster (identical motif); the cluster's doc_id%4==0
+    member gets exactly ONE flipped bit."""
+    m = doc_id // 4
+    h = 0
+    for b in range(_PH_BANDS):
+        h |= ((_PH_K * (m * 4 + b + 1)) % (_PH_MASK + 1)) << (_PH_BAND_BITS * b)
+    if doc_id % 4 == 0:
+        h ^= 1 << (doc_id % 60)
+    return h
+
+
+_PHASH_ORACLE = f"""
+WITH bn AS (SELECT unnest(range(0, {_PH_BANDS})) AS b),
+hb AS (
+  SELECT doc_id,
+         CAST(SUM((({_PH_K} * ((doc_id // 4) * 4 + b + 1)) % {_PH_MASK + 1})
+              << ({_PH_BAND_BITS} * b)) AS BIGINT) AS h0
+  FROM documents, bn GROUP BY doc_id
+),
+ph AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN xor(h0, CAST(1 AS BIGINT) << (doc_id % 60))
+              ELSE h0 END AS phash
+  FROM hb
+),
+fpd AS (SELECT DISTINCT phash FROM ph),
+bands AS (
+  SELECT phash, b AS band, (phash >> ({_PH_BAND_BITS} * b)) & {_PH_MASK} AS bv
+  FROM fpd, bn
+),
+fp_pairs AS (
+  SELECT DISTINCT a.phash AS pa, b2.phash AS pb
+  FROM bands a JOIN bands b2
+    ON a.band = b2.band AND a.bv = b2.bv AND a.phash < b2.phash
+),
+near AS (
+  SELECT pa, pb, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+  FROM fp_pairs WHERE bit_count(xor(pa, pb)) <= {_PH_MAX_HAMMING}
+),
+cross_pairs AS (
+  SELECT LEAST(ma.doc_id, mb.doc_id) AS id_a,
+         GREATEST(ma.doc_id, mb.doc_id) AS id_b, n.hamming
+  FROM near n JOIN ph ma ON ma.phash = n.pa JOIN ph mb ON mb.phash = n.pb
+),
+clones AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+  FROM ph a JOIN ph b ON a.phash = b.phash AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cross_pairs
+UNION ALL SELECT id_a, id_b, hamming FROM clones
+"""
+
+
+@register("multimodal_phash_dedup", oracle=_PHASH_ORACLE,
+          description="perceptual-hash image dedup: real BMP encode→decode→"
+                      "average-hash roundtrip, then SimHash-style pigeonhole "
+                      "band join + exact Hamming verify (oracle = closed form)")
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection bridging the multimodal codecs and the
+    SimHash band machinery (VERDICT r7 item 5a): every doc_id is
+    rendered as a REAL 8×8 24-bit BMP (pixels 200/50 by the bits of a
+    closed-form 60-bit motif hash — docs sharing doc_id DIV 4 are
+    near-identical images, the cluster's %4==0 member differs by ONE
+    pixel), the payload roundtrips through functions/codecs.py
+    (encode_bmp → decode_bmp), and the average-hash (pixel > mean,
+    the classic aHash) recovers the motif bits EXACTLY because pixel
+    values straddle the mean by construction — so the DuckDB oracle is
+    pure closed-form arithmetic while the Spark side exercises the
+    whole codec → threshold → LSH pipeline.
+
+    Near-dup pairs come from the Manku-style pigeonhole band join of
+    dedup_simhash_pairs (textops.py): Hamming ≤ 3 over 4×15-bit bands
+    has exact recall, candidates verified by one codegen'd
+    bit_count(xor). The band join runs over DISTINCT hashes
+    (clone-collapse — the uniform rule for every pair-emitting query;
+    VERDICT r5), with hamming-0 clone pairs from the doc↔hash
+    mapping's self-join.
+
+    Shape at 100 TB: one mapInPandas pass (payloads stay executor-side
+    as bounded Arrow batches, never touch the driver), one hash agg to
+    DISTINCT fingerprints, a banded bucket join whose fan-out is
+    bounded by band-value collisions (15-bit buckets), and
+    output-sized expansion joins. No all-pairs anywhere.
+    """
+    import numpy as np
+
+    from ..cache import persist_tracked
+    from ..functions.codecs import decode_bmp, encode_bmp
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                target = _phash_target(d)
+                # bits 0..59 from the hash; 60-62 forced low, 63 forced
+                # high so BOTH pixel values always occur → the mean is
+                # strictly between 50 and 200 and aHash is exact.
+                bits = np.zeros(64, np.uint8)
+                for k in range(60):
+                    bits[k] = (target >> k) & 1
+                bits[63] = 1
+                gray = np.where(bits == 1, 200, 50).astype(np.uint8).reshape(8, 8)
+                px = np.stack([gray, gray, gray], axis=-1)
+                dec = decode_bmp(encode_bmp(px))  # REAL codec roundtrip
+                vals = dec[:, :, 0].astype(np.float64).reshape(-1)
+                mean = vals.mean()
+                rec = 0
+                for k in range(60):
+                    if vals[k] > mean:
+                        rec |= 1 << k
+                ids.append(d)
+                hashes.append(rec)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    ph = persist_tracked(
+        docs.mapInPandas(kernel, "doc_id long, phash long")
+    )  # feeds 5 plan branches: distinct/bands + 2 expansion sides + 2 clone sides
+    fpd = ph.select("phash").distinct()
+    bands = fpd.select(
+        "phash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("phash"), b * _PH_BAND_BITS).bitwiseAND(F.lit(_PH_MASK))
+                for b in range(_PH_BANDS)
+            ])
+        ).alias("band", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    fp_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.phash") < F.col("b.phash")),
+        )
+        .select(F.col("a.phash").alias("pa"), F.col("b.phash").alias("pb"))
+        .dropDuplicates(["pa", "pb"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("long")
+        )
+        .where(F.col("hamming") <= _PH_MAX_HAMMING)
+    )
+    ma = ph.select(F.col("phash").alias("pa"), F.col("doc_id").alias("da"))
+    mb = ph.select(F.col("phash").alias("pb"), F.col("doc_id").alias("db"))
+    cross = (
+        fp_pairs.join(ma, "pa").join(mb, "pb")
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "hamming",
+        )
+    )
+    pa, pb2 = ph.alias("pa"), ph.alias("pb")
+    clones = (
+        pa.join(
+            pb2,
+            (F.col("pa.phash") == F.col("pb.phash"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("id_a"),
+            F.col("pb.doc_id").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(clones)

@@ -102,7 +102,19 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
             df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
             df = df.where(F.col("doc_id").isNotNull())
         if name == "events" and "ts" in df.columns:
-            df = df.where(F.col("ts").isNotNull())
+            # A row with no timestamp is not an event, and a row with no
+            # event_id is not addressable (event_id is the conversion key
+            # in the attribution family and the dedup key in CDC replay —
+            # a NULL there would silently merge into one NULL partition).
+            # Unlike the wide TPC-H facts, events is narrow enough that
+            # the extra IsNotNull pulling event_id (int64) into every
+            # scan's ReadSchema costs ~8 bytes/row — an accepted trade
+            # for the load-time contract. event_id UNIQUENESS is NOT
+            # enforced here (it would cost a fact-wide shuffle at load);
+            # duplicates merge deterministically and identically on both
+            # engines (pinned by the hostile duplicate-id fixture in
+            # tests/test_encoding_chaos.py).
+            df = df.where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
         if name == "embeddings" and "vec_id" in df.columns:
             # a vector without an id or payload can be neither ranked
             # (seed selection is ORDER BY vec_id) nor scored.

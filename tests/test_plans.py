@@ -445,7 +445,7 @@ def test_unimax_budget_allocation_invariants(spark, sf_dir):
     assert rows
     total_tokens = sum(r["n_tokens"] for r in rows)
     budget = _UNIMAX_BUDGET_X * total_tokens
-    by_cap = sorted(rows, key=lambda r: (r["capacity"], r["lang"] or "~"))
+    by_cap = sorted(rows, key=lambda r: (r["capacity"], r["lang"] is None, r["lang"] or ""))
     flags = [r["capped"] for r in by_cap]
     assert flags == sorted(flags, reverse=True), "capped set must be a prefix"
     for r in rows:
