@@ -517,3 +517,101 @@ def distributed_ntile_in_groups(
         )
         .drop("__dgn_rn", "__dgn_total", "__dgn_q", "__dgn_r")
     )
+
+
+def distributed_cumsum_in_groups(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str,
+    *,
+    cumsum_name: str = "cumsum",
+    rank_name: str | None = None,
+    num_partitions: int | None = None,
+    total_name: str | None = None,
+) -> DataFrame:
+    """``SUM(value) OVER (PARTITION BY group ORDER BY ...)`` without any
+    single task ever scanning one group's full data — the per-group
+    prefix sum completing the distributed family (rank / ntile / lag /
+    cumsum, each in global and grouped form).
+
+    Same contract as :func:`distributed_rank_in_groups`: use this for
+    FEW HEAVY groups (event types, languages); for pigeonhole-bounded
+    groups (per-user, per-session) the plain window is correct and
+    cheaper (module-docstring policy). Shape:
+
+    1. ``repartitionByRange`` on ``(group_cols..., order_by...)``,
+       persisted — a heavy group spans many range partitions;
+    2. per-``(partition, group)`` value sums and row counts → per-group
+       EXCLUSIVE running offsets over partition id (the offsets
+       relation is parameter-sized: ≤ |groups| + partitions − 1 rows,
+       windowed by group — never a global sort), broadcast;
+    3. local running sum (and optional local row_number when
+       ``rank_name`` is requested — sharing the pass instead of paying
+       a second operator) inside each ``(partition, group)`` segment +
+       its offsets. The local window is partitioned by the range
+       partition id, so its biggest task is one range partition,
+       bounded by the partitioner regardless of group skew.
+
+    ``value_col`` must be non-NULL integral (BIGINT accumulation — a
+    float running total would be partition-order-dependent; a NULL
+    would silently desynchronize the rank and sum offsets).
+    ``order_by`` must totally order rows WITHIN a group (include a
+    tiebreaker; pin NULLS LAST explicitly for nullable keys). With
+    ``total_name``, each group's grand total rides on the broadcast.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    gcols = list(group_cols)
+    part = df.repartitionByRange(
+        num_partitions, *[F.col(g) for g in gcols], *order_by
+    ).withColumn("__dg_pid", F.spark_partition_id())
+    part = persist_tracked(part)
+    sums = part.groupBy("__dg_pid", *gcols).agg(
+        F.sum(F.col(value_col)).cast("long").alias("__dcg_sum"),
+        F.count(F.lit(1)).cast("long").alias("__dcg_cnt"),
+    )
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("__dg_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # null-safe aliased group keys on the offsets side — a NULL group
+    # value is a real group for a window (see distributed_rank_in_groups)
+    off_cols = [
+        F.col("__dg_pid").alias("__dcg_pid2"),
+        *[F.col(g).alias(f"__dcg_g{i}") for i, g in enumerate(gcols)],
+        F.coalesce(F.sum("__dcg_sum").over(w_off), F.lit(0)).cast("long").alias("__dcg_soff"),
+        F.coalesce(F.sum("__dcg_cnt").over(w_off), F.lit(0)).cast("long").alias("__dcg_coff"),
+    ]
+    drop_cols = ["__dg_pid", "__dcg_pid2", "__dcg_soff", "__dcg_coff"] + [
+        f"__dcg_g{i}" for i in range(len(gcols))
+    ]
+    if total_name is not None:
+        w_all = (
+            Window.partitionBy(*gcols)
+            .orderBy("__dg_pid")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        off_cols.append(F.sum("__dcg_sum").over(w_all).cast("long").alias(total_name))
+    offsets = sums.select(*off_cols)
+    cond = F.col("__dg_pid") == F.col("__dcg_pid2")
+    for i, g in enumerate(gcols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__dcg_g{i}"))
+    w_local = (
+        Window.partitionBy("__dg_pid", *gcols)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = part.join(F.broadcast(offsets), cond).withColumn(
+        cumsum_name,
+        (F.sum(F.col(value_col)).over(w_local) + F.col("__dcg_soff")).cast("long"),
+    )
+    if rank_name is not None:
+        out = out.withColumn(
+            rank_name,
+            (F.row_number().over(w_local) + F.col("__dcg_coff")).cast("long"),
+        )
+    return out.drop(*drop_cols)

@@ -1936,7 +1936,7 @@ LIMIT {_BPE_TOPN}
 """
 
 
-@register("corpus_bpe_merge_step", oracle=_BPE_ORACLE,
+@register("corpus_bpe_merge_step", oracle=_BPE_ORACLE, bench=True,
           description="one distributed BPE merge round: corpus → adjacent "
                       "char-pair counts → top merge candidates + merged forms")
 def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:

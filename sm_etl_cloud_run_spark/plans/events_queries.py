@@ -1932,3 +1932,111 @@ def events_timedecay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("conv_id").cast("long").alias("n_conversions"),
         F.sum("credit_bp").cast("long").alias("total_credit_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint: per-type peak cumulative deviation, exact integers
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH x AS (
+  SELECT event_type, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+tot AS (
+  SELECT event_type, COUNT(*) AS n, SUM(cents) AS s FROM x GROUP BY event_type
+),
+c AS (
+  SELECT x.event_type, x.event_id, x.ts, tot.n, tot.s,
+         SUM(x.cents) OVER (PARTITION BY x.event_type ORDER BY x.ts, x.event_id
+                            ROWS UNBOUNDED PRECEDING) AS run,
+         ROW_NUMBER() OVER (PARTITION BY x.event_type
+                            ORDER BY x.ts, x.event_id) AS i
+  FROM x JOIN tot ON tot.event_type = x.event_type
+),
+k AS (
+  SELECT event_type, event_id, ts, n, abs(n * run - i * s) AS dev FROM c
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY dev DESC, ts ASC, event_id ASC) AS rn
+  FROM k
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events, CAST(dev AS BIGINT) AS cusum_peak,
+       ts AS changepoint_ts, CAST(event_id AS BIGINT) AS changepoint_event
+FROM r WHERE rn = 1
+"""
+
+
+@register("events_cusum_changepoint", oracle=_CUSUM_ORACLE,
+          description="CUSUM changepoint per event type: peak |cumulative "
+                      "deviation from the mean| located exactly, all-integer")
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM changepoint locator per event type: the timestamp
+    where the cumulative deviation of `value` from the type's mean
+    peaks — the classic level-shift detector (the offline twin of the
+    streaming drift monitors). All arithmetic is integer-exact: the
+    deviation sum Σ(x_j − μ) is scaled by n to n·Σx_j − i·Σx, so no
+    division ever happens and both engines agree bit-for-bit.
+
+    Rides the NEW ``distributed_cumsum_in_groups`` operator
+    (operators/windows.py) — event types are the canonical few-heavy-
+    groups case, where a plain per-type window would sort each type's
+    full history in one task (the windows-module policy). The operator
+    shares one range-partitioned pass for BOTH the running sum and the
+    per-type position (`rank_name`), and the final argmax is ONE
+    max(struct) hash aggregate — deviation DESC, then earliest ts /
+    lowest id via negated integer keys — never a per-type sort.
+
+    Shape at 100 TB: one |types|-sized totals broadcast, one range
+    shuffle (the prefix-sum pass), one hash aggregate. The n·run and
+    i·s products cap at n_type · Σ|cents| — int64-safe to ~10^5 rows
+    per type at these magnitudes; at larger scale rescale cents or
+    window the detector per day, as production CUSUM does.
+    """
+    from ..operators.windows import distributed_cumsum_in_groups
+
+    t = load_tables(spark, sf_dir)
+    x = (
+        t["events"]
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type", "event_id", "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    tot = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    c = distributed_cumsum_in_groups(
+        x,
+        ["event_type"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        "cents",
+        cumsum_name="run",
+        rank_name="i",
+    ).join(F.broadcast(tot), "event_type")
+    k = c.select(
+        "event_type", "event_id", "ts", "n",
+        F.abs(F.col("n") * F.col("run") - F.col("i") * F.col("s")).alias("dev"),
+    )
+    best = k.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("dev"),
+                (-F.unix_micros(F.col("ts"))).alias("__neg_us"),
+                (-F.col("event_id")).alias("__neg_id"),
+                F.col("ts"),
+                F.col("event_id"),
+                F.col("n"),
+            )
+        ).alias("__b")
+    )
+    return best.select(
+        "event_type",
+        F.col("__b.n").cast("long").alias("n_events"),
+        F.col("__b.dev").cast("long").alias("cusum_peak"),
+        F.col("__b.ts").alias("changepoint_ts"),
+        F.col("__b.event_id").cast("long").alias("changepoint_event"),
+    )

@@ -115,6 +115,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "multimodal_phash_dedup",
     "corpus_bpe_merge_step",
     "dedup_domain_rollup",
+    "events_cusum_changepoint",
     # behavior change (top-up order) on top of the contract change:
     "events_timedecay_attribution",
     # events family under the new event_id contract — last checked r1/r2:

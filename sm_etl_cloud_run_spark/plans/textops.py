@@ -1897,7 +1897,7 @@ FROM j GROUP BY ROLLUP (src)
 """
 
 
-@register("dedup_domain_rollup", oracle=_DOMAIN_ROLLUP_ORACLE,
+@register("dedup_domain_rollup", oracle=_DOMAIN_ROLLUP_ORACLE, bench=True,
           description="domain/URL-level dedup rollup: per-source and total "
                       "within- and cross-domain duplicate share, exact bp")
 def dedup_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1665,7 +1665,7 @@ UNION ALL SELECT id_a, id_b, hamming FROM clones
 """
 
 
-@register("multimodal_phash_dedup", oracle=_PHASH_ORACLE,
+@register("multimodal_phash_dedup", oracle=_PHASH_ORACLE, bench=True,
           description="perceptual-hash image dedup: real BMP encode→decode→"
                       "average-hash roundtrip, then SimHash-style pigeonhole "
                       "band join + exact Hamming verify (oracle = closed form)")

@@ -41,6 +41,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tipo", required=True, help="source type key (PA, BI, PS, RD, HB, PF, ...)")
     ap.add_argument("--acao", required=True, choices=["baixar", "inserir"], help="pipeline stage")
     ap.add_argument("--job", help="module:function run per pending control row")
+    ap.add_argument(
+        "--batch", action="store_true",
+        help="call --job ONCE with (spark, all_pending_rows) instead of "
+             "once per row — for jobs that parallelize across files "
+             "internally (e.g. rehearsal:ep1_baixar_pa_lote, whose "
+             "per-file decode tasks run concurrently)",
+    )
     ap.add_argument("--dry-run", action="store_true", help="gate only; never execute")
     args = ap.parse_args(argv)
 
@@ -53,8 +60,11 @@ def main(argv: list[str] | None = None) -> int:
     if not rows or args.dry_run or not args.job:
         return 0
     job = _resolve(args.job)
-    for row in rows:
-        job(spark, row)
+    if args.batch:
+        job(spark, rows)
+    else:
+        for row in rows:
+            job(spark, row)
     return 0
 
 

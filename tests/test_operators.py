@@ -751,3 +751,47 @@ def test_distributed_ntile_in_groups_matches_partitioned_ntile(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower().replace(" ", "")
     assert "ntile(" not in plan
+
+
+def test_distributed_cumsum_in_groups_matches_partitioned_running_total(spark):
+    """distributed_cumsum_in_groups == SUM(v)/row_number() OVER
+    (PARTITION BY g ORDER BY ...) exactly — heavy ties across range
+    boundaries, NULL group keys, negative values, the shared rank
+    output, per-group totals, and the plan shape (range partitioning,
+    no single-task per-group sort)."""
+    from pyspark.sql.window import Window
+
+    from sm_etl_cloud_run_spark.operators.windows import (
+        distributed_cumsum_in_groups,
+    )
+
+    n = 5_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 3).cast("string")))
+        .alias("g"),
+        (F.col("id") % 7).alias("k"),              # heavy ties in the order key
+        ((F.col("id") % 13) - 6).cast("long").alias("v"),  # negatives too
+    )
+    order = [F.col("k").asc_nulls_last(), F.col("id")]
+    got = distributed_cumsum_in_groups(
+        df, ["g"], order, "v",
+        cumsum_name="cs", rank_name="rn", num_partitions=8, total_name="t_g",
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    want = df.select(
+        "id", "g",
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+        F.row_number().over(w).alias("rn"),
+        F.sum("v").over(Window.partitionBy("g")).alias("t_g"),
+    )
+    gm = {(r["id"],): (r["cs"], r["rn"], r["t_g"]) for r in got.collect()}
+    assert len(gm) == n
+    for r in want.collect():
+        assert gm[(r["id"],)] == (r["cs"], r["rn"], r["t_g"]), r
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower().replace(" ", "")
+
+    from sm_etl_cloud_run_spark.cache import release_tracked
+    release_tracked()

@@ -217,3 +217,50 @@ def test_lifecycle_jobs_reject_unsafe_filenames(spark, tmp_path):
             rehearsal.ep1_baixar_pa(spark, {"arquivo": bad})
         with pytest.raises(ValueError):
             rehearsal.ep2_inserir_pa(spark, {"arquivo": bad})
+
+
+def test_ep1_batch_matches_sequential(spark, tmp_path):
+    """ep1_baixar_pa_lote (runner --batch: concurrent per-file decode
+    bodies, watermarks after the fact) lands byte-identical bronze and
+    the same drained gate as the sequential per-row dispatch — the
+    parallel form is a scheduling change, never a semantic one."""
+    tree = {_DIR: {name: _shard_bytes(i) for i, name in enumerate(_SHARDS[:3])}}
+    periods = spark.createDataFrame(
+        [(dt.date(2024, 8, 1), "p-2024-08-M")], "data_inicio date, id string"
+    )
+    geo = spark.createDataFrame(
+        [("355030", "m-sp"), ("330455", "m-rj")], "id_sus string, id string"
+    )
+
+    def run(job_args, control, bronze):
+        rehearsal.configure(
+            host="ftp.fake", directory=_DIR,
+            transport_factory=lambda: FakeFtpSession(tree),
+            control_path=control, bronze_root=bronze,
+            panel_ids=["355030", "330455"], periods=periods, geo=geo,
+        )
+        rehearsal.refresh_control(spark)
+        rc = runner.main(
+            ["--control", control, "--tipo", "PA", "--acao", "baixar", *job_args]
+        )
+        assert rc == 0
+        ctl = spark.read.parquet(control)
+        assert ctl.where(F.col("timestamp_etl_gcs").isNull()).count() == 0
+
+    run(["--job", "sm_etl_cloud_run_spark.pipelines.rehearsal:ep1_baixar_pa"],
+        str(tmp_path / "ctl_seq"), str(tmp_path / "bronze_seq"))
+    run(["--job", "sm_etl_cloud_run_spark.pipelines.rehearsal:ep1_baixar_pa_lote",
+         "--batch"],
+        str(tmp_path / "ctl_lote"), str(tmp_path / "bronze_lote"))
+
+    from sm_etl_cloud_run_spark.sources.csv_allstring import read_csv_allstring
+
+    for name in _SHARDS[:3]:
+        seq = read_csv_allstring(spark, str(tmp_path / "bronze_seq" / name))
+        lote = read_csv_allstring(spark, str(tmp_path / "bronze_lote" / name))
+        # audit timestamps are now(): drop them; everything else —
+        # deterministic row ids included — must match exactly
+        drop = ["criacao_data", "atualizacao_data"]
+        a = sorted(map(tuple, seq.drop(*drop).collect()))
+        b = sorted(map(tuple, lote.drop(*drop).collect()))
+        assert a == b, name

@@ -157,7 +157,9 @@ def test_fact_rank_plans_are_range_partitioned(spark, sf_dir):
                  # cume_dist/percent_rank identities over the grouped rank
                  "events_cume_dist",
                  # bounded calibration sample, rank distributed (r5 item 1)
-                 "corpus_perplexity_buckets"):
+                 "corpus_perplexity_buckets",
+                 # grouped prefix sum + shared rank (CUSUM rider, r8)
+                 "events_cusum_changepoint"):
         df = all_queries()[name].fn(spark, sf_dir)
         plan = _explain(df, mode="simple")
         assert "rangepartitioning" in plan.lower(), name

@@ -110,9 +110,15 @@ def main() -> None:
         ep3_sec = time.perf_counter() - t0
 
         t0 = time.perf_counter()
+        # batched EP1 (--batch): per-file decode bodies run concurrently
+        # — the sequential per-row dispatch measured flat ~4.3k rows/s
+        # (88 s at 4 shards, 188 s at 8) because each file's pure-Python
+        # DBC decode held one core while the other 31 idled. Run with
+        # ep1_baixar_pa (no --batch) to reproduce the sequential row.
         rc = runner.main([
             "--control", control, "--tipo", "PA", "--acao", "baixar",
-            "--job", "sm_etl_cloud_run_spark.pipelines.rehearsal:ep1_baixar_pa",
+            "--job", "sm_etl_cloud_run_spark.pipelines.rehearsal:ep1_baixar_pa_lote",
+            "--batch",
         ])
         assert rc == 0
         ep1_sec = time.perf_counter() - t0

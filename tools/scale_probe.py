@@ -91,6 +91,13 @@ QUERIES = (
     "mixture_unimax_budget",
     "events_multitouch_attribution",
     "events_timedecay_attribution",
+    # round-11 additions (driver r8): the codec→aHash→band-join bridge,
+    # the vocab-sized BPE pair-count round, the fingerprint-keyed
+    # domain rollup, and the grouped prefix-sum CUSUM rider.
+    "multimodal_phash_dedup",
+    "corpus_bpe_merge_step",
+    "dedup_domain_rollup",
+    "events_cusum_changepoint",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
