@@ -1997,3 +1997,124 @@ def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank", "pair", "pair_count", "n_tokens", "example_token",
         F.expr("replace(example_token, pair, '+')").alias("merged_example"),
     ).orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer, K merge rounds: the merge step iterated into a tokenizer
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+# private-use-area sentinel chars: after round r, the merged symbol is
+# ONE char, so every later round stays in substring-pair land (each
+# char IS a symbol). chr(0xE000+r) never occurs in corpus text; both
+# engines treat it as one character (UTF-8, character-based substr).
+_BPE_SYM = [chr(0xE000 + r) for r in range(_BPE_ROUNDS)]
+
+
+def _bpe_pairs_sql(src: str) -> str:
+    return f"""
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, SUM(tf) AS cnt
+  FROM {src}, range(1, 64) t(i)
+  WHERE i <= len(w) - 1 AND len(w) >= 2
+  GROUP BY pair
+"""
+
+
+def _bpe_top_sql(pairs: str) -> str:
+    return f"SELECT pair, cnt FROM {pairs} ORDER BY cnt DESC, pair ASC LIMIT 1"
+
+
+_BPE_TRAIN_ORACLE = f"""
+WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents),
+v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok WHERE len(w) >= 2 GROUP BY w),
+p1 AS ({_bpe_pairs_sql('v0')}),
+m1 AS ({_bpe_top_sql('p1')}),
+v1 AS (SELECT replace(w, (SELECT pair FROM m1), chr(57344)) AS w, tf FROM v0),
+p2 AS ({_bpe_pairs_sql('v1')}),
+m2 AS ({_bpe_top_sql('p2')}),
+v2 AS (SELECT replace(w, (SELECT pair FROM m2), chr(57345)) AS w, tf FROM v1),
+p3 AS ({_bpe_pairs_sql('v2')}),
+m3 AS ({_bpe_top_sql('p3')})
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS merge_round, pair AS merged, CAST(cnt AS BIGINT) AS pair_count
+  FROM m1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), replace(pair, chr(57344), (SELECT pair FROM m1)),
+         CAST(cnt AS BIGINT) FROM m2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT),
+         replace(replace(pair, chr(57345),
+                         replace((SELECT pair FROM m2), chr(57344), (SELECT pair FROM m1))),
+                 chr(57344), (SELECT pair FROM m1)),
+         CAST(cnt AS BIGINT) FROM m3
+)
+"""
+
+
+@register("corpus_bpe_train_rounds", oracle=_BPE_TRAIN_ORACLE,
+          description="BPE tokenizer training, 3 merge rounds: iterated "
+                      "pair-count -> top merge -> vocabulary rewrite")
+def corpus_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_bpe_merge_step iterated into an actual trainer: K=3 merge
+    rounds, each counting adjacent symbol pairs over the CURRENT
+    vocabulary, electing the top pair (count DESC, pair ASC), and
+    rewriting the vocabulary with the merged symbol as one private-use
+    char — so round r+1's pair enumeration is the same substring scan
+    as round 1's. The emitted merge table spells each merge expanded
+    back to base characters (replaying earlier merges), i.e. exactly
+    the merges.txt a BPE tokenizer ships.
+
+    Driver loop mechanics: each round collects ONE row (the elected
+    pair) — a parameter-sized collect like the seed rows and
+    convergence counters elsewhere; everything data-sized stays
+    distributed. The corpus is touched ONCE (token-frequency
+    aggregate, persisted); all K rounds run over the vocab-sized
+    (w, tf) relation — at 100 TB the vocabulary is MBs, so K more
+    rounds cost K more vocab scans, not corpus scans.
+    """
+    from ..cache import persist_tracked
+
+    t = load_tables(spark, sf_dir)
+    vocab = persist_tracked(
+        t["documents"]
+        .select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cur = vocab
+    merges: list[tuple[int, str, int]] = []
+    for r in range(_BPE_ROUNDS):
+        pairs = (
+            cur.where(F.length("w") >= 2)
+            .select(
+                "tf",
+                F.explode(
+                    F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("tf").cast("long").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1).collect()
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        merges.append((r + 1, pair, cnt))
+        # F.replace with literal args — never interpolate corpus-derived
+        # strings into SQL text (the rehearsal injection-guard rule)
+        cur = cur.select(
+            F.replace(F.col("w"), F.lit(pair), F.lit(_BPE_SYM[r])).alias("w"), "tf"
+        )
+    # expand each merge back to base chars by replaying earlier merges
+    expanded: dict[str, str] = {}
+    rows = []
+    for rnd, pair, cnt in merges:
+        full = pair
+        for sym in reversed(_BPE_SYM[: rnd - 1]):
+            full = full.replace(sym, expanded[sym])
+        expanded[_BPE_SYM[rnd - 1]] = full
+        rows.append((rnd, full, cnt))
+    return spark.createDataFrame(
+        rows, "merge_round long, merged string, pair_count long"
+    )

@@ -2040,3 +2040,108 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__b.ts").alias("changepoint_ts"),
         F.col("__b.event_id").cast("long").alias("changepoint_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters: mergeable counts with an EXACT twin
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_TOPK = 10
+
+
+def _cms_bucket_sql(j: str, key: str) -> str:
+    # identical md5 arithmetic on both engines (the simhash idiom)
+    return (f"(CAST('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' ||"
+            f" CAST({key} AS VARCHAR)), 1, 8) AS BIGINT) % {_CMS_WIDTH})")
+
+
+_CMS_ORACLE = f"""
+WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+dj AS (SELECT unnest(range(0, {_CMS_DEPTH})) AS j),
+cms AS (
+  SELECT j, {_cms_bucket_sql('j', 'user_id')} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev, dj GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM ev GROUP BY user_id
+  ORDER BY exact_n DESC, user_id ASC LIMIT {_CMS_TOPK}
+),
+est AS (
+  SELECT e.user_id, e.exact_n, MIN(cms.c) AS cms_n
+  FROM exact e, dj
+  JOIN cms ON cms.j = dj.j AND cms.bucket = {_cms_bucket_sql('dj.j', 'e.user_id')}
+  GROUP BY e.user_id, e.exact_n
+)
+SELECT user_id, exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+       CAST(cms_n - exact_n AS BIGINT) AS overcount_n
+FROM est
+"""
+
+
+@register("events_cms_heavy_hitters", oracle=_CMS_ORACLE,
+          description="Count-Min sketch traffic estimates vs exact counts "
+                      "for the top-k users — a fully oracle-checkable sketch")
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    readout with its error measured against the exact counts — unlike
+    the HLL family (rows-only by design: register layouts differ), CMS
+    is plain integer arithmetic over md5-derived buckets, so BOTH
+    engines build the identical sketch and the driver hash-checks it
+    end-to-end. The invariant CMS guarantees — estimate ≥ true count,
+    overcount bounded by the other keys colliding into the same
+    d×w cells — lands in the `overcount_n` column.
+
+    Shape at 100 TB: the sketch is ONE fact pass (a 4-way posexplode →
+    hash aggregate onto d·w = 1024 cells — mergeable across partitions
+    and across time windows, which is the point of CMS); the exact side
+    is a user-keyed aggregate + global top-k (TakeOrderedAndProject,
+    never a full sort); estimates come from broadcasting the 1024-cell
+    sketch onto the k candidate rows. The sketch size is a PARAMETER,
+    independent of user cardinality — the same 1024 cells summarize
+    10^9 users.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].where(F.col("user_id").isNotNull()).select("user_id")
+
+    def bucket(j_col: str, key_col: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col(j_col).cast("string"),
+                                      F.col(key_col).cast("string"))), 1, 8),
+                16, 10,
+            ).cast("long") % _CMS_WIDTH
+        )
+
+    cells = (
+        ev.select(
+            "user_id",
+            F.explode(F.array(*[F.lit(j) for j in range(_CMS_DEPTH)])).alias("j"),
+        )
+        .select("j", bucket("j", "user_id").alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(_CMS_TOPK)
+    )
+    probes = exact.select(
+        "user_id", "exact_n",
+        F.explode(F.array(*[F.lit(j) for j in range(_CMS_DEPTH)])).alias("j"),
+    ).select("user_id", "exact_n", "j", bucket("j", "user_id").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").cast("long").alias("cms_n"))
+    )
+    return est.select(
+        "user_id", "exact_n", "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overcount_n"),
+    )

@@ -116,6 +116,8 @@ _CHANGED_OR_NEVER_CHECKED = (
     "corpus_bpe_merge_step",
     "dedup_domain_rollup",
     "events_cusum_changepoint",
+    "corpus_bpe_train_rounds",
+    "events_cms_heavy_hitters",
     # behavior change (top-up order) on top of the contract change:
     "events_timedecay_attribution",
     # events family under the new event_id contract — last checked r1/r2:

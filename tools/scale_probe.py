@@ -98,6 +98,8 @@ QUERIES = (
     "corpus_bpe_merge_step",
     "dedup_domain_rollup",
     "events_cusum_changepoint",
+    "corpus_bpe_train_rounds",
+    "events_cms_heavy_hitters",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
