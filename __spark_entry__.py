@@ -75,20 +75,25 @@ def rows_only_queries() -> dict[str, str]:
     not breakage (VERDICT r4 "Next round" item 6). Each one's exactness
     is bounded elsewhere:
 
-    The HLL-sketch family has no DuckDB-compatible oracle (different
-    register layout); merge-exactness and ±5% error bounds are
-    pytest-asserted (tests/test_plans.py), and each has an
-    oracle-verified exact twin in the registry.
+    The ENGINE-NATIVE HLL-sketch family has no DuckDB-compatible
+    oracle (Spark's HLL++ register layout has no DuckDB twin);
+    merge-exactness and ±5% error bounds are pytest-asserted
+    (tests/test_plans.py), each has an oracle-verified exact twin in
+    the registry, and `events_hll_portable` is the fully
+    oracle-checked HLL (md5-derived registers + all-integer estimate,
+    identical on both engines) demonstrating the sketch itself is
+    verifiable when built portably.
     """
     return {
         "events_sketch_profile":
-            "HLL/GK sketches: no DuckDB-compatible oracle; "
-            "error-bounded in tests/test_plans.py; exact twin: "
-            "percentile_metrics",
+            "engine-native HLL/GK sketches: no DuckDB-compatible "
+            "oracle; error-bounded in tests/test_plans.py; exact twin: "
+            "percentile_metrics; portable oracle-checked sibling: "
+            "events_hll_portable",
         "events_sketch_rollup_merge":
-            "HLL register merge: no DuckDB-compatible oracle; "
-            "merge==single-pass asserted in tests/test_plans.py",
+            "engine-native HLL register merge: no DuckDB-compatible "
+            "oracle; merge==single-pass asserted in tests/test_plans.py",
         "events_rolling_wau_hll":
-            "rolling HLL union: no DuckDB-compatible oracle; "
-            "exact twin: events_rolling_wau (oracle-verified)",
+            "rolling engine-native HLL union: no DuckDB-compatible "
+            "oracle; exact twin: events_rolling_wau (oracle-verified)",
     }

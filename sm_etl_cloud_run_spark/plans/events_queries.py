@@ -2145,3 +2145,134 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "exact_n", "cms_n",
         (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overcount_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# portable HLL: md5-derived registers, oracle-checkable on both engines
+# ---------------------------------------------------------------------------
+
+_PHLL_M = 64          # buckets (6 bucket bits of the 32-bit md5 prefix)
+_PHLL_RHO_SCALE = 30  # harmonic sum as integers: sum(2^(SCALE - rho_j))
+
+
+_PHLL_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+reg AS (
+  SELECT event_type, h % {_PHLL_M} AS bucket,
+         MAX(CASE WHEN h // {_PHLL_M} = 0 THEN 1
+                  ELSE bit_count(xor(h // {_PHLL_M}, h // {_PHLL_M} - 1)) END) AS rho
+  FROM ev GROUP BY 1, 2
+),
+hs AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_PHLL_RHO_SCALE} - rho)) AS BIGINT)
+           + CAST(({_PHLL_M} - COUNT(*)) AS BIGINT) * (CAST(1 AS BIGINT) << {_PHLL_RHO_SCALE})
+           AS s,
+         CAST(COUNT(*) AS BIGINT) AS nonzero
+  FROM reg GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM ev GROUP BY event_type
+),
+est AS (
+  SELECT event_type, s, nonzero,
+         CAST(({"%.0f" % (0.709 * _PHLL_M * _PHLL_M * 2**_PHLL_RHO_SCALE)}) AS BIGINT) // s AS raw
+  FROM hs
+),
+fin AS (
+  -- small-range (linear counting) correction, exactly as published:
+  -- when raw <= 2.5m and empty buckets exist, est = m * ln(m / V).
+  -- ln runs once on identical doubles built from identical integers,
+  -- floored at 1e6 scale (the engine-wide scaled-ln convention).
+  SELECT event_type, s, nonzero,
+         CASE WHEN raw <= {int(2.5 * _PHLL_M)} AND nonzero < {_PHLL_M}
+              THEN ({_PHLL_M} * CAST(floor(1000000 * ln({_PHLL_M}.0 / ({_PHLL_M} - nonzero))) AS BIGINT)) // 1000000
+              ELSE raw END AS hll_users
+  FROM est
+)
+SELECT fin.event_type, CAST(fin.hll_users AS BIGINT) AS hll_users,
+       fin.nonzero, ex.exact_users,
+       CAST(abs(fin.hll_users - ex.exact_users) * 10000 // ex.exact_users AS BIGINT) AS err_bp
+FROM fin JOIN ex ON ex.event_type = fin.event_type
+"""
+
+
+@register("events_hll_portable", oracle=_PHLL_ORACLE,
+          description="portable HyperLogLog: md5-derived registers and an "
+                      "all-integer estimate, hash-checked against DuckDB")
+def events_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (Flajolet et al. 2007) built PORTABLY: both engines
+    derive the same 32-bit hash from md5(user_id), split it into 6
+    bucket bits + a geometric statistic rho (index of the lowest set
+    bit of the remaining bits — bit_count(h XOR (h-1)), the same
+    geometric(1/2) variable as the classic leading-zero count), and
+    keep max-rho registers per (event_type, bucket). The harmonic mean
+    is evaluated in EXACT integer arithmetic — Σ 2^(SCALE−rho) with
+    empty buckets contributing 2^SCALE — so, unlike the engine-native
+    sketch family (events_sketch_* — rows-only BY DESIGN: Spark's HLL++
+    registers have no DuckDB twin), this one's registers AND estimate
+    are value-hash-checked end-to-end. err_bp carries the measured
+    estimation error against the exact per-type distinct count.
+
+    Shape at 100 TB: registers are ONE fact-pass hash aggregate onto
+    |types| × 64 cells — mergeable across partitions, files, and days
+    (max of maxes), which is the whole point of HLL rollups; the
+    estimate is arithmetic on the parameter-sized register table. The
+    exact twin costs a user-keyed distinct only at verify scale.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "event_type", "user_id",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").alias("h"),
+        )
+    )
+    h2 = F.expr(f"h div {_PHLL_M}")
+    reg = (
+        ev.select(
+            "event_type",
+            (F.col("h") % _PHLL_M).alias("bucket"),
+            F.when(h2 == 0, F.lit(1))
+            .otherwise(F.bit_count(h2.bitwiseXOR(h2 - 1)))
+            .alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    numer = int("%.0f" % (0.709 * _PHLL_M * _PHLL_M * 2 ** _PHLL_RHO_SCALE))
+    hs = reg.groupBy("event_type").agg(
+        (
+            F.sum(F.expr(f"CAST(1 AS BIGINT) << ({_PHLL_RHO_SCALE} - rho)"))
+            + (F.lit(_PHLL_M) - F.count(F.lit(1))).cast("long")
+            * F.lit(2 ** _PHLL_RHO_SCALE).cast("long")
+        ).cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("nonzero"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    # small-range (linear counting) correction — see the oracle comment
+    fin = hs.withColumn(
+        "raw", F.expr(f"CAST({numer} AS BIGINT) div s")
+    ).withColumn(
+        "hll_users",
+        F.expr(
+            f"CASE WHEN raw <= {int(2.5 * _PHLL_M)} AND nonzero < {_PHLL_M}"
+            f" THEN ({_PHLL_M} * CAST(floor(1000000 * ln({_PHLL_M}.0 / ({_PHLL_M} - nonzero))) AS BIGINT)) div 1000000"
+            " ELSE raw END"
+        ).cast("long"),
+    )
+    return fin.join(ex, "event_type").select(
+        "event_type", "hll_users", "nonzero", "exact_users",
+        F.expr(
+            "CAST(abs(hll_users - exact_users) * 10000 div exact_users AS BIGINT)"
+        ).alias("err_bp"),
+    )

@@ -118,6 +118,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_cusum_changepoint",
     "corpus_bpe_train_rounds",
     "events_cms_heavy_hitters",
+    "events_hll_portable",
     # behavior change (top-up order) on top of the contract change:
     "events_timedecay_attribution",
     # events family under the new event_id contract — last checked r1/r2:

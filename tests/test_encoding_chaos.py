@@ -406,6 +406,7 @@ def hostile_events_dir(tmp_path_factory):
      "events_ab_test_readout", "events_benford_audit",
      "events_inter_arrival_stats", "events_decile_lift",
      "events_cusum_changepoint", "events_cms_heavy_hitters",
+     "events_hll_portable",
      "events_heavy_hitters_exact", "events_key_skew_profile",
      "events_rfm_segments", "events_velocity_rule",
      "f4_watermark_gate", "percentile_metrics", "skew_salted_user_join"],

@@ -100,6 +100,7 @@ QUERIES = (
     "events_cusum_changepoint",
     "corpus_bpe_train_rounds",
     "events_cms_heavy_hitters",
+    "events_hll_portable",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
