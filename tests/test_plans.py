@@ -549,3 +549,63 @@ def test_attribution_conserves_credit(spark, sf_dir, qname):
         if r["touch_type"] == "unattributed":
             assert r["n_touches"] == 0
             assert r["total_credit_bp"] == 10000 * r["n_conversions"]
+
+
+def test_cms_estimates_dominate_exact_counts(spark, sf_dir):
+    """The Count-Min invariant: the sketch NEVER undercounts — for
+    every top-k user, cms_n >= exact_n, and the overcount column is
+    consistent. Guards the sketch construction (a bucket-derivation
+    bug typically shows up as an undercount)."""
+    from sm_etl_cloud_run_spark.plans import get
+
+    rows = get("events_cms_heavy_hitters").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_n"] >= r["exact_n"], r
+        assert r["overcount_n"] == r["cms_n"] - r["exact_n"], r
+
+
+def test_portable_hll_accuracy_bounded(spark, sf_dir):
+    """events_hll_portable is parity-checked for exactness of the
+    COMPUTATION; this bounds the ESTIMATOR: with m=64 registers and
+    the small-range correction, per-type error stays within 20%
+    (theoretical RSE 1.04/sqrt(64) = 13%; the bound leaves noise
+    headroom). Guards against silently degrading the estimator while
+    keeping both engines in agreement."""
+    from sm_etl_cloud_run_spark.plans import get
+
+    rows = get("events_hll_portable").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["err_bp"] <= 2000, r
+        assert r["hll_users"] >= 1, r
+
+
+def test_phash_dedup_recovers_target_hashes(spark, sf_dir):
+    """The BMP encode→decode→average-hash roundtrip must recover the
+    closed-form target hash EXACTLY for every doc (the property the
+    oracle's closed form relies on): every within-cluster pair appears
+    with the designed Hamming distance (0 for same-motif clones, 1 for
+    the flipped member), i.e. pair count = C(3,2) + 3 per full
+    cluster of 4 consecutive doc_ids."""
+    from sm_etl_cloud_run_spark.plans import get
+    from sm_etl_cloud_run_spark.tables import load_tables
+
+    rows = get("multimodal_phash_dedup").fn(spark, sf_dir).collect()
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    full, rem = divmod(n_docs, 4)
+    by_h = {}
+    for r in rows:
+        by_h.setdefault(r["hamming"], 0)
+        by_h[r["hamming"]] += 1
+        assert r["id_a"] < r["id_b"]
+        # band collisions across motifs are filtered by hamming <= 3,
+        # and designed distances are only 0 or 1
+        assert r["hamming"] in (0, 1), r
+    # full cluster {4k..4k+3}: members 4k+1..3 share a hash (3 clone
+    # pairs) and 4k differs by one bit from each (3 distance-1 pairs)
+    m = max(rem - 1, 0)  # unflipped members of the partial cluster
+    exp0 = full * 3 + m * (m - 1) // 2
+    exp1 = full * 3 + m
+    assert by_h.get(0, 0) == exp0, (by_h, n_docs)
+    assert by_h.get(1, 0) == exp1, (by_h, n_docs)
