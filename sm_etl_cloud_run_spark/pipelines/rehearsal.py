@@ -34,7 +34,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sinks.jdbc import staged_transactional_load
+from ..sinks.jdbc import commit_staged_load, stage_jdbc_load, staged_transactional_load
 from ..sinks.merge import _atomic_replace
 from ..sinks.partitioned import write_bronze_csv
 from ..sinks.watermark import touch_watermark
@@ -247,3 +247,71 @@ def ep2_inserir_pa(spark: SparkSession, row: dict) -> None:
         spark, _cfg("control_path"),
         {"tipo": "PA", "arquivo": arquivo}, "timestamp_load_bd",
     )
+
+
+def ep2_inserir_pa_lote(spark: SparkSession, rows: list[dict]) -> None:
+    """Batched EP2 — ALL pending files at once (runner `--batch`), the
+    stage-2 twin of `ep1_baixar_pa_lote` (ROUND_NOTES round-12
+    candidate 2).
+
+    The expensive half of EP2 — bronze read, typed cast, and the
+    executor-parallel JDBC transfer — has no cross-file dependency, so
+    each file stages CONCURRENTLY into its OWN staging table
+    (`<target>_stg_<n>`; disjoint tables, so even a single-writer
+    warehouse like embedded Derby only ever sees non-conflicting table
+    locks). The commit sections — delete-conflicts + INSERT..SELECT +
+    commit against the SHARED target — then run strictly SEQUENTIALLY:
+    the target is the single-writer resource, and serialized commits
+    keep the reference's one-transaction-per-file atomicity (K2/K3)
+    bit-for-bit. Watermarks touch after each file's commit, in the
+    same order, so a crash mid-batch leaves exactly the uncommitted
+    files pending — identical re-run semantics to the per-row form
+    (re-runs are idempotent: the delete clears any earlier load).
+
+    Against a concurrent-writer warehouse (Postgres), the same shape
+    holds and the commit loop is the only serial section — ~ms per
+    file, so wall time converges to max(stage) instead of Σ(file).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    arquivos = [_validated_arquivo(row) for row in rows]
+    if not arquivos:
+        return
+    target = CONFIG.get("jdbc_table", "pa_fato")
+    url = _cfg("jdbc_url")
+    coltypes = CONFIG.get("jdbc_column_types")
+
+    def typed_for(arquivo: str) -> DataFrame:
+        raw = read_csv_allstring(spark, f"{_cfg('bronze_root')}/{arquivo}")
+        return cast_allstring_typed(raw, PA_SPEC)
+
+    # bootstrap the SHARED target once, OUTSIDE the pool — concurrent
+    # CREATE TABLE bootstraps race on every engine
+    from ..sinks.jdbc import write_jdbc_append
+
+    write_jdbc_append(
+        typed_for(arquivos[0]).limit(0), url, target, column_types=coltypes
+    )
+
+    def stage(i_arquivo: tuple[int, str]) -> tuple[str, str, list[str]]:
+        i, arquivo = i_arquivo
+        typed = typed_for(arquivo)
+        staging = f"{target}_stg_{i}"
+        stage_jdbc_load(
+            spark, typed, url, target, staging, column_types=coltypes,
+            ensure_target=False,
+        )
+        return arquivo, staging, typed.columns
+
+    with ThreadPoolExecutor(max_workers=min(len(arquivos), 32)) as pool:
+        # list() re-raises the first staging failure before any commit
+        staged = list(pool.map(stage, enumerate(arquivos)))
+    for arquivo, staging, columns in staged:
+        commit_staged_load(
+            spark, url, target, staging, columns,
+            delete_where=f"\"ftp_arquivo_nome\" = '{arquivo}'",
+        )
+        touch_watermark(
+            spark, _cfg("control_path"),
+            {"tipo": "PA", "arquivo": arquivo}, "timestamp_load_bd",
+        )

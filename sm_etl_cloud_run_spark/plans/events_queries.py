@@ -2276,3 +2276,119 @@ def events_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(abs(hll_users - exact_users) * 10000 div exact_users AS BIGINT)"
         ).alias("err_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# discrete-time churn hazard (life table by tenure day, per engagement stream)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86400 * 1_000_000      # precomputed BIGINT literals: DuckDB
+_CENSOR_US = 2 * 86400 * 1_000_000  # evaluates small-int products in INT32
+
+_HAZARD_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, event_type,
+         MIN(epoch_us(ts)) AS first_us,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id, event_type
+),
+h AS (SELECT MAX(last_us) AS h_us FROM u),
+lt AS (
+  SELECT (u.last_us - u.first_us) // {_DAY_US} AS tenure_day,
+         CASE WHEN u.last_us < h.h_us - {_CENSOR_US} THEN 1 ELSE 0 END AS churned
+  FROM u, h
+),
+g AS (
+  SELECT tenure_day,
+         CAST(SUM(churned) AS BIGINT) AS n_churned,
+         CAST(SUM(1 - churned) AS BIGINT) AS n_censored
+  FROM lt GROUP BY tenure_day
+),
+c AS (
+  SELECT tenure_day, n_churned, n_censored,
+         SUM(n_churned + n_censored) OVER () AS total_streams,
+         COALESCE(SUM(n_churned + n_censored) OVER (
+           ORDER BY tenure_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS left_before
+  FROM g
+)
+SELECT CAST(tenure_day AS BIGINT) AS tenure_day, n_churned, n_censored,
+       CAST(total_streams - left_before AS BIGINT) AS at_risk,
+       CAST(10000 * n_churned // (total_streams - left_before) AS BIGINT)
+         AS hazard_bp
+FROM c
+"""
+
+
+@register("events_churn_hazard", oracle=_HAZARD_ORACLE,
+          description="discrete-time churn hazard by tenure day over "
+                      "(user, event_type) engagement streams (life table)")
+def events_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention survival analysis without IEEE products: the discrete-
+    time life table. The subject is the (user, event_type) engagement
+    stream (feature-level churn — user-level tenure is degenerate on a
+    corpus whose users all span the capture window, and the same query
+    shape covers both by changing the group key). A stream's tenure is
+    last-minus-first event time in whole days; it CHURNED if its last
+    event predates the observation horizon (max event time) by more
+    than 2 days, otherwise it is right-CENSORED (still alive at cutoff
+    — the Kaplan-Meier distinction naive churn counts get wrong). For
+    tenure day d: at_risk = streams whose tenure reached d, hazard_bp =
+    churners at d / at_risk, exact integer bp. The survival curve is
+    the running product of (1 - hazard) — left in hazard form so every
+    reported number is integer-exact (products of fractions are
+    IEEE-order-dependent).
+
+    Time arithmetic is exact epoch MICROSECONDS (unix_micros /
+    epoch_us — the events_velocity_rule convention); tenure is
+    floor-DIV by a precomputed BIGINT literal, non-negative dividend.
+
+    Shape at 100 TB: one stream-keyed map-side-combined aggregate (the
+    only fact shuffle), a 1-row horizon broadcast onto the stream
+    relation (whitelisted scalar NLJ), a days-sized aggregate, and
+    days-sized cumulative windows. NULL user_id / event_type form
+    ordinary groups on both engines (the table contract does not
+    require them; a NULL-keyed stream is still a tenure series).
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    u = (
+        t["events"]
+        .select("user_id", "event_type", F.unix_micros(F.col("ts")).alias("us"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("us").alias("first_us"), F.max("us").alias("last_us"))
+    )
+    h = u.agg(F.max("last_us").alias("h_us"))
+    lt = u.crossJoin(F.broadcast(h)).select(
+        F.expr(f"(last_us - first_us) DIV {_DAY_US}").alias("tenure_day"),
+        F.when(F.col("last_us") < F.col("h_us") - F.lit(_CENSOR_US), 1)
+        .otherwise(0).alias("churned"),
+    )
+    g = lt.groupBy("tenure_day").agg(
+        F.sum("churned").cast("long").alias("n_churned"),
+        F.sum(1 - F.col("churned")).cast("long").alias("n_censored"),
+    )
+    # days-sized relation: cumulative windows are parameter-sized
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("tenure_day").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        g.select(
+            F.col("tenure_day").cast("long").alias("tenure_day"),
+            "n_churned", "n_censored",
+            F.sum(F.col("n_churned") + F.col("n_censored")).over(w_all)
+            .alias("__total"),
+            F.coalesce(
+                F.sum(F.col("n_churned") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            ).alias("__left_before"),
+        )
+        .select(
+            "tenure_day", "n_churned", "n_censored",
+            (F.col("__total") - F.col("__left_before")).cast("long").alias("at_risk"),
+            F.expr("CAST(10000 * n_churned DIV (__total - __left_before) AS BIGINT)")
+            .alias("hazard_bp"),
+        )
+    )

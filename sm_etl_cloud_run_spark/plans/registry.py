@@ -112,6 +112,11 @@ def register(
 # of tier 1 for round 9.
 _CHANGED_OR_NEVER_CHECKED = (
     # registered THIS round (driver r8), never driver-checked:
+    "embedding_dim_profile",
+    "quality_pr_curve",
+    "events_churn_hazard",
+    "text_lang_confusion",
+    "multimodal_audio_qc",
     "multimodal_phash_dedup",
     "corpus_bpe_merge_step",
     "dedup_domain_rollup",

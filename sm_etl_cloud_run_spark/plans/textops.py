@@ -1947,3 +1947,239 @@ def dedup_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_dup_docs * 10000 DIV n_docs AS BIGINT)").alias("dup_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier threshold sweep: precision/recall curve over score deciles
+# ---------------------------------------------------------------------------
+
+_PRC_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+w AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 2001 - 1000 AS wt
+  FROM tok
+),
+sc AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(wt) AS BIGINT) AS w_sum
+  FROM w GROUP BY doc_id, lang
+),
+s2 AS (
+  SELECT doc_id,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS pos,
+         CAST(FLOOR(1000.0 * w_sum / n_tokens) AS BIGINT) AS score_milli
+  FROM sc
+),
+d AS (
+  SELECT NTILE(10) OVER (ORDER BY score_milli DESC, doc_id ASC) AS decile, pos
+  FROM s2
+),
+g AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM d GROUP BY decile
+),
+c AS (
+  SELECT decile, n_docs, n_pos,
+         SUM(n_docs) OVER (ORDER BY decile) AS cum_docs,
+         SUM(n_pos) OVER (ORDER BY decile) AS cum_pos,
+         SUM(n_pos) OVER () AS total_pos
+  FROM g
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+       CAST(cum_docs AS BIGINT) AS cum_docs,
+       CAST(cum_pos AS BIGINT) AS cum_pos,
+       CAST(10000 * cum_pos // cum_docs AS BIGINT) AS precision_bp,
+       CAST(CASE WHEN total_pos = 0 THEN 0
+                 ELSE 10000 * cum_pos // total_pos END AS BIGINT) AS recall_bp,
+       CAST(20000 * cum_pos // (cum_docs + total_pos) AS BIGINT) AS f1_bp
+FROM c
+"""
+
+
+@register("quality_pr_curve", oracle=_PRC_ORACLE,
+          description="classifier threshold sweep: cumulative precision/"
+                      "recall/F1 at score deciles (exact bp)")
+def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operating-point picker for model-based filtering: sweep the
+    hashed-linear classifier's score (quality_linear_classifier — same
+    weight arithmetic, drift-guarded by construction) through its ten
+    score deciles and report cumulative precision / recall / F1 against
+    a deterministic weak label (lang = 'en' — the fasttext
+    language-filter framing). "Keep the top k deciles" is the decision
+    this table prices; the reliability-diagram sibling is
+    quality_score_calibration.
+
+    Exactness: all metrics are integer bp via DIV on counts; the decile
+    assignment is ntile over (score DESC, doc_id ASC) — fully tied down,
+    and score_milli is the classifier's FLOOR-milli convention.
+
+    Shape at 100 TB: explode → inline weight arithmetic → doc-keyed
+    map-side-combined aggregate (the classifier pass), then
+    distributed_ntile (TeraSort range partition — no single-task global
+    sort; pinned in test_fact_rank_plans_are_range_partitioned), a
+    10-row aggregate, and 10-row cumulative windows. Nothing fact-sized
+    ever meets an unpartitioned window.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.windows import distributed_ntile
+
+    t = load_tables(spark, sf_dir)
+    wt = F.expr(
+        "CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000"
+    )
+    sc = (
+        t["documents"]
+        .select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .select("doc_id", "lang", wt.alias("wt"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("wt").cast("long").alias("w_sum"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("pos"),
+            F.floor(1000.0 * F.col("w_sum") / F.col("n_tokens")).cast("long")
+            .alias("score_milli"),
+        )
+    )
+    d = distributed_ntile(
+        sc, [F.col("score_milli").desc(), F.col("doc_id").asc()], 10,
+        tile_name="decile",
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    # 10-row relation: the cumulative windows are parameter-sized
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        g.select(
+            F.col("decile").cast("long").alias("decile"), "n_docs", "n_pos",
+            F.sum("n_docs").over(w_cum).cast("long").alias("cum_docs"),
+            F.sum("n_pos").over(w_cum).cast("long").alias("cum_pos"),
+            F.sum("n_pos").over(w_all).cast("long").alias("__total_pos"),
+        )
+        .select(
+            "decile", "n_docs", "n_pos", "cum_docs", "cum_pos",
+            F.expr("CAST(10000 * cum_pos DIV cum_docs AS BIGINT)")
+            .alias("precision_bp"),
+            F.expr(
+                "CAST(CASE WHEN __total_pos = 0 THEN 0"
+                " ELSE 10000 * cum_pos DIV __total_pos END AS BIGINT)"
+            ).alias("recall_bp"),
+            F.expr("CAST(20000 * cum_pos DIV (cum_docs + __total_pos) AS BIGINT)")
+            .alias("f1_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix: heuristic prediction vs declared metadata
+# ---------------------------------------------------------------------------
+
+def _lang_conf_score_sql(lang: str, markers: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"SELECT doc_id, lang, '{lang}' AS lang_cand, "
+        f"CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ({in_list}))) AS BIGINT) AS score "
+        f"FROM documents"
+    )
+
+
+_LANG_CONF_ORACLE = (
+    "WITH scores AS (\n"
+    + "\nUNION ALL\n".join(
+        _lang_conf_score_sql(lang, m) for lang, m in _LANG_MARKERS.items()
+    )
+    + "\n), ranked AS (\n"
+    "  SELECT doc_id, lang, lang_cand, score,\n"
+    "         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_cand ASC) AS rn\n"
+    "  FROM scores\n"
+    "), pred AS (\n"
+    "  SELECT coalesce(lang, '<none>') AS lang, lang_cand AS pred_lang\n"
+    "  FROM ranked WHERE rn = 1\n"
+    "), cm AS (\n"
+    "  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM pred\n"
+    "  GROUP BY lang, pred_lang\n"
+    ")\n"
+    "SELECT lang, pred_lang, n_docs,\n"
+    "       CAST(10000 * n_docs // SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS row_share_bp,\n"
+    "       CAST(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS BIGINT) AS is_match\n"
+    "FROM cm"
+)
+
+
+@register("text_lang_confusion", oracle=_LANG_CONF_ORACLE,
+          description="language-ID QA: confusion matrix of the stopword-"
+                      "profile prediction vs the declared metadata lang")
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acceptance report for heuristic language ID (the text_lang_id
+    operator): cross-tabulate predicted vs declared language and report
+    each cell's share of its metadata-language row (bp). Real curation
+    uses exactly this table to decide whether the cheap n-gram/stopword
+    gate can replace a model-based identifier per language — the
+    diagonal is per-lang recall of the declared label.
+
+    Semantics: prediction is the same argmax (score DESC, lang_cand
+    ASC) as text_lang_id — drift-guarded by sharing _LANG_MARKERS; a
+    NULL declared lang becomes an explicit '<none>' row (it is a real
+    cohort, and NULL grouping keys sort differently across engines).
+
+    Shape at 100 TB: one map-side scoring projection per candidate
+    language unioned (|langs| scans of the same cached relation —
+    Catalyst collapses to one exchange on doc_id), the per-doc argmax
+    window over |langs|-sized doc groups (pigeonhole-bounded, the
+    sessionize contract), then a |langs|²-sized aggregate and
+    parameter-sized share windows.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    scores = None
+    for lang, markers in _LANG_MARKERS.items():
+        sw = F.array(*[F.lit(w) for w in markers])
+        s = t["documents"].select(
+            "doc_id", "lang",
+            F.lit(lang).alias("lang_cand"),
+            F.size(F.filter(toks, lambda w: F.array_contains(sw, w))).cast("long")
+            .alias("score"),
+        )
+        scores = s if scores is None else scores.unionByName(s)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang_cand").asc()
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<none>")).alias("lang"),
+            F.col("lang_cand").alias("pred_lang"),
+        )
+    )
+    cm = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w_row = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cm.select(
+        "lang", "pred_lang", "n_docs",
+        F.expr("CAST(10000 AS BIGINT)").alias("__sc"),
+        F.sum("n_docs").over(w_row).alias("__row_total"),
+    ).select(
+        "lang", "pred_lang", "n_docs",
+        F.expr("CAST(__sc * n_docs DIV __row_total AS BIGINT)").alias("row_share_bp"),
+        F.when(F.col("lang") == F.col("pred_lang"), 1).otherwise(0).cast("long")
+        .alias("is_match"),
+    )

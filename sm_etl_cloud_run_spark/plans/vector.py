@@ -1782,3 +1782,171 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(clones)
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding profile (anisotropy / dead-dimension QA)
+# ---------------------------------------------------------------------------
+
+# offset that makes every mean dividend non-negative so floor == trunc
+# on both engines: 1e7 micro-units = 10.0, far above any unit-ish
+# coordinate (|x_micro| stays in the low millions).
+_DIM_OFF = 10_000_000
+
+_DIM_PROFILE_ORACLE = f"""
+WITH u AS (
+  SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+  FROM embeddings WHERE len(embedding) > 0
+),
+e AS (SELECT dim, CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm FROM u)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vals,
+       CAST(SUM(xm) AS BIGINT) AS sum_micro,
+       CAST((SUM(xm) + COUNT(*) * {_DIM_OFF}) // COUNT(*) - {_DIM_OFF} AS BIGINT)
+         AS mean_micro,
+       CAST(MIN(xm) AS BIGINT) AS min_micro,
+       CAST(MAX(xm) AS BIGINT) AS max_micro,
+       CAST(MAX(xm) - MIN(xm) AS BIGINT) AS span_micro
+FROM e GROUP BY dim
+"""
+
+
+@register("embedding_dim_profile", oracle=_DIM_PROFILE_ORACLE,
+          description="per-dimension embedding stats: mean/extrema/span in "
+                      "micro fixed-point (anisotropy + dead-dimension QA)")
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store ingest QA: the per-dimension profile that catches
+    dead dimensions (span 0 — a projection bug or a truncated writer),
+    mean offset (anisotropy — the common-direction bias that breaks
+    cosine recall and motivates whitening/ABTT, the
+    embedding_pca_top_component companion), and out-of-range
+    coordinates before an index build.
+
+    Arithmetic contract: coordinates enter micro fixed-point via
+    round(x * 1e6) on the identical widened double (the plans/vector.py
+    convention, one scale below the nano queries so Σx over 16×-probe
+    cardinalities stays far from 2^63); the mean uses the shared
+    offset-then-DIV trick — (Σ + n·OFF) DIV n − OFF with OFF above any
+    |x_micro| — so the dividend is non-negative and floor == trunc on
+    both engines even for negative sums.
+
+    Shape at 100 TB: the N×d posexplode never leaves the map side —
+    partial (hash) aggregation crushes each task to ≤ d rows before the
+    exchange, so the shuffle moves d rows per task regardless of N, and
+    the final aggregate is d-sized. No windows, no joins.
+    """
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["embeddings"].where(F.size("embedding") > 0)
+        .select(
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, x ->"
+                    " CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+                )
+            ).alias("j", "xm")
+        )
+    )
+    return (
+        e.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vals"),
+            F.sum("xm").cast("long").alias("sum_micro"),
+            F.min("xm").cast("long").alias("min_micro"),
+            F.max("xm").cast("long").alias("max_micro"),
+        )
+        .select(
+            (F.col("j") + 1).cast("long").alias("dim"),
+            "n_vals", "sum_micro",
+            F.expr(
+                f"CAST((sum_micro + n_vals * {_DIM_OFF}) DIV n_vals"
+                f" - {_DIM_OFF} AS BIGINT)"
+            ).alias("mean_micro"),
+            "min_micro", "max_micro",
+            (F.col("max_micro") - F.col("min_micro")).cast("long").alias("span_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio QC: real WAV roundtrip → peak / energy / silence / clipping profile
+# ---------------------------------------------------------------------------
+
+_AQC_N = 256          # samples per synthetic clip
+_AQC_K = 2654435761   # Knuth multiplicative constant (phash convention)
+_AQC_AMP_MOD = 32000  # non-clipped amplitudes land in 1..32000 < 32767
+
+
+_AUDIO_QC_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id % 5 = 0 THEN 32767
+              ELSE 1 + (doc_id * {_AQC_K}) % {_AQC_AMP_MOD} END AS BIGINT) AS amp,
+         CAST(16 * (doc_id % 8) AS BIGINT) AS s
+  FROM documents
+)
+SELECT doc_id,
+       amp AS peak,
+       s AS n_silence,
+       CAST(({_AQC_N} - s) * amp * amp AS BIGINT) AS sum_sq,
+       CAST(CASE WHEN amp >= 32767 THEN 1 ELSE 0 END AS BIGINT) AS is_clipped
+FROM a
+"""
+
+
+@register("multimodal_audio_qc", oracle=_AUDIO_QC_ORACLE,
+          description="audio QC: real PCM16 WAV encode→decode roundtrip, "
+                      "per-clip peak/energy/silence/clipping (closed-form oracle)")
+def multimodal_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio sibling of multimodal_phash_dedup: every doc_id renders
+    a REAL PCM-16 WAV (16·(doc_id%8) samples of leading silence, then a
+    ±A square wave; A = 32767 — true clipping — for every 5th clip,
+    else 1 + (doc_id·K) % 32000), the payload roundtrips through
+    functions/codecs.py (encode_wav_pcm16 → decode_wav), and the QC
+    features every audio-ingest pipeline gates on come off the DECODED
+    samples: peak amplitude, total energy (Σs² — exact integer; RMS is
+    its sqrt, left to the reader to keep every reported value
+    integer-exact), leading-silence length, and a clipping flag
+    (peak at int16 full-scale). The DuckDB oracle is the closed-form
+    arithmetic of the generator — so any codec, byte-layout, or
+    threshold bug shows as a parity break, the phash pattern.
+
+    Shape at 100 TB: one mapInPandas pass — payloads are synthesized,
+    encoded, and decoded executor-side in bounded Arrow batches and
+    never touch the driver; output is one row per clip. No shuffle at
+    all (the QC table is written partition-parallel).
+    """
+    import numpy as np
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id")
+
+    def kernel(batches):
+        from ..functions.codecs import decode_wav, encode_wav_pcm16
+
+        for pdf in batches:
+            rows = {"doc_id": [], "peak": [], "n_silence": [], "sum_sq": [],
+                    "is_clipped": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                amp = 32767 if d % 5 == 0 else 1 + (d * _AQC_K) % _AQC_AMP_MOD
+                s = 16 * (d % 8)
+                wave = np.zeros(_AQC_N, np.int16)
+                for i in range(s, _AQC_N):
+                    wave[i] = amp if ((i - s) // 8) % 2 == 0 else -amp
+                dec, rate, ch = decode_wav(encode_wav_pcm16(wave, 8000))
+                v = dec.astype(np.int64)
+                a = np.abs(v)
+                # leading silence = first nonzero index (all-zero → N)
+                nz = np.nonzero(v)[0]
+                rows["doc_id"].append(d)
+                rows["peak"].append(int(a.max()))
+                rows["n_silence"].append(int(nz[0]) if len(nz) else len(v))
+                rows["sum_sq"].append(int((v * v).sum()))
+                rows["is_clipped"].append(1 if int(a.max()) >= 32767 else 0)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, peak long, n_silence long, sum_sq long, is_clipped long",
+    )

@@ -120,17 +120,71 @@ def staged_transactional_load(
     (e.g. ``\"periodo\" = '2024.08'``).
     """
     staging = staging or f"{target}_stg"
-    # target must exist before INSERT..SELECT; an empty append creates it
-    # with the same dialect-generated DDL as the staging table.
-    write_jdbc_append(
-        df.limit(0), url, target, user=user, password=password, column_types=column_types
+    stage_jdbc_load(
+        spark, df, url, target, staging=staging,
+        user=user, password=password, column_types=column_types,
+        batch_size=batch_size, num_partitions=num_partitions,
     )
+    commit_staged_load(
+        spark, url, target, staging, df.columns,
+        delete_where=delete_where, watermark_sql=watermark_sql,
+        user=user, password=password,
+    )
+
+
+def stage_jdbc_load(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    target: str,
+    staging: str,
+    *,
+    user: str | None = None,
+    password: str | None = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    num_partitions: int | None = None,
+    column_types: str | None = None,
+    ensure_target: bool = True,
+) -> None:
+    """Phase 1 of `staged_transactional_load`: the executor-parallel
+    staging write (plus target DDL bootstrap). Safe to run CONCURRENTLY
+    for different `staging` tables — staging writes touch disjoint
+    tables and crashes leave the target untouched — which is what the
+    batched EP2 (`rehearsal.ep2_inserir_pa_lote`) exploits against a
+    single-writer warehouse: stage N files in parallel, then serialize
+    only the cheap commit sections. Concurrent callers must bootstrap
+    the SHARED target once up front (``ensure_target=False`` here) —
+    racing CREATE TABLEs are not atomic on any engine."""
+    if ensure_target:
+        # target must exist before INSERT..SELECT; an empty append creates
+        # it with the same dialect-generated DDL as the staging table.
+        write_jdbc_append(
+            df.limit(0), url, target, user=user, password=password,
+            column_types=column_types,
+        )
     write_jdbc_append(
         df, url, staging,
         user=user, password=password, column_types=column_types,
         batch_size=batch_size, num_partitions=num_partitions, mode="overwrite",
     )
-    cols = _qcols(df.columns)
+
+
+def commit_staged_load(
+    spark: SparkSession,
+    url: str,
+    target: str,
+    staging: str,
+    columns: list[str],
+    *,
+    delete_where: str | None = None,
+    watermark_sql: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+) -> None:
+    """Phase 2 of `staged_transactional_load`: ONE driver transaction —
+    delete the reload scope, INSERT..SELECT from staging, optional
+    watermark update, commit or roll everything back."""
+    cols = _qcols(columns)
     with _driver_connection(spark, url, user, password) as conn:
         stmt = conn.createStatement()
         try:

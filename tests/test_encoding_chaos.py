@@ -273,6 +273,9 @@ _HOSTILE_QUERIES = (
     "corpus_filter_funnel",
     "quality_linear_classifier",
     "text_bigram_kneser_ney",
+    "quality_pr_curve",
+    "text_lang_confusion",
+    "multimodal_audio_qc",
 )
 
 
@@ -409,6 +412,7 @@ def hostile_events_dir(tmp_path_factory):
      "events_hll_portable",
      "events_heavy_hitters_exact", "events_key_skew_profile",
      "events_rfm_segments", "events_velocity_rule",
+     "events_churn_hazard",
      "f4_watermark_gate", "percentile_metrics", "skew_salted_user_join"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
@@ -575,7 +579,7 @@ def hostile_embeddings_dir(tmp_path_factory):
      "pq_codebook_train", "knn_graph_pagerank", "knn_ivf_pq",
      "embedding_hard_negatives",
      "knn_ivf_recall", "kmeans_cluster_purity", "knn_graph_link_prediction",
-     "embedding_pca_top_component"],
+     "embedding_pca_top_component", "embedding_dim_profile"],
 )
 def test_null_embedding_rows_keep_oracle_parity(spark, hostile_embeddings_dir, qname):
     problems = _oracle_compare(spark, hostile_embeddings_dir, qname)

@@ -145,6 +145,7 @@ _NESTED_LOOP_OK = {
     "text_bigram_kneser_ney",     # 1-row bigram-type-count scalar broadcast (B for P_cont)
     "corpus_vocab_coverage",      # 1-row ladder-sums scalar broadcast onto <=5 boundary rows
     "join_bloom_prefilter",       # 1-row bloom-bitset map broadcast (element_at lookups)
+    "events_churn_hazard",        # 1-row observation-horizon scalar broadcast
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.

@@ -264,3 +264,68 @@ def test_ep1_batch_matches_sequential(spark, tmp_path):
         a = sorted(map(tuple, seq.drop(*drop).collect()))
         b = sorted(map(tuple, lote.drop(*drop).collect()))
         assert a == b, name
+
+
+def test_ep2_batch_matches_sequential(spark, tmp_path):
+    """ep2_inserir_pa_lote (runner --batch: concurrent per-file staging
+    into disjoint staging tables, strictly sequential commits against
+    the shared target) loads the identical warehouse state and drains
+    the same gate as the sequential per-row dispatch — the parallel
+    form is a scheduling change, never a semantic one."""
+    tree = {_DIR: {name: _shard_bytes(i) for i, name in enumerate(_SHARDS[:3])}}
+    periods = spark.createDataFrame(
+        [(dt.date(2024, 8, 1), "p-2024-08-M")], "data_inicio date, id string"
+    )
+    geo = spark.createDataFrame(
+        [("355030", "m-sp"), ("330455", "m-rj")], "id_sus string, id string"
+    )
+
+    def run(job_args, control, bronze, derby):
+        rehearsal.configure(
+            host="ftp.fake", directory=_DIR,
+            transport_factory=lambda: FakeFtpSession(tree),
+            control_path=control, bronze_root=bronze,
+            panel_ids=["355030", "330455"], periods=periods, geo=geo,
+            jdbc_url=derby, jdbc_table="pa_fato",
+            jdbc_column_types="ftp_arquivo_nome VARCHAR(64)",
+        )
+        rehearsal.refresh_control(spark)
+        rc = runner.main(
+            ["--control", control, "--tipo", "PA", "--acao", "baixar",
+             "--job", "sm_etl_cloud_run_spark.pipelines.rehearsal:ep1_baixar_pa_lote",
+             "--batch"]
+        )
+        assert rc == 0
+        rc = runner.main(
+            ["--control", control, "--tipo", "PA", "--acao", "inserir", *job_args]
+        )
+        assert rc == 0
+        ctl = spark.read.parquet(control)
+        assert ctl.where(F.col("timestamp_load_bd").isNull()).count() == 0
+        return read_jdbc_table(spark, derby, "pa_fato")
+
+    seq = run(
+        ["--job", "sm_etl_cloud_run_spark.pipelines.rehearsal:ep2_inserir_pa"],
+        str(tmp_path / "ctl_seq"), str(tmp_path / "bronze_seq"),
+        f"jdbc:derby:{tmp_path}/wh_seq;create=true",
+    )
+    lote = run(
+        ["--job", "sm_etl_cloud_run_spark.pipelines.rehearsal:ep2_inserir_pa_lote",
+         "--batch"],
+        str(tmp_path / "ctl_lote"), str(tmp_path / "bronze_lote"),
+        f"jdbc:derby:{tmp_path}/wh_lote;create=true",
+    )
+    # audit timestamps are now(): drop them; everything else — the
+    # deterministic row ids included — must match exactly
+    drop = ["criacao_data", "atualizacao_data"]
+    a = sorted(map(tuple, seq.drop(*drop).collect()))
+    b = sorted(map(tuple, lote.drop(*drop).collect()))
+    assert len(a) == 3 * (_ROWS_PER_SHARD // 2)
+    assert a == b
+
+    # batch re-run is idempotent: delete-then-insert keeps the state exact
+    rc = runner.main(
+        ["--control", str(tmp_path / "ctl_lote"), "--tipo", "PA",
+         "--acao", "inserir", "--dry-run"]
+    )
+    assert rc == 0

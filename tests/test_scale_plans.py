@@ -159,7 +159,9 @@ def test_fact_rank_plans_are_range_partitioned(spark, sf_dir):
                  # bounded calibration sample, rank distributed (r5 item 1)
                  "corpus_perplexity_buckets",
                  # grouped prefix sum + shared rank (CUSUM rider, r8)
-                 "events_cusum_changepoint"):
+                 "events_cusum_changepoint",
+                 # classifier threshold sweep rides distributed_ntile (r8)
+                 "quality_pr_curve"):
         df = all_queries()[name].fn(spark, sf_dir)
         plan = _explain(df, mode="simple")
         assert "rangepartitioning" in plan.lower(), name

@@ -101,6 +101,14 @@ QUERIES = (
     "corpus_bpe_train_rounds",
     "events_cms_heavy_hitters",
     "events_hll_portable",
+    # round-12 additions (driver r8): the map-side dim explode profile,
+    # the distributed_ntile PR sweep, the stream-keyed life table, the
+    # per-doc lang-argmax confusion matrix, and the WAV-roundtrip QC.
+    "embedding_dim_profile",
+    "quality_pr_curve",
+    "events_churn_hazard",
+    "text_lang_confusion",
+    "multimodal_audio_qc",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
