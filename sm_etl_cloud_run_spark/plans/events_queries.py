@@ -2392,3 +2392,105 @@ def events_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hazard_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# range-partition planner: exact balanced shuffle boundaries for a key
+# ---------------------------------------------------------------------------
+
+_RPP_NB = 8  # planned partition count
+
+_RPP_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (ORDER BY user_id ASC NULLS LAST, event_id ASC) AS rn,
+         COUNT(*) OVER () AS total
+  FROM events
+),
+bd AS (
+  SELECT (rn * {_RPP_NB} + total - 1) // total AS bucket,
+         user_id AS boundary_user,
+         rn AS target_rank
+  FROM r
+  WHERE (rn * {_RPP_NB} + total - 1) // total BETWEEN 1 AND {_RPP_NB}
+    AND rn = (((rn * {_RPP_NB} + total - 1) // total) * total) // {_RPP_NB}
+),
+c AS (
+  SELECT bd.bucket, bd.boundary_user, bd.target_rank,
+         CAST(SUM(CASE WHEN e.user_id <= bd.boundary_user THEN 1 ELSE 0 END)
+              AS BIGINT) AS rows_le_boundary
+  FROM bd CROSS JOIN events e
+  GROUP BY bd.bucket, bd.boundary_user, bd.target_rank
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, boundary_user, target_rank,
+       rows_le_boundary,
+       CAST(rows_le_boundary - target_rank AS BIGINT) AS overshoot_rows
+FROM c
+"""
+
+
+@register("events_range_partition_plan", oracle=_RPP_ORACLE,
+          description="range-partition planner: exact balanced boundary keys "
+                      "for an 8-way shuffle + measured key-tie overshoot")
+def events_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planning half of every repartitionByRange / sorted export /
+    TeraSort at cluster scale, as an exact query instead of Spark's
+    internal reservoir sample: boundary key values that split the fact
+    into 8 equal-count ranges, plus the OVERSHOOT each boundary pays
+    because duplicate keys cannot be split (rows_le_boundary −
+    target_rank — the number the skew/salting decision reads; its
+    companion diagnostic is events_key_skew_profile's Gini).
+
+    Exactness: ranks come from distributed_rank over (user_id NULLS
+    LAST, event_id) — a total order, NULLS pinned identically on both
+    engines. Boundary k sits at the exact floor target rank
+    t_k = (k·N) DIV 8, selected per-row by the inverse map
+    k = ceil(rn·8 / N): for N ≥ 8 the map round-trips (t_k·8 ≤ kN and
+    N > kN mod 8 give ceil(t_k·8/N) = k), so exactly one row matches
+    each bucket whether or not 8 divides N. Overshoot is a plain
+    subtraction (no negative DIV anywhere).
+
+    Shape at 100 TB: one range exchange (the distributed_rank pass —
+    exactly the shuffle the planned repartition would pay anyway), an
+    8-row boundary relation broadcast onto one fact aggregate
+    (whitelisted scalar-side NLJ: 8 rows × fact, one pass,
+    map-side-combined to 8 rows), and nothing else.
+    """
+    from ..operators.windows import distributed_rank
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "event_id")
+    ranked = distributed_rank(
+        ev,
+        [F.col("user_id").asc_nulls_last(), F.col("event_id").asc()],
+        rank_name="rn", total_name="total",
+    )
+    k_expr = f"(rn * {_RPP_NB} + total - 1) DIV total"
+    bd = (
+        ranked
+        .where(
+            F.expr(f"{k_expr} BETWEEN 1 AND {_RPP_NB}")
+            & (F.col("rn") == F.expr(f"(({k_expr}) * total) DIV {_RPP_NB}"))
+        )
+        .select(
+            F.expr(k_expr).alias("bucket"),
+            F.col("user_id").alias("boundary_user"),
+            F.col("rn").alias("target_rank"),
+        )
+    )
+    c = (
+        t["events"].alias("e")
+        .crossJoin(F.broadcast(bd))
+        .groupBy("bucket", "boundary_user", "target_rank")
+        .agg(
+            F.sum(
+                F.when(F.col("e.user_id") <= F.col("boundary_user"), 1).otherwise(0)
+            ).cast("long").alias("rows_le_boundary")
+        )
+    )
+    return c.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "boundary_user", "target_rank", "rows_le_boundary",
+        (F.col("rows_le_boundary") - F.col("target_rank")).cast("long")
+        .alias("overshoot_rows"),
+    )

@@ -453,3 +453,100 @@ def events_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
     )
     return key_counts.unionByName(other)
+
+
+# ---------------------------------------------------------------------------
+# filter-gate agreement: Cohen's kappa between two keep verdicts
+# ---------------------------------------------------------------------------
+
+def _gate_agreement_oracle() -> str:
+    from .mixture import _C4_ORACLE
+    from .textops import _QLC_ORACLE
+
+    return f"""
+WITH a AS (SELECT doc_id, keep AS keep_a FROM ({_C4_ORACLE})),
+b AS (SELECT doc_id, keep AS keep_b FROM ({_QLC_ORACLE})),
+j AS (SELECT a.keep_a, b.keep_b FROM a JOIN b ON a.doc_id = b.doc_id),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(keep_a * keep_b) AS BIGINT) AS n11,
+         CAST(SUM(keep_a * (1 - keep_b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - keep_a) * keep_b) AS BIGINT) AS n01,
+         CAST(SUM((1 - keep_a) * (1 - keep_b)) AS BIGINT) AS n00
+  FROM j
+)
+SELECT n, n11, n10, n01, n00,
+       CAST(10000 * (n11 + n00) // n AS BIGINT) AS po_bp,
+       CAST(10000 * ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+            // (n * n) AS BIGINT) AS pe_bp,
+       CAST(CASE WHEN n * n = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+            THEN 0
+            ELSE (1000 * (n * (n11 + n00)
+                          - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+                  + 1000 * (n * n
+                          - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))))
+                 // (n * n
+                          - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+                 - 1000
+            END AS BIGINT) AS kappa_milli
+FROM m
+"""
+
+
+@register("quality_gate_agreement", oracle=_gate_agreement_oracle(),
+          description="Cohen's kappa between the C4 heuristic gate and the "
+                      "hashed-linear classifier gate (exact milli)")
+def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement between two curation filters — the number
+    that tells you whether a cheap heuristic gate and a model-based
+    gate are interchangeable, redundant, or complementary before you
+    pay for both at corpus scale. Raters: the C4 heuristic keep
+    (text_c4_heuristics) and the hashed-linear classifier keep
+    (quality_linear_classifier) — both REUSED as registered callables,
+    so threshold drift in either breaks this query's parity instead of
+    silently diverging.
+
+    Cohen's kappa = (p_o − p_e) / (1 − p_e) stays integer-exact: the
+    2×2 contingency counts are exact, p_o/p_e are reported in bp via
+    DIV, and kappa lands in milli via the offset-then-DIV trick
+    (+1000 shifts kappa's [−1, 1] range non-negative so floor == trunc
+    on both engines; constant raters → pe = 1 → kappa defined as 0).
+    The n² products bound n below ~3e9 for int64 — beyond that the
+    gates are compared on a deterministic sample, which is how any
+    agreement statistic is estimated at corpus scale anyway.
+
+    Shape at 100 TB: two map-side gate projections (the classifier adds
+    its one doc-keyed aggregate), one doc-keyed equi join, and ONE
+    1-row hash aggregate. No windows, no scalar broadcasts.
+    """
+    from .mixture import text_c4_heuristics
+    from .textops import quality_linear_classifier
+
+    a = text_c4_heuristics(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_a")
+    )
+    b = quality_linear_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_b")
+    )
+    m = (
+        a.join(b, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("keep_a") * F.col("keep_b")).cast("long").alias("n11"),
+            F.sum(F.col("keep_a") * (1 - F.col("keep_b"))).cast("long").alias("n10"),
+            F.sum((1 - F.col("keep_a")) * F.col("keep_b")).cast("long").alias("n01"),
+            F.sum((1 - F.col("keep_a")) * (1 - F.col("keep_b"))).cast("long").alias("n00"),
+        )
+    )
+    pe_num = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+    return m.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.expr("CAST(10000 * (n11 + n00) DIV n AS BIGINT)").alias("po_bp"),
+        F.expr(f"CAST(10000 * {pe_num} DIV (n * n) AS BIGINT)").alias("pe_bp"),
+        F.expr(
+            f"CAST(CASE WHEN n * n = {pe_num} THEN 0"
+            f" ELSE (1000 * (n * (n11 + n00) - {pe_num})"
+            f"       + 1000 * (n * n - {pe_num}))"
+            f"      DIV (n * n - {pe_num}) - 1000 END AS BIGINT)"
+        ).alias("kappa_milli"),
+    )

@@ -62,7 +62,11 @@ def _contract_oracle(oracle: str | None) -> str | None:
     if oracle is None:
         return None
     for tbl, wrap in _TABLE_CONTRACTS.items():
-        oracle = re.sub(rf"\b(FROM|JOIN)(\s+){tbl}\b", rf"\1\2{wrap}", oracle)
+        # FROM t / JOIN t / comma-join ", t" — the comma form would
+        # otherwise silently dodge the contract (found live: a
+        # boundary-count oracle read raw events through "FROM bd,
+        # events" and counted a contract-dropped NULL-ts row).
+        oracle = re.sub(rf"(\bFROM|\bJOIN|,)(\s+){tbl}\b", rf"\1\2{wrap}", oracle)
     return oracle
 
 
@@ -117,6 +121,10 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_churn_hazard",
     "text_lang_confusion",
     "multimodal_audio_qc",
+    "quality_gate_agreement",
+    "events_range_partition_plan",
+    "orders_repeat_purchase",
+    "multimodal_resize_qa",
     "multimodal_phash_dedup",
     "corpus_bpe_merge_step",
     "dedup_domain_rollup",

@@ -282,3 +282,78 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "age_months", "n_customers", "n_orders", "revenue_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# repeat-purchase interval profile (reorder-cycle histogram)
+# ---------------------------------------------------------------------------
+
+_REPEAT_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey FROM orders
+),
+g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM o
+),
+b AS (
+  SELECT gap_days // 30 AS gap_bucket_30d,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals
+  FROM g WHERE gap_days IS NOT NULL
+  GROUP BY gap_days // 30
+)
+SELECT CAST(gap_bucket_30d AS BIGINT) AS gap_bucket_30d, n_intervals,
+       CAST(10000 * n_intervals // SUM(n_intervals) OVER () AS BIGINT) AS share_bp
+FROM b
+"""
+
+
+@register("orders_repeat_purchase", oracle=_REPEAT_ORACLE,
+          description="repeat-purchase cycle: histogram of consecutive-order "
+                      "gaps per customer in 30-day buckets (exact bp)")
+def orders_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reorder-cycle profile behind replenishment forecasting and
+    churn-window choice (the events_churn_hazard censor horizon is
+    usually read off exactly this table): for every customer with ≥2
+    orders, the gap in days between consecutive orders, aggregated
+    into 30-day buckets with an exact bp share. The lag ordering pins
+    ties by (o_orderdate, o_orderkey), so same-day double orders land
+    deterministically in bucket 0 on both engines.
+
+    Shape at 100 TB: one customer-keyed shuffle for the lag window —
+    per-customer order counts are pigeonhole-bounded (the sessionize
+    contract in operators/windows.py), so the plain partitionBy window
+    is the right form — then a buckets-sized aggregate and a
+    parameter-sized share window. Dates subtract as exact integer days
+    (datediff / date_diff).
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = t["orders"].select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    )
+    b = (
+        g.where(F.col("gap_days").isNotNull())
+        .groupBy(F.expr("gap_days DIV 30").alias("gap_bucket_30d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
+    )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return b.select(
+        F.col("gap_bucket_30d").cast("long").alias("gap_bucket_30d"),
+        "n_intervals",
+        F.expr("CAST(10000 AS BIGINT)").alias("__sc"),
+        F.sum("n_intervals").over(w_all).alias("__total"),
+    ).select(
+        "gap_bucket_30d", "n_intervals",
+        F.expr("CAST(__sc * n_intervals DIV __total AS BIGINT)").alias("share_bp"),
+    )

@@ -1950,3 +1950,73 @@ def multimodal_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id long, peak long, n_silence long, sum_sq long, is_clipped long",
     )
+
+
+# ---------------------------------------------------------------------------
+# image resize QA: real BMP encode→resize→decode roundtrip, closed-form oracle
+# ---------------------------------------------------------------------------
+
+_RSZ_K = 2654435761  # Knuth constant (phash/audio convention)
+
+
+_RESIZE_QA_ORACLE = f"""
+WITH grid AS (
+  SELECT r.r AS r, c.c AS c
+  FROM (SELECT unnest(range(0, 4)) * 2 AS r) r,
+       (SELECT unnest(range(0, 4)) * 2 AS c) c
+)
+SELECT doc_id,
+       CAST(4 AS BIGINT) AS out_w,
+       CAST(4 AS BIGINT) AS out_h,
+       CAST(SUM((doc_id * {_RSZ_K} + 8 * r + c) % 256) AS BIGINT) AS checksum
+FROM documents, grid
+GROUP BY doc_id
+"""
+
+
+@register("multimodal_resize_qa", oracle=_RESIZE_QA_ORACLE,
+          description="image resize QA: BMP encode→nearest-neighbor resize→"
+                      "decode roundtrip, checksum against the closed form")
+def multimodal_resize_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thumbnail/preprocess stage of a multimodal ingest pipeline,
+    verified end-to-end: every doc_id renders a deterministic 8×8
+    gradient BMP (pixel(r,c) = (doc_id·K + 8r + c) mod 256, gray), the
+    payload roundtrips through functions/codecs.resize_bmp — a REAL
+    encode → nearest-neighbor index-math resize → re-encode → decode
+    chain — and the 4×4 result is checksummed. Nearest-neighbor at
+    exactly 2:1 picks source rows/cols {{0,2,4,6}}, so the DuckDB
+    oracle is the closed-form sum over that grid: any off-by-one in
+    the index math, any channel-order or padding bug in the BMP
+    writer, shows as a parity break (the phash/audio-QC pattern,
+    closing the codec-helper triangle: roundtrip, aHash, resize).
+
+    Shape at 100 TB: one mapInPandas pass, payloads synthesized and
+    resized executor-side in bounded Arrow batches; one row per image,
+    no shuffle. The oracle explodes a 16-cell grid instead — the
+    element rows never materialize on the Spark side.
+    """
+    import numpy as np
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id")
+
+    def kernel(batches):
+        from ..functions.codecs import decode_bmp, encode_bmp, resize_bmp
+
+        for pdf in batches:
+            rows = {"doc_id": [], "out_w": [], "out_h": [], "checksum": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = np.arange(64, dtype=np.int64).reshape(8, 8)
+                gray = ((d * _RSZ_K + base) % 256).astype(np.uint8)
+                px = np.stack([gray, gray, gray], axis=-1)
+                out = decode_bmp(resize_bmp(encode_bmp(px), 4, 4))
+                rows["doc_id"].append(d)
+                rows["out_h"].append(int(out.shape[0]))
+                rows["out_w"].append(int(out.shape[1]))
+                rows["checksum"].append(int(out[:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, out_w long, out_h long, checksum long"
+    )

@@ -276,6 +276,8 @@ _HOSTILE_QUERIES = (
     "quality_pr_curve",
     "text_lang_confusion",
     "multimodal_audio_qc",
+    "quality_gate_agreement",
+    "multimodal_resize_qa",
 )
 
 
@@ -412,7 +414,7 @@ def hostile_events_dir(tmp_path_factory):
      "events_hll_portable",
      "events_heavy_hitters_exact", "events_key_skew_profile",
      "events_rfm_segments", "events_velocity_rule",
-     "events_churn_hazard",
+     "events_churn_hazard", "events_range_partition_plan",
      "f4_watermark_gate", "percentile_metrics", "skew_salted_user_join"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
@@ -497,6 +499,7 @@ _HOSTILE_FACT_QUERIES = (
     "lineitem_column_profile",
     "order_fulfillment_latency",
     "lineitem_corr_matrix",
+    "orders_repeat_purchase",
 )
 
 

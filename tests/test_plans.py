@@ -146,6 +146,7 @@ _NESTED_LOOP_OK = {
     "corpus_vocab_coverage",      # 1-row ladder-sums scalar broadcast onto <=5 boundary rows
     "join_bloom_prefilter",       # 1-row bloom-bitset map broadcast (element_at lookups)
     "events_churn_hazard",        # 1-row observation-horizon scalar broadcast
+    "events_range_partition_plan",  # 8-row boundary-table broadcast onto ONE fact aggregate
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.

@@ -161,7 +161,9 @@ def test_fact_rank_plans_are_range_partitioned(spark, sf_dir):
                  # grouped prefix sum + shared rank (CUSUM rider, r8)
                  "events_cusum_changepoint",
                  # classifier threshold sweep rides distributed_ntile (r8)
-                 "quality_pr_curve"):
+                 "quality_pr_curve",
+                 # boundary planner rides distributed_rank (r8)
+                 "events_range_partition_plan"):
         df = all_queries()[name].fn(spark, sf_dir)
         plan = _explain(df, mode="simple")
         assert "rangepartitioning" in plan.lower(), name

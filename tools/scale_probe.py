@@ -109,6 +109,10 @@ QUERIES = (
     "events_churn_hazard",
     "text_lang_confusion",
     "multimodal_audio_qc",
+    "quality_gate_agreement",
+    "events_range_partition_plan",
+    "orders_repeat_purchase",
+    "multimodal_resize_qa",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
