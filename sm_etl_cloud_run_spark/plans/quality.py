@@ -550,3 +550,95 @@ def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"      DIV (n * n - {pe_num}) - 1000 END AS BIGINT)"
         ).alias("kappa_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier length bias: Pearson / OLS slope of score vs document length
+# ---------------------------------------------------------------------------
+
+_QLB_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 2001 - 1000 AS wt
+  FROM tok
+),
+sc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(FLOOR(1000.0 * SUM(wt) / COUNT(*)) AS BIGINT) AS y
+  FROM w GROUP BY doc_id
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM sc
+)
+SELECT n AS n_docs,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS corr_len_score,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS slope_milli_per_token
+FROM mom
+"""
+
+
+@register("quality_length_bias", oracle=_QLB_ORACLE,
+          description="classifier length-bias audit: Pearson + OLS slope of "
+                      "score vs token count from exact moments in one scan")
+def quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic failure mode of model-based quality filters is a
+    hidden LENGTH preference — a classifier that secretly scores long
+    documents higher silently skews the curated corpus's length
+    distribution. This audit reports the Pearson correlation and the
+    OLS slope (score-milli per token) between the hashed-linear
+    classifier's score (quality_linear_classifier's exact arithmetic)
+    and document token count, from exact BIGINT moments in ONE pass —
+    the lineitem_corr_matrix convention: integer sums, then a single
+    identically-ordered double expression rounded to 6 places on both
+    engines.
+
+    Shape at 100 TB: explode → inline weight arithmetic → doc-keyed
+    map-side-combined aggregate (the classifier pass) → ONE 1-row
+    moment aggregate. No windows, no joins, no broadcasts.
+    """
+    t = load_tables(spark, sf_dir)
+    from ..functions.text import tokens
+
+    wt = F.expr(
+        "CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000"
+    )
+    sc = (
+        t["documents"]
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .select("doc_id", wt.alias("wt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.floor(1000.0 * F.sum("wt") / F.count(F.lit(1))).cast("long").alias("y"),
+        )
+    )
+    mom = sc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    dx = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    dy = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+    return mom.select(
+        F.col("n").alias("n_docs"),
+        F.expr(f"round({num} / sqrt({dx} * {dy}), 6)").alias("corr_len_score"),
+        F.expr(f"round({num} / {dx}, 6)").alias("slope_milli_per_token"),
+    )

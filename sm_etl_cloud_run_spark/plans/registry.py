@@ -125,6 +125,8 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_range_partition_plan",
     "orders_repeat_purchase",
     "multimodal_resize_qa",
+    "embedding_isotropy_probe",
+    "quality_length_bias",
     "multimodal_phash_dedup",
     "corpus_bpe_merge_step",
     "dedup_domain_rollup",

@@ -2020,3 +2020,91 @@ def multimodal_resize_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         kernel, "doc_id long, out_w long, out_h long, checksum long"
     )
+
+
+# ---------------------------------------------------------------------------
+# isotropy probe: mean pairwise cosine over a deterministic sample
+# ---------------------------------------------------------------------------
+
+_ISO_PROBES = 64
+_ISO_OFF = 2_000_000  # cosine_micro ∈ [−1e6, 1e6]: offset makes DIV floor-safe
+
+_ISO_ORACLE = f"""
+WITH p AS (
+  SELECT vec_id, embedding
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_ISO_PROBES}
+),
+pr AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(round(1000000 * CAST({_dot_sql('a.embedding', 'b.embedding')} AS DOUBLE)
+              / (sqrt(CAST({_dot_sql('a.embedding', 'a.embedding')} AS DOUBLE))
+                 * sqrt(CAST({_dot_sql('b.embedding', 'b.embedding')} AS DOUBLE))))
+              AS BIGINT) AS cos_micro
+  FROM p a JOIN p b ON a.vec_id < b.vec_id
+)
+SELECT CAST({_ISO_PROBES} AS BIGINT) AS n_probes,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST((SUM(cos_micro) + COUNT(*) * {_ISO_OFF}) // COUNT(*) - {_ISO_OFF}
+            AS BIGINT) AS avg_cos_micro,
+       CAST(MIN(cos_micro) AS BIGINT) AS min_cos_micro,
+       CAST(MAX(cos_micro) AS BIGINT) AS max_cos_micro
+FROM pr
+"""
+
+
+@register("embedding_isotropy_probe", oracle=_ISO_ORACLE,
+          description="isotropy QA: mean pairwise cosine over a fixed "
+                      "64-vector md5 sample (micro fixed-point)")
+def embedding_isotropy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The isotropy number behind whitening/ABTT decisions (Mu & Viswanath
+    2018 — "All-but-the-Top"): embeddings with a large mean pairwise
+    cosine share a dominant common direction, which crushes cosine
+    contrast and ANN recall; the fix is removing the top principal
+    components (embedding_pca_top_component finds the direction,
+    embedding_dim_profile the per-axis offset — this query is the
+    scalar that says whether to bother). Estimated, as in practice, on
+    a FIXED-budget deterministic sample: 64 probes by md5(vec_id) rank
+    (the knn_label_propagation pattern — a fixed FRACTION would grow
+    quadratically; the fixed budget keeps the pair set at 2016 forever).
+
+    Exactness: pair cosines use the fixed-point dot (exact BIGINT) and
+    one identically-ordered double expression rounded to integer micro;
+    aggregates are integer, the mean via the offset-then-DIV trick
+    (cos ∈ [−1, 1] shifts non-negative).
+
+    Shape at 100 TB: the sample is a TakeOrdered over md5 rank (no
+    global sort materializes), the pair join is 64×64 parameter-sized
+    (whitelisted NLJ — the work IS the pair set), and the output is one
+    row. The fact table is scanned once for the sample, period.
+    """
+    t = load_tables(spark, sf_dir)
+    from ..operators.similarity import _fixed_point_dot
+
+    emb = t["embeddings"].where(F.size("embedding") > 0)
+    p = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_ISO_PROBES)
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dot = _fixed_point_dot(F.col("a.embedding"), F.col("b.embedding")).cast("double")
+    na = _fixed_point_dot(F.col("a.embedding"), F.col("a.embedding")).cast("double")
+    nb = _fixed_point_dot(F.col("b.embedding"), F.col("b.embedding")).cast("double")
+    pr = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.round(1000000 * dot / (F.sqrt(na) * F.sqrt(nb)), 0)
+            .cast("long").alias("cos_micro")
+        )
+    )
+    return pr.agg(
+        F.lit(_ISO_PROBES).cast("long").alias("n_probes"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            f"CAST((SUM(cos_micro) + COUNT(*) * {_ISO_OFF}) DIV COUNT(*)"
+            f" - {_ISO_OFF} AS BIGINT)"
+        ).alias("avg_cos_micro"),
+        F.min("cos_micro").cast("long").alias("min_cos_micro"),
+        F.max("cos_micro").cast("long").alias("max_cos_micro"),
+    )

@@ -278,6 +278,7 @@ _HOSTILE_QUERIES = (
     "multimodal_audio_qc",
     "quality_gate_agreement",
     "multimodal_resize_qa",
+    "quality_length_bias",
 )
 
 
@@ -582,7 +583,8 @@ def hostile_embeddings_dir(tmp_path_factory):
      "pq_codebook_train", "knn_graph_pagerank", "knn_ivf_pq",
      "embedding_hard_negatives",
      "knn_ivf_recall", "kmeans_cluster_purity", "knn_graph_link_prediction",
-     "embedding_pca_top_component", "embedding_dim_profile"],
+     "embedding_pca_top_component", "embedding_dim_profile",
+     "embedding_isotropy_probe"],
 )
 def test_null_embedding_rows_keep_oracle_parity(spark, hostile_embeddings_dir, qname):
     problems = _oracle_compare(spark, hostile_embeddings_dir, qname)

@@ -147,6 +147,7 @@ _NESTED_LOOP_OK = {
     "join_bloom_prefilter",       # 1-row bloom-bitset map broadcast (element_at lookups)
     "events_churn_hazard",        # 1-row observation-horizon scalar broadcast
     "events_range_partition_plan",  # 8-row boundary-table broadcast onto ONE fact aggregate
+    "embedding_isotropy_probe",   # 64×64 fixed-budget pair join: the pair set IS the work
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.

@@ -113,6 +113,8 @@ QUERIES = (
     "events_range_partition_plan",
     "orders_repeat_purchase",
     "multimodal_resize_qa",
+    "embedding_isotropy_probe",
+    "quality_length_bias",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
