@@ -2429,7 +2429,7 @@ FROM c
 """
 
 
-@register("events_range_partition_plan", oracle=_RPP_ORACLE,
+@register("events_range_partition_plan", oracle=_RPP_ORACLE, bench=True,
           description="range-partition planner: exact balanced boundary keys "
                       "for an 8-way shuffle + measured key-tie overshoot")
 def events_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,7 +115,10 @@ def register(
 # tail of the family that misses this 50-slot window stays at the top
 # of tier 1 for round 9.
 _CHANGED_OR_NEVER_CHECKED = (
-    # registered THIS round (driver r8), never driver-checked:
+    # registered round 12 (driver r8), never driver-checked — new queries
+    # take the head: a query with NO green row ever outranks one whose
+    # green row is merely stale (the events family keeps its r1-r7 rows
+    # while its contract-re-green tail rolls to the next window):
     "embedding_dim_profile",
     "quality_pr_curve",
     "events_churn_hazard",

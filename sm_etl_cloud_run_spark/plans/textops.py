@@ -2001,7 +2001,7 @@ FROM c
 """
 
 
-@register("quality_pr_curve", oracle=_PRC_ORACLE,
+@register("quality_pr_curve", oracle=_PRC_ORACLE, bench=True,
           description="classifier threshold sweep: cumulative precision/"
                       "recall/F1 at score deciles (exact bp)")
 def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
