@@ -201,3 +201,30 @@ def test_manifest_empty_prune_returns_typed_empty(spark, tmp_path):
     manifest = build_manifest(spark, path, ["id"])
     out = read_pruned(spark, manifest, "id", 10_000, 20_000)
     assert out.count() == 0 and "id" in out.columns
+
+
+def test_orc_roundtrip_with_predicate_pushdown(spark, sf_dir, tmp_path):
+    """ORC is the second columnar format Spark ships natively; the
+    engine's sources are format-agnostic DataFrames, so an ORC lake is
+    a one-line swap from parquet. Pin (a) a lossless roundtrip of a
+    real fact slice (timestamps included) and (b) that filters still
+    reach the ORC scan (PushedFilters) — the property that makes the
+    swap scale-neutral."""
+    import contextlib
+    import io
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    path = str(tmp_path / "li_orc")
+    li.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == li.schema
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0 and li.exceptAll(back).count() == 0
+
+    filtered = back.where("l_quantity > 40").select("l_orderkey", "l_quantity")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "l_quantity" in plan
+    assert filtered.count() == li.where("l_quantity > 40").count()

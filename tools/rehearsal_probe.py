@@ -6,10 +6,12 @@ run 10^5-10^6 rows per monthly file (SURVEY §3). This probe is the
 one-command version at that envelope: same canned FTP, same DBC
 shards, same runner dispatch, same staged Derby load — just more rows.
 
-Usage: python tools/rehearsal_probe.py [rows_per_shard] [n_shards]
+Usage: python tools/rehearsal_probe.py [rows_per_shard] [n_shards] [--ep2-batch]
        (default 100000 x 4 = 400k raw rows)
+--ep2-batch dispatches ep2_inserir_pa_lote (concurrent per-file staging,
+serialized commits) instead of the sequential per-row EP2.
 Prints one JSON line {"rows_raw": N, "loaded_rows": N, "ep3_sec": ...,
-"ep1_sec": ..., "ep2_sec": ..., "rows_per_sec_ep1": ...}.
+"ep1_sec": ..., "ep2_sec": ..., "ep2_mode": ..., "rows_per_sec_ep1": ...}.
 """
 
 from __future__ import annotations
@@ -76,8 +78,10 @@ def _shard_bytes(shard_idx: int, rows: int) -> bytes:
 
 
 def main() -> None:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    n_shards = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    args = [a for a in sys.argv[1:] if a != "--ep2-batch"]
+    ep2_batch = "--ep2-batch" in sys.argv[1:]
+    rows = int(args[0]) if len(args) > 0 else 100_000
+    n_shards = int(args[1]) if len(args) > 1 else 4
     shards = [f"PASP2408{chr(ord('a') + i)}.dbc" for i in range(n_shards)]
 
     t0 = time.perf_counter()
@@ -124,10 +128,18 @@ def main() -> None:
         ep1_sec = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        rc = runner.main([
-            "--control", control, "--tipo", "PA", "--acao", "inserir",
-            "--job", "sm_etl_cloud_run_spark.pipelines.rehearsal:ep2_inserir_pa",
-        ])
+        if ep2_batch:
+            rc = runner.main([
+                "--control", control, "--tipo", "PA", "--acao", "inserir",
+                "--job",
+                "sm_etl_cloud_run_spark.pipelines.rehearsal:ep2_inserir_pa_lote",
+                "--batch",
+            ])
+        else:
+            rc = runner.main([
+                "--control", control, "--tipo", "PA", "--acao", "inserir",
+                "--job", "sm_etl_cloud_run_spark.pipelines.rehearsal:ep2_inserir_pa",
+            ])
         assert rc == 0
         ep2_sec = time.perf_counter() - t0
 
@@ -138,6 +150,7 @@ def main() -> None:
             "rows_raw": raw, "loaded_rows": loaded,
             "gen_sec": round(gen_sec, 1), "ep3_sec": round(ep3_sec, 1),
             "ep1_sec": round(ep1_sec, 1), "ep2_sec": round(ep2_sec, 1),
+            "ep2_mode": "batch" if ep2_batch else "sequential",
             "rows_per_sec_ep1": int(raw / ep1_sec),
         }))
     finally:
