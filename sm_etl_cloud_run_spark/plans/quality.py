@@ -642,3 +642,69 @@ def quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round({num} / sqrt({dx} * {dy}), 6)").alias("corr_len_score"),
         F.expr(f"round({num} / {dx}, 6)").alias("slope_milli_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit over quasi-identifiers (the k-anonymity companion)
+# ---------------------------------------------------------------------------
+
+_L_DIV = 3
+# sensitive attribute: account balance in exact thousand-currency bands
+# (cents-long DIV 100000); offset keeps the negative-balance band's DIV
+# floor-identical on both engines
+_LDIV_BAND_OFF = 1_000_000_000
+
+_LDIV_ORACLE = f"""
+WITH s AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + {_LDIV_BAND_OFF}) // 100000
+           AS bal_band
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_distinct
+  FROM s GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, n, l_distinct,
+       CAST(CASE WHEN l_distinct < {_L_DIV} THEN 1 ELSE 0 END AS BIGINT) AS below_l
+FROM g
+"""
+
+
+@register("customer_l_diversity", oracle=_LDIV_ORACLE,
+          description=f"l-diversity audit: distinct sensitive-value bands per "
+                      f"quasi-identifier group, flagged below l={_L_DIV}")
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-anonymity companion (customer_k_anonymity): a group can be
+    large enough to hide IN (k ≥ 5) and still leak its members'
+    sensitive attribute if everyone in it shares one value — l-diversity
+    requires ≥ l DISTINCT sensitive values per quasi-identifier group
+    (Machanavajjhala et al. 2007). Quasi-identifiers: (nation, market
+    segment); sensitive attribute: account balance in exact
+    thousand-currency bands (cents-long arithmetic; a large offset
+    keeps the negative-balance bands' floor division engine-identical).
+
+    Shape at 100 TB: one hash aggregate with a COUNT(DISTINCT) — Spark
+    plans the standard two-phase expand+agg, map-side combined; the
+    report stays QI-combination-sized at any fact scale.
+    """
+    t = load_tables(spark, sf_dir)
+    band = F.expr(
+        f"(CAST(round(c_acctbal * 100, 0) AS BIGINT) + {_LDIV_BAND_OFF}) DIV 100000"
+    )
+    return (
+        t["customer"]
+        .select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("bal_band").cast("long").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey", "c_mktsegment", "n", "l_distinct",
+            F.when(F.col("l_distinct") < _L_DIV, 1).otherwise(0).cast("long")
+            .alias("below_l"),
+        )
+    )

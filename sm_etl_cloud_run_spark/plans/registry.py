@@ -130,6 +130,8 @@ _CHANGED_OR_NEVER_CHECKED = (
     "multimodal_resize_qa",
     "embedding_isotropy_probe",
     "quality_length_bias",
+    "customer_l_diversity",
+    "events_dau_mau_stickiness",
     "multimodal_phash_dedup",
     "corpus_bpe_merge_step",
     "dedup_domain_rollup",

@@ -1366,3 +1366,78 @@ def events_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((10000 * cum_converted * tu) div (cum_users * tc) AS BIGINT)"
         ).alias("cum_lift_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness (rolling 28-day engagement ratio)
+# ---------------------------------------------------------------------------
+
+_STICKY_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+m AS (
+  SELECT d.day,
+         CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau,
+         CAST(COUNT(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS BIGINT) AS dau
+  FROM days d
+  JOIN du u ON u.day > d.day - INTERVAL 28 DAY AND u.day <= d.day
+  GROUP BY d.day
+)
+SELECT day, dau, mau,
+       CAST(10000 * dau // mau AS BIGINT) AS stickiness_bp
+FROM m
+"""
+
+
+@register("events_dau_mau_stickiness", oracle=_STICKY_ORACLE,
+          description="DAU/MAU stickiness per day: rolling 28-day distinct "
+                      "users vs daily actives, exact bp")
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement ratio product teams steer by (DAU/MAU — what
+    fraction of the monthly audience shows up on a given day), exact:
+    dedupe the fact stream to (day, user), fan each row out to the ≤28
+    report days it covers (bounded explode + broadcast day-grid
+    equi-join — the events_rolling_wau pattern; a literal range join
+    plans as a nested loop), one distinct-count per day, stickiness in
+    integer bp (mau ≥ dau ≥ 0 and mau ≥ 1 for observed days, so DIV is
+    floor-safe).
+
+    Shape at 100 TB: the amplification is 28 × |deduped day-user| —
+    active-user-scale, not corpus-scale; the sketch alternative
+    (events_rolling_wau_hll's mergeable daily HLLs) is the same
+    trade documented there. One distinct-agg shuffle, one broadcast.
+    """
+    t = load_tables(spark, sf_dir)
+    du = (
+        t["events"]
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.col("day").alias("active_day"),
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 27 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    return (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("mau"),
+            F.count_distinct(
+                F.when(F.col("active_day") == F.col("day"), F.col("user_id"))
+            ).cast("long").alias("dau"),
+        )
+        .select(
+            "day", "dau", "mau",
+            F.expr("CAST(10000 * dau DIV mau AS BIGINT)").alias("stickiness_bp"),
+        )
+    )

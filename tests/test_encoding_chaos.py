@@ -416,6 +416,7 @@ def hostile_events_dir(tmp_path_factory):
      "events_heavy_hitters_exact", "events_key_skew_profile",
      "events_rfm_segments", "events_velocity_rule",
      "events_churn_hazard", "events_range_partition_plan",
+     "events_dau_mau_stickiness",
      "f4_watermark_gate", "percentile_metrics", "skew_salted_user_join"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
@@ -544,7 +545,8 @@ def hostile_dims_dir(tmp_path_factory):
     "qname",
     ["q3_shipping_priority", "q5_region_revenue", "q9_product_profit",
      "q13_custdist_outer", "q2_min_cost_supplier", "flagship_panel_enrichment",
-     "q10_returned_items", "q16_supplier_anti"],
+     "q10_returned_items", "q16_supplier_anti",
+     "customer_k_anonymity", "customer_l_diversity"],
 )
 def test_null_dim_rows_keep_oracle_parity(spark, hostile_dims_dir, qname):
     problems = _oracle_compare(spark, hostile_dims_dir, qname)

@@ -115,6 +115,8 @@ QUERIES = (
     "multimodal_resize_qa",
     "embedding_isotropy_probe",
     "quality_length_bias",
+    "customer_l_diversity",
+    "events_dau_mau_stickiness",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
