@@ -132,6 +132,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "quality_length_bias",
     "customer_l_diversity",
     "events_dau_mau_stickiness",
+    "dedup_component_size_histogram",
     "multimodal_phash_dedup",
     "corpus_bpe_merge_step",
     "dedup_domain_rollup",

@@ -2183,3 +2183,101 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == F.col("pred_lang"), 1).otherwise(0).cast("long")
         .alias("is_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# component-size histogram: the dedup-graph pathology check
+# ---------------------------------------------------------------------------
+
+_CSH_LADDER = (
+    "CASE WHEN size = 1 THEN 0 WHEN size = 2 THEN 1 WHEN size <= 4 THEN 2"
+    " WHEN size <= 8 THEN 3 WHEN size <= 16 THEN 4 WHEN size <= 32 THEN 5"
+    " WHEN size <= 64 THEN 6 WHEN size <= 128 THEN 7 ELSE 8 END"
+)
+
+_CSH_ORACLE = f"""
+WITH RECURSIVE {_shingle_cte()},
+sig AS ({_sig_select()}),
+bands AS (
+{_bands_cte()}
+),
+adj AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+),
+reach AS (
+  SELECT src AS doc_id, dst AS label FROM adj
+  UNION
+  SELECT p.src, r.label FROM adj p JOIN reach r ON r.doc_id = p.dst
+),
+comp AS (
+  SELECT doc_id, CAST(MIN(label) AS BIGINT) AS group_rep
+  FROM reach GROUP BY doc_id
+),
+sizes AS (
+  SELECT group_rep, CAST(COUNT(*) AS BIGINT) AS size FROM comp GROUP BY group_rep
+),
+hist AS (
+  SELECT CAST({_CSH_LADDER} AS BIGINT) AS size_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_components,
+         CAST(SUM(size) AS BIGINT) AS n_docs
+  FROM sizes GROUP BY 1
+)
+SELECT size_bucket, n_components, n_docs,
+       CAST(10000 * n_docs // SUM(n_docs) OVER () AS BIGINT) AS docs_share_bp
+FROM hist
+"""
+
+
+@register("dedup_component_size_histogram", oracle=_CSH_ORACLE,
+          description="near-dup component-size histogram (log2 ladder): the "
+                      "dedup-graph pathology check before any pair-emitting pass")
+def dedup_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The precheck that decides whether a dedup graph needs
+    clone-collapse before pair emission (the round-8 simhash lesson —
+    a clone cluster of c docs costs c² per shared band bucket): the
+    size distribution of transitive near-dup components, bucketed on
+    an exact power-of-two ladder (integer comparisons, not
+    floor(log2) — IEEE log at exact powers is a cross-engine hazard),
+    with each bucket's share of all documents in exact bp. A heavy
+    tail bucket is the signal to collapse clones / salt the bucket
+    join; all-singletons means the near-dup pass is pure overhead.
+
+    Rides the full fixpoint component machinery
+    (dedup_lsh_components / min-label propagation; recursive-CTE
+    oracle), then component-count-sized aggregates and a
+    parameter-sized share window.
+    """
+    from ..operators.dedup import lsh_dedup_components
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    sigs = minhash_signatures(
+        t["documents"], text_col="text", id_col="doc_id",
+        num_hashes=NUM_HASHES, shingle_k=SHINGLE_K,
+    )
+    comp = lsh_dedup_components(
+        sigs, id_col="doc_id", num_hashes=NUM_HASHES, bands=LSH_BANDS
+    )
+    sizes = comp.groupBy("group_rep").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    hist = (
+        sizes.select(F.expr(_CSH_LADDER).cast("long").alias("size_bucket"), "size")
+        .groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.sum("size").cast("long").alias("n_docs"),
+        )
+    )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "size_bucket", "n_components", "n_docs",
+        F.expr("CAST(10000 AS BIGINT)").alias("__sc"),
+        F.sum("n_docs").over(w_all).alias("__t"),
+    ).select(
+        "size_bucket", "n_components", "n_docs",
+        F.expr("CAST(__sc * n_docs DIV __t AS BIGINT)").alias("docs_share_bp"),
+    )

@@ -279,6 +279,7 @@ _HOSTILE_QUERIES = (
     "quality_gate_agreement",
     "multimodal_resize_qa",
     "quality_length_bias",
+    "dedup_component_size_histogram",
 )
 
 

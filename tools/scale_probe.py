@@ -117,6 +117,7 @@ QUERIES = (
     "quality_length_bias",
     "customer_l_diversity",
     "events_dau_mau_stickiness",
+    "dedup_component_size_histogram",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
