@@ -310,6 +310,7 @@ def ep2_inserir_pa_lote(spark: SparkSession, rows: list[dict]) -> None:
         commit_staged_load(
             spark, url, target, staging, columns,
             delete_where=f"\"ftp_arquivo_nome\" = '{arquivo}'",
+            drop_staging=True,  # per-file tables would otherwise pile up
         )
         touch_watermark(
             spark, _cfg("control_path"),

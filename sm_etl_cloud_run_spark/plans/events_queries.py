@@ -2403,9 +2403,10 @@ _RPP_NB = 8  # planned partition count
 _RPP_ORACLE = f"""
 WITH r AS (
   SELECT user_id, event_id,
-         ROW_NUMBER() OVER (ORDER BY user_id ASC NULLS LAST, event_id ASC) AS rn,
+         ROW_NUMBER() OVER (ORDER BY user_id ASC, event_id ASC) AS rn,
          COUNT(*) OVER () AS total
   FROM events
+  WHERE user_id IS NOT NULL
 ),
 bd AS (
   SELECT (rn * {_RPP_NB} + total - 1) // total AS bucket,
@@ -2441,9 +2442,11 @@ def events_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     target_rank — the number the skew/salting decision reads; its
     companion diagnostic is events_key_skew_profile's Gini).
 
-    Exactness: ranks come from distributed_rank over (user_id NULLS
-    LAST, event_id) — a total order, NULLS pinned identically on both
-    engines. Boundary k sits at the exact floor target rank
+    Exactness: NULL keys are excluded up front (both engines — a NULL
+    boundary would compare UNKNOWN to every row; a real range shuffle
+    gives NULLs their own partition), then ranks come from
+    distributed_rank over (user_id, event_id) — a total order over
+    non-NULL keys. Boundary k sits at the exact floor target rank
     t_k = (k·N) DIV 8, selected per-row by the inverse map
     k = ceil(rn·8 / N): for N ≥ 8 the map round-trips (t_k·8 ≤ kN and
     N > kN mod 8 give ceil(t_k·8/N) = k), so exactly one row matches
@@ -2459,10 +2462,14 @@ def events_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import distributed_rank
 
     t = load_tables(spark, sf_dir)
-    ev = t["events"].select("user_id", "event_id")
+    # NULL keys are excluded from boundary planning: a NULL boundary key
+    # compares UNKNOWN to everything (rows_le would read 0) and a real
+    # range shuffle routes NULL keys to their own partition anyway — the
+    # planner's job is the non-NULL keyspace.
+    ev = t["events"].select("user_id", "event_id").where(F.col("user_id").isNotNull())
     ranked = distributed_rank(
         ev,
-        [F.col("user_id").asc_nulls_last(), F.col("event_id").asc()],
+        [F.col("user_id").asc(), F.col("event_id").asc()],
         rank_name="rn", total_name="total",
     )
     k_expr = f"(rn * {_RPP_NB} + total - 1) DIV total"

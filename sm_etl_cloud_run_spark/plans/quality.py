@@ -556,13 +556,16 @@ def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # classifier length bias: Pearson / OLS slope of score vs document length
 # ---------------------------------------------------------------------------
 
-_QLB_ORACLE = """
+def _qlb_oracle() -> str:
+    from .textops import QLC_WT_SQL
+
+    return f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
 ),
 w AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 2001 - 1000 AS wt
+         {QLC_WT_SQL} AS wt
   FROM tok
 ),
 sc AS (
@@ -591,7 +594,7 @@ FROM mom
 """
 
 
-@register("quality_length_bias", oracle=_QLB_ORACLE,
+@register("quality_length_bias", oracle=_qlb_oracle(),
           description="classifier length-bias audit: Pearson + OLS slope of "
                       "score vs token count from exact moments in one scan")
 def quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,9 +616,9 @@ def quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     from ..functions.text import tokens
 
-    wt = F.expr(
-        "CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000"
-    )
+    from .textops import QLC_WT_SPARK
+
+    wt = F.expr(QLC_WT_SPARK)
     sc = (
         t["documents"]
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))

@@ -62,11 +62,16 @@ def _contract_oracle(oracle: str | None) -> str | None:
     if oracle is None:
         return None
     for tbl, wrap in _TABLE_CONTRACTS.items():
-        # FROM t / JOIN t / comma-join ", t" — the comma form would
-        # otherwise silently dodge the contract (found live: a
-        # boundary-count oracle read raw events through "FROM bd,
-        # events" and counted a contract-dropped NULL-ts row).
-        oracle = re.sub(rf"(\bFROM|\bJOIN|,)(\s+){tbl}\b", rf"\1\2{wrap}", oracle)
+        # FROM t / JOIN t / comma-join ",t" (with or without space) —
+        # the comma form would otherwise silently dodge the contract
+        # (found live: a boundary-count oracle read raw events through
+        # "FROM bd, events" and counted a contract-dropped NULL-ts
+        # row). Whitespace is quantified PER BRANCH: a bare (\s*)
+        # shared by all three would let the FROM/JOIN branches match
+        # inside identifiers like "FROMevents".
+        oracle = re.sub(
+            rf"(\bFROM\s+|\bJOIN\s+|,\s*){tbl}\b", rf"\1{wrap}", oracle
+        )
     return oracle
 
 

@@ -1804,13 +1804,23 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hashed linear quality classifier (fasttext-architecture scoring plumbing)
 # ---------------------------------------------------------------------------
 
-_QLC_ORACLE = """
+# The classifier's hash-bucket weight — ONE definition per engine, shared
+# by quality_linear_classifier, quality_pr_curve (here) and
+# quality_length_bias (plans/quality.py): changing the bucket count or
+# hash slice in one place keeps every audit in sync with the classifier
+# it audits (the _LANG_MARKERS sharing rule).
+QLC_WT_SPARK = (
+    "CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000"
+)
+QLC_WT_SQL = "CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 2001 - 1000"
+
+_QLC_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS term FROM documents
 ),
 w AS (
   SELECT doc_id, lang,
-         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 2001 - 1000 AS wt
+         {QLC_WT_SQL} AS wt
   FROM tok
 ),
 sc AS (
@@ -1849,9 +1859,7 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sum, so the keep bit can never disagree with the score.
     """
     t = load_tables(spark, sf_dir)
-    wt = F.expr(
-        "CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000"
-    )
+    wt = F.expr(QLC_WT_SPARK)
     sc = (
         t["documents"]
         .select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term"))
@@ -1953,13 +1961,13 @@ def dedup_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # classifier threshold sweep: precision/recall curve over score deciles
 # ---------------------------------------------------------------------------
 
-_PRC_ORACLE = """
+_PRC_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS term FROM documents
 ),
 w AS (
   SELECT doc_id, lang,
-         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 2001 - 1000 AS wt
+         {QLC_WT_SQL} AS wt
   FROM tok
 ),
 sc AS (
@@ -2030,9 +2038,7 @@ def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import distributed_ntile
 
     t = load_tables(spark, sf_dir)
-    wt = F.expr(
-        "CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000"
-    )
+    wt = F.expr(QLC_WT_SPARK)
     sc = (
         t["documents"]
         .select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term"))

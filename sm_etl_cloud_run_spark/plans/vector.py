@@ -2033,6 +2033,7 @@ _ISO_ORACLE = f"""
 WITH p AS (
   SELECT vec_id, embedding
   FROM embeddings
+  WHERE len(embedding) > 0
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_ISO_PROBES}
 ),
 pr AS (
@@ -2081,8 +2082,12 @@ def embedding_isotropy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     from ..operators.similarity import _fixed_point_dot
 
+    from ..cache import persist_tracked
+
     emb = t["embeddings"].where(F.size("embedding") > 0)
-    p = (
+    # persist the 64-row sample: the self-join would otherwise plan two
+    # independent TakeOrdered subtrees, each scanning the fact table
+    p = persist_tracked(
         emb.select("vec_id", "embedding")
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(_ISO_PROBES)

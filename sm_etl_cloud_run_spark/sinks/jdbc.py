@@ -180,10 +180,18 @@ def commit_staged_load(
     watermark_sql: str | None = None,
     user: str | None = None,
     password: str | None = None,
+    drop_staging: bool = False,
 ) -> None:
     """Phase 2 of `staged_transactional_load`: ONE driver transaction —
     delete the reload scope, INSERT..SELECT from staging, optional
-    watermark update, commit or roll everything back."""
+    watermark update, commit or roll everything back.
+
+    ``drop_staging`` drops the staging table AFTER the commit (its own
+    statement — a failed drop never rolls back the committed load).
+    The single-staging sequential path keeps the table (reused via
+    overwrite); the batched path's per-file tables would otherwise
+    accumulate stale staged rows sized by the largest batch ever run.
+    """
     cols = _qcols(columns)
     with _driver_connection(spark, url, user, password) as conn:
         stmt = conn.createStatement()
@@ -199,3 +207,6 @@ def commit_staged_load(
         except Exception:
             conn.rollback()
             raise
+        if drop_staging:
+            stmt.executeUpdate(f"DROP TABLE {staging}")
+            conn.commit()

@@ -323,9 +323,27 @@ def test_ep2_batch_matches_sequential(spark, tmp_path):
     assert len(a) == 3 * (_ROWS_PER_SHARD // 2)
     assert a == b
 
-    # batch re-run is idempotent: delete-then-insert keeps the state exact
+    # batch re-run is idempotent FOR REAL: clear one file's load
+    # watermark so the gate re-selects it, re-run the batch job, and
+    # assert the warehouse row set is unchanged (delete-then-insert) —
+    # a --dry-run would prove only that the gate is drained.
+    ctl_path = str(tmp_path / "ctl_lote")
+    ctl = spark.read.parquet(ctl_path)
+    redo = ctl.withColumn(
+        "timestamp_load_bd",
+        F.when(F.col("arquivo") == _SHARDS[0], F.lit(None).cast("timestamp"))
+        .otherwise(F.col("timestamp_load_bd")),
+    )
+    from sm_etl_cloud_run_spark.sinks.merge import _atomic_replace
+
+    _atomic_replace(spark, redo, ctl_path)
     rc = runner.main(
-        ["--control", str(tmp_path / "ctl_lote"), "--tipo", "PA",
-         "--acao", "inserir", "--dry-run"]
+        ["--control", ctl_path, "--tipo", "PA", "--acao", "inserir",
+         "--job", "sm_etl_cloud_run_spark.pipelines.rehearsal:ep2_inserir_pa_lote",
+         "--batch"]
     )
     assert rc == 0
+    again = read_jdbc_table(
+        spark, f"jdbc:derby:{tmp_path}/wh_lote;create=true", "pa_fato"
+    )
+    assert sorted(map(tuple, again.drop(*drop).collect())) == b
