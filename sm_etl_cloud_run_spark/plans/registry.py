@@ -138,6 +138,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "customer_l_diversity",
     "events_dau_mau_stickiness",
     "dedup_component_size_histogram",
+    "multimodal_frame_sample",
     "multimodal_phash_dedup",
     "corpus_bpe_merge_step",
     "dedup_domain_rollup",

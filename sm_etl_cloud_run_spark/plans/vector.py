@@ -2113,3 +2113,99 @@ def embedding_isotropy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cos_micro").cast("long").alias("min_cos_micro"),
         F.max("cos_micro").cast("long").alias("max_cos_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# video-style frame sampling: container parse → every-k-th frame decode
+# ---------------------------------------------------------------------------
+
+_FS_FRAMES = 16   # frames per synthetic clip
+_FS_STRIDE = 4    # sample every 4th frame → 4 decoded frames
+_FS_FOFF = 131    # per-frame pixel offset (coprime with 256)
+
+
+_FRAME_SAMPLE_ORACLE = f"""
+WITH grid AS (
+  SELECT f.f AS f, i.i AS i
+  FROM (SELECT unnest(range(0, {_FS_FRAMES // _FS_STRIDE})) * {_FS_STRIDE} AS f) f,
+       (SELECT unnest(range(0, 64)) AS i) i
+)
+SELECT doc_id,
+       CAST({_FS_FRAMES} AS BIGINT) AS n_frames,
+       CAST({_FS_FRAMES // _FS_STRIDE} AS BIGINT) AS n_sampled,
+       CAST(SUM((doc_id * {_AQC_K} + f * {_FS_FOFF} + i) % 256) AS BIGINT)
+         AS checksum
+FROM documents, grid
+GROUP BY doc_id
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_SAMPLE_ORACLE,
+          description="video-style frame sampling: length-prefixed frame "
+                      "container → every-4th-frame BMP decode (closed-form oracle)")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-sampling verb of a video-ingest pipeline (the one
+    multimodal verb the codec layer had not yet exercised end-to-end):
+    every doc_id renders a 16-frame clip as a length-prefixed container
+    of REAL 8×8 BMP payloads (frame f's pixels are the resize-QA
+    gradient shifted by f·131), the kernel parses the container,
+    samples every 4th frame (the uniform-stride policy real pipelines
+    use before the expensive per-frame model), decodes ONLY the sampled
+    frames through functions/codecs.decode_bmp, and checksums their
+    pixels. The DuckDB oracle is the generator's closed form over the
+    sampled (frame, pixel) grid — a container-layout, stride, or codec
+    bug is a parity break. True video codecs stay behind the honest
+    UnsupportedMediaError boundary (functions/codecs.py): the part a
+    100 TB pipeline needs Spark to get right — container plumbing,
+    bounded Arrow batches, sampled decode cost — is what this runs.
+
+    Shape at 100 TB: one mapInPandas pass, payloads synthesized and
+    parsed executor-side; decode cost is frames/stride per row
+    regardless of clip length; one row per clip, no shuffle.
+    """
+    import struct
+
+    import numpy as np
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id")
+
+    def kernel(batches):
+        from ..functions.codecs import decode_bmp, encode_bmp
+
+        base = np.arange(64, dtype=np.int64).reshape(8, 8)
+
+        def frame_bmp(d: int, f: int) -> bytes:
+            gray = ((d * _AQC_K + f * _FS_FOFF + base) % 256).astype(np.uint8)
+            return encode_bmp(np.stack([gray, gray, gray], axis=-1))
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_frames": [], "n_sampled": [], "checksum": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                # length-prefixed container: [u32 n][u32 len_i, bytes_i]*
+                frames = [frame_bmp(d, f) for f in range(_FS_FRAMES)]
+                payload = struct.pack("<I", len(frames)) + b"".join(
+                    struct.pack("<I", len(fb)) + fb for fb in frames
+                )
+                # parse back (the real ingest path starts HERE)
+                (n,) = struct.unpack_from("<I", payload, 0)
+                off, parsed = 4, []
+                for _ in range(n):
+                    (ln,) = struct.unpack_from("<I", payload, off)
+                    parsed.append(payload[off + 4 : off + 4 + ln])
+                    off += 4 + ln
+                sampled = parsed[:: _FS_STRIDE]
+                csum = 0
+                for fb in sampled:
+                    px = decode_bmp(fb)
+                    csum += int(px[:, :, 0].astype(np.int64).sum())
+                rows["doc_id"].append(d)
+                rows["n_frames"].append(n)
+                rows["n_sampled"].append(len(sampled))
+                rows["checksum"].append(csum)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, n_frames long, n_sampled long, checksum long"
+    )

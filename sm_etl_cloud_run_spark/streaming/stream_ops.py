@@ -669,3 +669,46 @@ def streaming_near_dedup(
         .where(F.col("__n_bands") == F.col("__n_won"))
         .select(id_col)
     )
+
+
+def stream_velocity_alerts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window: str = "30 minutes",
+    slide: str = "10 minutes",
+    threshold: int = 8,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The fraud/abuse velocity rule as a streaming-native sliding-
+    window monitor: alert whenever a user produces >= `threshold`
+    events inside any `window`-long sliding window (stepped by
+    `slide`). State is ONE (user, window) counting aggregate —
+    watermark-evicted, bounded by active users x (window/slide) —
+    and the emitted row is the alert itself, so the sink is the
+    alert queue.
+
+    Relationship to `events_velocity_rule` (plans/sequence-family):
+    the batch rule is the EXACT any-span form (lag(K-1) comparison —
+    O(1) per event but needs ordered per-user history, which a stream
+    cannot keep unbounded); the sliding-window form trades span
+    granularity (alerts quantize to `slide`) for expirable state —
+    the standard streaming relaxation. Batch and stream agree on THIS
+    expression exactly: works on both DataFrame kinds, and
+    tests/test_streaming.py pins stream == batch on the same slice.
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.window(ts_col, window, slide).alias("w"), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") >= threshold)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            user_col,
+            "n_events",
+        )
+    )

@@ -280,6 +280,7 @@ _HOSTILE_QUERIES = (
     "multimodal_resize_qa",
     "quality_length_bias",
     "dedup_component_size_histogram",
+    "multimodal_frame_sample",
 )
 
 

@@ -737,3 +737,45 @@ def test_streaming_near_dedup_matches_batch(spark, tmp_path):
     batch = spark.createDataFrame(rows1 + rows2, schema)
     batch_surv = {r["doc_id"] for r in streaming_near_dedup(batch).collect()}
     assert batch_surv == {1, 2, 4}
+
+
+def test_velocity_alerts_stream_matches_batch(spark, tmp_path):
+    """stream_velocity_alerts: the sliding-window fraud rule emits the
+    SAME alert set on a stream as on the batch twin of the identical
+    expression — and only users crossing the threshold appear."""
+    import datetime as dt
+
+    from sm_etl_cloud_run_spark.streaming.stream_ops import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_velocity_alerts,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    rows = []
+    # user 1: 5 events inside 10 minutes → alerts at threshold 4
+    for m in range(5):
+        rows.append((base + dt.timedelta(minutes=m), 1, 0.0))
+    # user 2: 3 slow events over 2 hours → never alerts
+    for h in range(3):
+        rows.append((base + dt.timedelta(hours=h), 2, 0.0))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    path = str(tmp_path / "events")
+    df.coalesce(1).write.parquet(path)
+
+    kw = dict(window="30 minutes", slide="10 minutes", threshold=4)
+    batch = stream_velocity_alerts(spark.read.parquet(path), **kw)
+    stream = stream_velocity_alerts(
+        read_events_stream(spark, path, df.schema), **kw
+    )
+    q = run_stream_to_memory(stream, "velo_out", output_mode="complete")
+    try:
+        got = spark.sql("SELECT * FROM velo_out")
+        key = lambda r: (r["window_start"], r["user_id"], r["n_events"])  # noqa: E731
+        b = sorted(map(key, batch.collect()))
+        s = sorted(map(key, got.collect()))
+        assert b == s
+        assert b, "threshold user must alert"
+        assert all(r["user_id"] == 1 for r in batch.collect())
+    finally:
+        q.stop()

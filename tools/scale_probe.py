@@ -118,6 +118,7 @@ QUERIES = (
     "customer_l_diversity",
     "events_dau_mau_stickiness",
     "dedup_component_size_histogram",
+    "multimodal_frame_sample",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
