@@ -2118,3 +2118,74 @@ def corpus_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_round long, merged string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# language-balance entropy (mixture concentration diagnostic)
+# ---------------------------------------------------------------------------
+
+_LANGBAL_ORACLE = """
+WITH g AS (
+  SELECT coalesce(lang, '<none>') AS lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+),
+m AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(MAX(c) AS BIGINT) AS top_c,
+         CAST(CAST(FLOOR(1000000.0 * ln(SUM(c))) AS BIGINT)
+              - SUM(c * CAST(FLOOR(1000000.0 * ln(c)) AS BIGINT)) // SUM(c)
+              AS BIGINT) AS entropy_micro
+  FROM g
+)
+SELECT n_docs, n_langs, entropy_micro,
+       CAST(FLOOR(1000.0 * exp(CAST(entropy_micro AS DOUBLE) / 1000000.0))
+            AS BIGINT) AS eff_langs_milli,
+       CAST(10000 * top_c // n_docs AS BIGINT) AS top_share_bp
+FROM m
+"""
+
+
+@register("corpus_language_balance", oracle=_LANGBAL_ORACLE,
+          description="language-balance entropy: Shannon H over the lang "
+                      "mixture, effective language count, top-lang share")
+def corpus_language_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row concentration diagnostic a mixture planner reads
+    before UniMax/temperature reweighting (mixture_unimax_budget,
+    domain_mixture_weights): Shannon entropy of the language
+    distribution, its exponential — the EFFECTIVE number of languages
+    (5 balanced languages → 5.0; one dominant → ~1) — and the head
+    language's share. H = ln(n) − (1/n)·Σ c·ln(c) in the
+    text_token_entropy floored-micro convention (each ln/exp is one
+    IEEE op on identical inputs; everything between is exact BIGINT);
+    NULL lang is an explicit '<none>' cohort.
+
+    100 TB shape: one |langs|-sized map-side-combined aggregate, then
+    a 1-row reduction. Nothing else.
+    """
+    t = load_tables(spark, sf_dir)
+    g = (
+        t["documents"]
+        .select(F.coalesce(F.col("lang"), F.lit("<none>")).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = g.agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max("c").cast("long").alias("top_c"),
+        (
+            F.floor(1000000.0 * F.log(F.sum("c").cast("double"))).cast("long")
+            - F.expr(
+                "SUM(c * CAST(FLOOR(1000000.0 * ln(CAST(c AS DOUBLE))) AS BIGINT))"
+                " DIV SUM(c)"
+            )
+        ).cast("long").alias("entropy_micro"),
+    )
+    return m.select(
+        "n_docs", "n_langs", "entropy_micro",
+        F.floor(
+            1000.0 * F.exp(F.col("entropy_micro").cast("double") / 1000000.0)
+        ).cast("long").alias("eff_langs_milli"),
+        F.expr("CAST(10000 * top_c DIV n_docs AS BIGINT)").alias("top_share_bp"),
+    )

@@ -139,6 +139,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_dau_mau_stickiness",
     "dedup_component_size_histogram",
     "multimodal_frame_sample",
+    "corpus_language_balance",
     "multimodal_phash_dedup",
     "corpus_bpe_merge_step",
     "dedup_domain_rollup",

@@ -281,6 +281,7 @@ _HOSTILE_QUERIES = (
     "quality_length_bias",
     "dedup_component_size_histogram",
     "multimodal_frame_sample",
+    "corpus_language_balance",
 )
 
 

@@ -119,6 +119,7 @@ QUERIES = (
     "events_dau_mau_stickiness",
     "dedup_component_size_histogram",
     "multimodal_frame_sample",
+    "corpus_language_balance",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
