@@ -1972,7 +1972,13 @@ def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = tf.select(
         "w", "tf",
         F.explode(
-            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            # positions capped at 63 to mirror the oracle's
+            # range(1, 64) exactly — a >=65-char token would otherwise
+            # contribute extra pairs on this side only (pinned by the
+            # 70-char token in tests/test_encoding_chaos.py
+            # hostile_docs_dir).
+            F.expr("transform(sequence(1, least(length(w) - 1, 63)),"
+                   " i -> substring(w, i, 2))")
         ).alias("pair"),
     )
     pc = pr.groupBy("pair").agg(
@@ -2090,7 +2096,10 @@ def corpus_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "tf",
                 F.explode(
-                    F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+                    # 63-position cap == the oracle's range(1, 64); see
+                    # corpus_bpe_merge_step.
+                    F.expr("transform(sequence(1, least(length(w) - 1, 63)),"
+                           " i -> substring(w, i, 2))")
                 ).alias("pair"),
             )
             .groupBy("pair")

@@ -2071,9 +2071,12 @@ exact AS (
   ORDER BY exact_n DESC, user_id ASC LIMIT {_CMS_TOPK}
 ),
 est AS (
+  -- explicit CROSS JOIN chain with the bucket predicate in WHERE:
+  -- standard SQL (the earlier comma-join + lateral e.user_id ref in
+  -- the JOIN ON leaned on DuckDB-specific scoping — ADVICE r8)
   SELECT e.user_id, e.exact_n, MIN(cms.c) AS cms_n
-  FROM exact e, dj
-  JOIN cms ON cms.j = dj.j AND cms.bucket = {_cms_bucket_sql('dj.j', 'e.user_id')}
+  FROM exact e CROSS JOIN dj JOIN cms ON cms.j = dj.j
+  WHERE cms.bucket = {_cms_bucket_sql('dj.j', 'e.user_id')}
   GROUP BY e.user_id, e.exact_n
 )
 SELECT user_id, exact_n, CAST(cms_n AS BIGINT) AS cms_n,

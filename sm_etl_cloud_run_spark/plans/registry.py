@@ -68,9 +68,15 @@ def _contract_oracle(oracle: str | None) -> str | None:
         # "FROM bd, events" and counted a contract-dropped NULL-ts
         # row). Whitespace is quantified PER BRANCH: a bare (\s*)
         # shared by all three would let the FROM/JOIN branches match
-        # inside identifiers like "FROMevents".
+        # inside identifiers like "FROMevents". The (?!\s*\.) lookahead
+        # keeps the comma branch from rewriting table-QUALIFIED refs
+        # that happen to follow a comma outside a FROM list ("GROUP BY
+        # x, events.y" — ADVICE r8); the repo convention remains "no
+        # table-qualified bare references in oracles", and
+        # tests/test_plans.py::test_contract_oracle_comma_contexts pins
+        # both directions.
         oracle = re.sub(
-            rf"(\bFROM\s+|\bJOIN\s+|,\s*){tbl}\b", rf"\1{wrap}", oracle
+            rf"(\bFROM\s+|\bJOIN\s+|,\s*){tbl}\b(?!\s*\.)", rf"\1{wrap}", oracle
         )
     return oracle
 

@@ -95,13 +95,16 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         # Hostile-row contracts (see plans/registry._contract_oracle —
         # the oracles read through the same normalization): NULL text
         # is an empty document; a NULL-ts event is not an event.
-        if name == "documents" and "text" in df.columns:
+        if name == "documents":
             # NULL text is an empty document; a document without an id
             # is not addressable (doc_id feeds rank orderings and md5
-            # coins where Spark/DuckDB NULL ordering diverges).
-            df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-            df = df.where(F.col("doc_id").isNotNull())
-        if name == "events" and "ts" in df.columns:
+            # coins where Spark/DuckDB NULL ordering diverges). Each
+            # normalization guarded by its own column's presence.
+            if "text" in df.columns:
+                df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+            if "doc_id" in df.columns:
+                df = df.where(F.col("doc_id").isNotNull())
+        if name == "events":
             # A row with no timestamp is not an event, and a row with no
             # event_id is not addressable (event_id is the conversion key
             # in the attribution family and the dedup key in CDC replay —
@@ -113,12 +116,23 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
             # enforced here (it would cost a fact-wide shuffle at load);
             # duplicates merge deterministically and identically on both
             # engines (pinned by the hostile duplicate-id fixture in
-            # tests/test_encoding_chaos.py).
-            df = df.where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
-        if name == "embeddings" and "vec_id" in df.columns:
+            # tests/test_encoding_chaos.py). Each filter is guarded by
+            # ITS OWN column's presence (ADVICE r8): a source with ts
+            # but no event_id must not fail at analysis time, and one
+            # with event_id but no ts must still get the event_id
+            # contract.
+            if "ts" in df.columns:
+                df = df.where(F.col("ts").isNotNull())
+            if "event_id" in df.columns:
+                df = df.where(F.col("event_id").isNotNull())
+        if name == "embeddings":
             # a vector without an id or payload can be neither ranked
-            # (seed selection is ORDER BY vec_id) nor scored.
-            df = df.where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+            # (seed selection is ORDER BY vec_id) nor scored. Per-column
+            # presence guards, same defensive style as events.
+            if "vec_id" in df.columns:
+                df = df.where(F.col("vec_id").isNotNull())
+            if "embedding" in df.columns:
+                df = df.where(F.col("embedding").isNotNull())
         # A fact row without its DATE column is not a valid fact row —
         # it can't be period-joined, watermark-gated, or
         # retention-filtered (same contract as events.ts). Only the

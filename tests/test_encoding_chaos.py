@@ -201,12 +201,18 @@ def hostile_docs_dir(tmp_path_factory):
         {
             # 900001/900002: empty + whitespace text; 900003: NULL text
             # AND NULL lang (exercises the NULLS LAST mixture ordering);
-            # None: NULL doc_id — dropped by the addressability contract.
-            "doc_id": pa.array([900001, 900002, 900003, None], pa.int64()),
-            "text": pa.array(["", "   ", None, "stray row"], pa.string()),
-            "lang": pa.array(["en", "en", None, "en"], pa.string()),
-            "source": pa.array(["web", "web", "web", "web"], pa.string()),
-            "n_chars": pa.array([0, 3, None, 9], pa.int64()),
+            # None: NULL doc_id — dropped by the addressability contract;
+            # 900004: a 70-char whitespace token — past the BPE pair
+            # enumeration's 63-position cap (range(1,64) in the oracles,
+            # least(length-1, 63) in Spark — ADVICE r8: an uncapped
+            # Spark sequence() would emit 6 extra pairs on this row).
+            "doc_id": pa.array([900001, 900002, 900003, None, 900004], pa.int64()),
+            "text": pa.array(
+                ["", "   ", None, "stray row", "ab" * 35 + " tail"], pa.string()
+            ),
+            "lang": pa.array(["en", "en", None, "en", "en"], pa.string()),
+            "source": pa.array(["web", "web", "web", "web", "web"], pa.string()),
+            "n_chars": pa.array([0, 3, None, 9, 75], pa.int64()),
         }
     )
     pq.write_table(
@@ -251,6 +257,8 @@ _HOSTILE_QUERIES = (
     "text_ngram_novelty",
     "documents_length_deciles",
     "corpus_bpe_merge_candidates",
+    "corpus_bpe_merge_step",
+    "corpus_bpe_train_rounds",
     "training_curriculum_order",
     "text_readability",
     "dedup_minhash_accuracy",

@@ -612,3 +612,45 @@ def test_phash_dedup_recovers_target_hashes(spark, sf_dir):
     exp1 = full * 3 + m
     assert by_h.get(0, 0) == exp0, (by_h, n_docs)
     assert by_h.get(1, 0) == exp1, (by_h, n_docs)
+
+
+def test_contract_oracle_comma_contexts():
+    """The _TABLE_CONTRACTS rewrite must wrap genuine relation
+    references (FROM t / JOIN t / comma-join ", t") and must NOT
+    rewrite a table-QUALIFIED reference that happens to follow a comma
+    outside a FROM list (ADVICE r8: "GROUP BY x, events.y" would have
+    become an inline subquery followed by ".y" — invalid SQL)."""
+    from sm_etl_cloud_run_spark.plans.registry import (
+        _TABLE_CONTRACTS,
+        _contract_oracle,
+    )
+
+    wrap = _TABLE_CONTRACTS["events"]
+
+    # genuine relation refs: all three forms are wrapped
+    assert _contract_oracle("SELECT 1 FROM events") == f"SELECT 1 FROM {wrap}"
+    assert _contract_oracle("SELECT 1 FROM a JOIN events ON a.x = y") == (
+        f"SELECT 1 FROM a JOIN {wrap} ON a.x = y"
+    )
+    assert _contract_oracle("SELECT 1 FROM a, events WHERE a.x = y") == (
+        f"SELECT 1 FROM a, {wrap} WHERE a.x = y"
+    )
+    assert _contract_oracle("SELECT 1 FROM a,events") == f"SELECT 1 FROM a,{wrap}"
+
+    # qualified refs after a comma (select list / GROUP BY / function
+    # args) are left alone
+    for sql in (
+        "SELECT x, events.y FROM events",
+        "SELECT 1 FROM events GROUP BY x, events.y",
+        "SELECT coalesce(a, events.y) FROM events",
+    ):
+        out = _contract_oracle(sql)
+        assert "events.y" in out, out
+        assert f"{wrap}.y" not in out, out
+        # the genuine FROM ref in the same statement is still wrapped
+        assert f"FROM {wrap}" in out, out
+
+    # identifiers merely containing the table name are untouched
+    assert (
+        _contract_oracle("SELECT 1 FROM my_events") == "SELECT 1 FROM my_events"
+    )
