@@ -78,11 +78,14 @@ def rows_only_queries() -> dict[str, str]:
     The ENGINE-NATIVE HLL-sketch family has no DuckDB-compatible
     oracle (Spark's HLL++ register layout has no DuckDB twin);
     merge-exactness and ±5% error bounds are pytest-asserted
-    (tests/test_plans.py), each has an oracle-verified exact twin in
-    the registry, and `events_hll_portable` is the fully
-    oracle-checked HLL (md5-derived registers + all-integer estimate,
-    identical on both engines) demonstrating the sketch itself is
-    verifiable when built portably.
+    (tests/test_plans.py), and each has an oracle-verified exact twin
+    in the registry. The portable md5-register technique
+    (`events_hll_portable`) has retired every row it can:
+    `events_sketch_rollup_merge` became fully oracle-checked in round
+    9 (merged == single-pass in the hash-checked output). The two rows
+    left are exactly the ones whose POINT is the engine-native sketch
+    column (Datasketches HLL blobs / GK summaries as stored state) —
+    rebuilding those portably would change what they demonstrate.
     """
     return {
         "events_sketch_profile":
@@ -90,9 +93,6 @@ def rows_only_queries() -> dict[str, str]:
             "oracle; error-bounded in tests/test_plans.py; exact twin: "
             "percentile_metrics; portable oracle-checked sibling: "
             "events_hll_portable",
-        "events_sketch_rollup_merge":
-            "engine-native HLL register merge: no DuckDB-compatible "
-            "oracle; merge==single-pass asserted in tests/test_plans.py",
         "events_rolling_wau_hll":
             "rolling engine-native HLL union: no DuckDB-compatible "
             "oracle; exact twin: events_rolling_wau (oracle-verified)",

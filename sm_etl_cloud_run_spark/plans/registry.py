@@ -117,72 +117,15 @@ def register(
 # Registration order is unchanged; only the yield order is prioritized.
 
 # Tier 1 — queries whose implementation changed after their last green
-# driver row, plus anything newly registered. Round 8: the
-# `events.event_id IS NOT NULL` load contract (tables.load_tables +
-# _TABLE_CONTRACTS above — VERDICT r7 "Next round" item 1) re-opens the
-# whole events family, so the window LEADS with it, ordered
-# longest-unchecked-first; the time-decay attribution additionally
-# changed behavior (most-recent-first top-up, ADVICE r7). The ~9-query
-# tail of the family that misses this 50-slot window stays at the top
-# of tier 1 for round 9.
+# driver row, plus anything newly registered. Round 9: CORRECTNESS_r08
+# greened exactly the first 50 of the round-8 ordering, so the head is
+# now the 29 contract-touched events rows that missed that window
+# (VERDICT r8 "Next round" item 1 — their newest driver-green row
+# predates the event_id load contract), ordered longest-unchecked
+# first, then this round's newly-registered queries.
 _CHANGED_OR_NEVER_CHECKED = (
-    # registered round 12 (driver r8), never driver-checked — new queries
-    # take the head: a query with NO green row ever outranks one whose
-    # green row is merely stale (the events family keeps its r1-r7 rows
-    # while its contract-re-green tail rolls to the next window):
-    "embedding_dim_profile",
-    "quality_pr_curve",
-    "events_churn_hazard",
-    "text_lang_confusion",
-    "multimodal_audio_qc",
-    "quality_gate_agreement",
-    "events_range_partition_plan",
-    "orders_repeat_purchase",
-    "multimodal_resize_qa",
-    "embedding_isotropy_probe",
-    "quality_length_bias",
-    "customer_l_diversity",
-    "events_dau_mau_stickiness",
-    "dedup_component_size_histogram",
-    "multimodal_frame_sample",
-    "corpus_language_balance",
-    "multimodal_phash_dedup",
-    "corpus_bpe_merge_step",
-    "dedup_domain_rollup",
-    "events_cusum_changepoint",
-    "corpus_bpe_train_rounds",
-    "events_cms_heavy_hitters",
-    "events_hll_portable",
-    # behavior change (top-up order) on top of the contract change:
-    "events_timedecay_attribution",
-    # events family under the new event_id contract — last checked r1/r2:
-    "events_running_balance",
-    "events_daily_from_hourly",
-    "events_value_histogram",
-    "events_hourly_gapfill",
-    "dedup_last_write",
-    "events_anomaly_zscore",
-    "events_conversion_funnel",
-    "c13_c17_timestamp_roundtrip",
-    # events family under the new contract — last checked r4/r5:
-    "events_cohort_retention",
-    "events_session_window_native",
-    "events_variant_extract",
-    "events_concurrency_profile",
-    "events_trend_regression",
-    "events_sample_estimate",
-    "events_seasonal_baseline",
-    "events_autocorrelation",
-    "events_heavy_hitters_exact",
-    "events_velocity_rule",
-    "events_distribution_drift",
-    "events_json_key_profile",
-    "events_transition_matrix",
-    "events_top_paths",
-    "events_cdc_snapshot",
-    "events_ewma",
-    "events_seasonal_anomaly",
-    "events_user_coherent_sample",
+    # events family under the event_id contract, missed the r8 window —
+    # last driver-checked r4/r5:
     "events_grouping_sets",
     "events_asof_tolerance",
     "events_rolling_wau",
@@ -191,12 +134,13 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_nstep_funnel",
     "events_ab_test_readout",
     "events_benford_audit",
-    # rows-only by design (weaker driver check, still contract-touched):
+    # rows-only by design (weaker driver check, still contract-touched;
+    # events_sketch_rollup_merge additionally REIMPLEMENTED this round
+    # as a fully oracle-checked portable sketch — VERDICT r8 item 2):
     "events_sketch_profile",
     "events_sketch_rollup_merge",
     "events_rolling_wau_hll",
-    # events family under the new contract — checked r7 (freshest, so
-    # last; the tail past slot 50 rolls to round 9's window):
+    # events family under the contract — last driver-checked r7:
     "events_multitouch_attribution",
     "events_value_ntile",
     "events_cume_dist",
@@ -215,11 +159,22 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_asof_last_click",
     "skew_salted_user_join",
     "events_pivot_type_counts",
+    # registered round 9, never driver-checked (appended as they land):
+    "quality_classifier_train",
+    "multimodal_audio_fingerprint_dedup",
+    "events_gk_portable_quantiles",
+    "events_bitmap_distinct_rollup",
+    "events_theta_sketch_distinct",
+    "dedup_clone_collapse_gate",
+    "events_tdigest_portable",
+    "events_sessionize_incremental",
 )
 
 # Tier 2 — longest unchecked among unchanged queries (green rows from
-# rounds 1/2; the events members of the old tier-2 list moved into
-# tier 1 above because the contract touches them).
+# rounds 1/2). 29 + 8 tier-1 rows leave 13 window slots: the first 13
+# below complete the 50; the rest clear in round 10 (every other
+# registry row is r8-green, so the whole ledger is ≤2 rounds old
+# after that).
 _DRIVER_CHECKED_R1_R2 = (
     "corr_qty_discount", "topk_per_group", "f5_sliding_month_gate",
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",

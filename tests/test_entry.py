@@ -34,11 +34,10 @@ def test_registry_shapes():
     assert rows_only <= {
         "multimodal_feature_extract",
         "events_sketch_profile",
-        # Datasketches-HLL blobs have no DuckDB twin; merge exactness
-        # is asserted vs a single-pass sketch in test_plans instead
-        "events_sketch_rollup_merge",
         # sketch-merge WAU: accuracy bounded vs the exact events_rolling_wau
         # in test_plans (±5%); DuckDB's HLL is a different algorithm
+        # (events_sketch_rollup_merge left this set in round 9: the
+        # portable md5-register rebuild made it fully oracle-checked)
         "events_rolling_wau_hll",
     }
     # the by-design rows-only set is surfaced to the driver with reasons
