@@ -711,3 +711,200 @@ def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("below_l"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed classifier TRAINING: integer-exact batch gradient descent
+# ---------------------------------------------------------------------------
+
+_QT_B = 64              # hashed feature buckets == the weight-table size
+_QT_Y = 1_000_000       # label scale (micro): en → 1e6, else 0
+_QT_K = 3               # gradient steps
+_QT_C = 50_000          # LR denominator factor: DEN = n_docs * C (tuned:
+#                         monotone MSE descent at sf0.001/0.01/0.1;
+#                         C=20k oscillates, C=50k plateaus by step 3)
+_QT_OFF = 2 ** 62       # offset making every DIV numerator non-negative
+#                         (trunc == floor on both engines — the shared
+#                         offset-DIV convention; |gradient| < 1e15 ≪ OFF)
+
+
+def _qt_metrics_sql(k: int) -> str:
+    return f"""
+  SELECT CAST({k} AS BIGINT) AS step,
+         (SELECT CAST(SUM((s - y) * (s - y)) // (SELECT n FROM nn) AS BIGINT)
+            FROM s{k}) AS mse,
+         (SELECT CAST(SUM(CASE WHEN (2 * s >= {_QT_Y}) = (y > 0)
+                               THEN 1 ELSE 0 END) AS BIGINT)
+            FROM s{k}) AS n_correct,
+         (SELECT CAST(SUM(ABS(w)) AS BIGINT) FROM w{k}) AS w_l1,
+         (SELECT CAST(SUM(CASE WHEN w <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM w{k}) AS n_nonzero_w,
+         (SELECT CAST(b AS BIGINT) FROM w{k}
+           ORDER BY w DESC, b ASC LIMIT 1) AS top_bucket,
+         (SELECT CAST(w AS BIGINT) FROM w{k}
+           ORDER BY w DESC, b ASC LIMIT 1) AS top_w
+"""
+
+
+def _qt_oracle() -> str:
+    steps = []
+    for k in range(_QT_K):
+        steps.append(f"""
+g{k} AS (
+  SELECT f.b, CAST(SUM((s.s - s.y) * f.x) AS BIGINT) AS g
+  FROM feat f JOIN s{k} s ON s.doc_id = f.doc_id GROUP BY f.b
+),
+w{k + 1} AS (
+  SELECT w.b,
+         CAST(w.w - ((coalesce(g.g, 0) + {_QT_OFF}) // den.den
+                     - {_QT_OFF} // den.den) AS BIGINT) AS w
+  FROM w{k} w LEFT JOIN g{k} g ON g.b = w.b CROSS JOIN den
+),
+s{k + 1} AS (
+  SELECT f.doc_id, f.y, CAST(SUM(w.w * f.x) AS BIGINT) AS s
+  FROM feat f JOIN w{k + 1} w ON w.b = f.b GROUP BY f.doc_id, f.y
+),""")
+    mets = ",\n".join(
+        f"m{k} AS ({_qt_metrics_sql(k)})" for k in range(_QT_K + 1)
+    )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM m{k}" for k in range(_QT_K + 1))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+),
+nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id),
+bc AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % {_QT_B} AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY doc_id, b
+),
+lab AS (
+  SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN {_QT_Y} ELSE 0 END AS BIGINT) AS y
+  FROM documents
+),
+feat AS (
+  SELECT bc.doc_id, bc.b, (1000 * bc.cnt) // nt.n_tok AS x, lab.y
+  FROM bc JOIN nt ON nt.doc_id = bc.doc_id JOIN lab ON lab.doc_id = bc.doc_id
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab),
+den AS (SELECT n * {_QT_C} AS den FROM nn),
+w0 AS (SELECT unnest(range(0, {_QT_B})) AS b, CAST(0 AS BIGINT) AS w),
+s0 AS (
+  SELECT f.doc_id, f.y, CAST(SUM(w.w * f.x) AS BIGINT) AS s
+  FROM feat f JOIN w0 w ON w.b = f.b GROUP BY f.doc_id, f.y
+),{"".join(steps)}
+{mets}
+{union}
+"""
+
+
+@register("quality_classifier_train", oracle=_qt_oracle(), bench=True,
+          description="distributed classifier TRAINING: K integer-exact "
+                      "batch-GD steps over hashed bucket features; corpus "
+                      "featurized once, per-step descent hash-checked")
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trains the hashed linear quality classifier instead of taking
+    its weights as given (VERDICT r8 item 3): documents are featurized
+    ONCE into per-(doc, bucket) token shares x ∈ [0, 1000] over
+    _QT_B=64 md5 buckets with a weak label y (lang='en' → 1e6, the
+    quality_pr_curve convention), then K=3 full-batch gradient-descent
+    steps on squared loss run ENTIRELY in integer arithmetic:
+    s_d = Σ_b w_b·x_db, g_b = Σ_d (s_d − y_d)·x_db,
+    w ← w − ((g + OFF) DIV DEN − OFF DIV DEN) with DEN = n_docs·C —
+    every operand non-negative at the DIVs, so trunc == floor and both
+    engines (and the driver-side Python update) agree bit-for-bit. The
+    output is the per-step training curve — MSE (monotone decreasing:
+    3.9e11 → 2.4e11 at sf0.001), threshold accuracy, and weight-table
+    stats — so the driver hash-checks the ENTIRE descent trajectory,
+    not just a final score. Swapping these trained weights into
+    quality_linear_classifier is a broadcast join against the 64-row
+    weight table (its docstring's stated seam).
+
+    Driver-loop mechanics (the corpus_bpe_train_rounds shape): the
+    corpus is touched ONCE (tokenize → bucket-count → persisted feat
+    relation, ≤64 rows per doc); each step is two feat-sized
+    map-side-combined aggregates (score per doc, gradient per bucket)
+    plus a 64-row collect and a 1-row metrics collect — K more steps
+    cost K more feat scans, never corpus scans. At 100 TB feat is
+    ~64×n_docs longs (a few TB for a trillion docs), the weight table
+    is always 64 rows broadcast, and the gradient lands on 64 cells.
+    """
+    from ..cache import persist_tracked
+    from ..functions.text import tokens
+
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    nt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    bc = (
+        tok.select(
+            "doc_id",
+            F.expr(
+                f"CAST(conv(substring(md5(term), 1, 8), 16, 10) AS BIGINT) % {_QT_B}"
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    lab = t["documents"].select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(_QT_Y)).otherwise(F.lit(0))
+        .cast("long").alias("y"),
+    )
+    feat = persist_tracked(
+        bc.join(nt, "doc_id")
+        .join(lab, "doc_id")
+        .select(
+            "doc_id", "b",
+            F.expr("CAST((1000 * cnt) div n_tok AS BIGINT)").alias("x"),
+            "y",
+        )
+    )
+    n_docs = lab.count()  # 1-scalar collect, parameter-sized
+    den = n_docs * _QT_C
+    w = {b: 0 for b in range(_QT_B)}
+    rows: list[tuple[int, int, int, int, int, int, int]] = []
+    for step in range(_QT_K + 1):
+        wdf = spark.createDataFrame(
+            [(b, wb) for b, wb in sorted(w.items())], "b long, w long"
+        )
+        s = (
+            feat.join(F.broadcast(wdf), "b")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("w") * F.col("x")).cast("long").alias("s"))
+        )
+        m = s.agg(
+            F.sum((F.col("s") - F.col("y")) * (F.col("s") - F.col("y")))
+            .cast("long").alias("sse"),
+            F.sum(
+                F.when(
+                    (2 * F.col("s") >= _QT_Y) == (F.col("y") > 0), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        ).collect()[0]  # 1-row metrics collect per step
+        top_b, top_w = max(w.items(), key=lambda kv: (kv[1], -kv[0]))
+        rows.append((
+            step, m["sse"] // n_docs, m["n_correct"],
+            sum(abs(v) for v in w.values()),
+            sum(1 for v in w.values() if v != 0),
+            top_b, top_w,
+        ))
+        if step == _QT_K:
+            break
+        g = {
+            r["b"]: r["g"]
+            for r in feat.join(s.select("doc_id", (F.col("s") - F.col("y")).alias("r")),
+                               "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("r") * F.col("x")).cast("long").alias("g"))
+            .collect()  # ≤64-row gradient collect per step
+        }
+        for b in range(_QT_B):
+            w[b] -= (g.get(b, 0) + _QT_OFF) // den - _QT_OFF // den
+    return spark.createDataFrame(
+        rows,
+        "step long, mse long, n_correct long, w_l1 long, n_nonzero_w long, "
+        "top_bucket long, top_w long",
+    )

@@ -282,6 +282,7 @@ _HOSTILE_QUERIES = (
     "quality_linear_classifier",
     "text_bigram_kneser_ney",
     "quality_pr_curve",
+    "quality_classifier_train",
     "text_lang_confusion",
     "multimodal_audio_qc",
     "quality_gate_agreement",

@@ -120,6 +120,11 @@ QUERIES = (
     "dedup_component_size_histogram",
     "multimodal_frame_sample",
     "corpus_language_balance",
+    # round-13 additions (driver r9): the GD trainer (K feat-sized
+    # aggregate rounds off ONE corpus featurization — the per-step cost
+    # is the probe claim) and the portable two-level register rollup.
+    "quality_classifier_train",
+    "events_sketch_rollup_merge",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
