@@ -1622,11 +1622,76 @@ def _phash_target(doc_id: int) -> int:
     return h
 
 
-_PHASH_ORACLE = f"""
+def _pigeonhole_pairs(ph: DataFrame) -> DataFrame:
+    """Shared Manku-style near-dup pair machinery over a persisted
+    (doc_id, phash) fingerprint table: band join over DISTINCT
+    fingerprints (4×15-bit pigeonhole — Hamming ≤ 3 has exact recall),
+    exact bit_count verify, expansion joins back to doc ids, plus
+    hamming-0 clone pairs from the doc↔hash self-join. One definition
+    serves multimodal_phash_dedup (images) and
+    multimodal_audio_fingerprint_dedup (audio) so the two LSH planes
+    cannot drift."""
+    fpd = ph.select("phash").distinct()
+    bands = fpd.select(
+        "phash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("phash"), b * _PH_BAND_BITS).bitwiseAND(F.lit(_PH_MASK))
+                for b in range(_PH_BANDS)
+            ])
+        ).alias("band", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    fp_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.phash") < F.col("b.phash")),
+        )
+        .select(F.col("a.phash").alias("pa"), F.col("b.phash").alias("pb"))
+        .dropDuplicates(["pa", "pb"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("long")
+        )
+        .where(F.col("hamming") <= _PH_MAX_HAMMING)
+    )
+    ma = ph.select(F.col("phash").alias("pa"), F.col("doc_id").alias("da"))
+    mb = ph.select(F.col("phash").alias("pb"), F.col("doc_id").alias("db"))
+    cross = (
+        fp_pairs.join(ma, "pa").join(mb, "pb")
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "hamming",
+        )
+    )
+    pa, pb2 = ph.alias("pa"), ph.alias("pb")
+    clones = (
+        pa.join(
+            pb2,
+            (F.col("pa.phash") == F.col("pb.phash"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("id_a"),
+            F.col("pb.doc_id").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(clones)
+
+
+def _fp_pairs_oracle(seed_off: int) -> str:
+    """Closed-form fingerprint-pair oracle, parametrized by the motif
+    seed offset (1 = image phash, 17 = audio spectral fingerprint) —
+    the band-join / hamming / clone arithmetic is shared verbatim so
+    the two dedup planes' oracles cannot drift."""
+    return f"""
 WITH bn AS (SELECT unnest(range(0, {_PH_BANDS})) AS b),
 hb AS (
   SELECT doc_id,
-         CAST(SUM((({_PH_K} * ((doc_id // 4) * 4 + b + 1)) % {_PH_MASK + 1})
+         CAST(SUM((({_PH_K} * ((doc_id // 4) * 4 + b + {seed_off})) % {_PH_MASK + 1})
               << ({_PH_BAND_BITS} * b)) AS BIGINT) AS h0
   FROM documents, bn GROUP BY doc_id
 ),
@@ -1663,6 +1728,9 @@ clones AS (
 SELECT id_a, id_b, hamming FROM cross_pairs
 UNION ALL SELECT id_a, id_b, hamming FROM clones
 """
+
+
+_PHASH_ORACLE = _fp_pairs_oracle(1)
 
 
 @register("multimodal_phash_dedup", oracle=_PHASH_ORACLE, bench=True,
@@ -1733,55 +1801,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = persist_tracked(
         docs.mapInPandas(kernel, "doc_id long, phash long")
     )  # feeds 5 plan branches: distinct/bands + 2 expansion sides + 2 clone sides
-    fpd = ph.select("phash").distinct()
-    bands = fpd.select(
-        "phash",
-        F.posexplode(
-            F.array(*[
-                F.shiftright(F.col("phash"), b * _PH_BAND_BITS).bitwiseAND(F.lit(_PH_MASK))
-                for b in range(_PH_BANDS)
-            ])
-        ).alias("band", "bv"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    fp_pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.phash") < F.col("b.phash")),
-        )
-        .select(F.col("a.phash").alias("pa"), F.col("b.phash").alias("pb"))
-        .dropDuplicates(["pa", "pb"])
-        .withColumn(
-            "hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("long")
-        )
-        .where(F.col("hamming") <= _PH_MAX_HAMMING)
-    )
-    ma = ph.select(F.col("phash").alias("pa"), F.col("doc_id").alias("da"))
-    mb = ph.select(F.col("phash").alias("pb"), F.col("doc_id").alias("db"))
-    cross = (
-        fp_pairs.join(ma, "pa").join(mb, "pb")
-        .select(
-            F.least("da", "db").alias("id_a"),
-            F.greatest("da", "db").alias("id_b"),
-            "hamming",
-        )
-    )
-    pa, pb2 = ph.alias("pa"), ph.alias("pb")
-    clones = (
-        pa.join(
-            pb2,
-            (F.col("pa.phash") == F.col("pb.phash"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
-        )
-        .select(
-            F.col("pa.doc_id").alias("id_a"),
-            F.col("pb.doc_id").alias("id_b"),
-            F.lit(0).cast("long").alias("hamming"),
-        )
-    )
-    return cross.unionByName(clones)
+    return _pigeonhole_pairs(ph)
 
 
 # ---------------------------------------------------------------------------
@@ -1950,6 +1970,96 @@ def multimodal_audio_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id long, peak long, n_silence long, sum_sq long, is_clipped long",
     )
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint dedup: real WAV → rFFT band energies → pigeonhole bands
+# ---------------------------------------------------------------------------
+
+_AFP_N = 256        # samples per clip: rFFT bins 0..128
+_AFP_RATE = 8000
+_AFP_AMP = 500      # per-tone amplitude: ≤60 tones → peak ≤ 30000 < 32767
+_AFP_SEED_OFF = 17  # motif seed offset (image phash uses 1)
+
+
+def _audio_fp_target(doc_id: int) -> int:
+    """Closed-form 60-bit spectral fingerprint: docs sharing doc_id DIV
+    4 carry the same tone set; the cluster's %4==0 member has ONE band
+    toggled — the _phash_target structure with the audio seed offset."""
+    m = doc_id // 4
+    h = 0
+    for b in range(_PH_BANDS):
+        h |= ((_PH_K * (m * 4 + b + _AFP_SEED_OFF)) % (_PH_MASK + 1)) << (_PH_BAND_BITS * b)
+    if doc_id % 4 == 0:
+        h ^= 1 << (doc_id % 60)
+    return h
+
+
+@register("multimodal_audio_fingerprint_dedup", oracle=_fp_pairs_oracle(_AFP_SEED_OFF),
+          bench=True,
+          description="audio fingerprint dedup: real PCM16 WAV → rFFT "
+                      "spectral-band energies → 60-bit fingerprint → "
+                      "pigeonhole band join (closed-form oracle)")
+def multimodal_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAV twin of multimodal_phash_dedup (VERDICT r8 item 4),
+    completing the image/audio dedup symmetry: every doc_id renders a
+    REAL PCM-16 WAV whose content is a sum of pure cosines — one tone
+    at rFFT bin 2k+2 for every set bit k of a closed-form 60-bit motif
+    (docs sharing doc_id DIV 4 are the same recording; the %4==0
+    member has one band toggled ≈ a re-encode artifact). The payload
+    roundtrips through functions/codecs.py (encode_wav_pcm16 →
+    decode_wav), the spectrum comes off the DECODED samples via numpy
+    rFFT, and the fingerprint re-binarizes band energy with
+    120·E_band > E_total — exact by construction: tones sit at exact
+    bin centers (zero leakage over the full 256-sample period), every
+    set band holds E_total/B ≥ E_total/60 while unset bands carry only
+    int16-quantization noise (~1e-7 of total), so the recovered bits
+    equal the closed form and the DuckDB oracle is pure arithmetic.
+    Near-dup pairs ride the SAME pigeonhole machinery as the image
+    plane (_pigeonhole_pairs: band join over DISTINCT fingerprints,
+    Hamming ≤ 3 exact recall, clone self-join).
+
+    Shape at 100 TB: one mapInPandas pass (synthesize → encode →
+    decode → rFFT executor-side in bounded Arrow batches; payloads
+    never touch the driver), one hash agg to DISTINCT fingerprints, a
+    banded bucket join bounded by 15-bit band-value collisions, and
+    output-sized expansion joins. No all-pairs anywhere.
+    """
+    import numpy as np
+
+    from ..cache import persist_tracked
+    from ..functions.codecs import decode_wav, encode_wav_pcm16
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id")
+
+    def kernel(batches):
+        i = np.arange(_AFP_N, dtype=np.float64)
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                target = _audio_fp_target(d)
+                wave = np.zeros(_AFP_N, np.float64)
+                for k in range(60):
+                    if (target >> k) & 1:
+                        wave += _AFP_AMP * np.cos(2.0 * np.pi * (2 * k + 2) * i / _AFP_N)
+                pcm = np.round(wave).astype(np.int16)
+                dec, rate, ch = decode_wav(encode_wav_pcm16(pcm, _AFP_RATE))
+                spec = np.abs(np.fft.rfft(dec.astype(np.float64)))
+                power = spec * spec
+                total = float(power.sum())
+                rec = 0
+                for k in range(60):
+                    band = float(power[2 * k + 2] + power[2 * k + 3])
+                    if 120.0 * band > total:
+                        rec |= 1 << k
+                ids.append(d)
+                fps.append(rec)
+            yield pd.DataFrame({"doc_id": ids, "phash": fps})
+
+    ph = persist_tracked(docs.mapInPandas(kernel, "doc_id long, phash long"))
+    return _pigeonhole_pairs(ph)
 
 
 # ---------------------------------------------------------------------------

@@ -285,6 +285,7 @@ _HOSTILE_QUERIES = (
     "quality_classifier_train",
     "text_lang_confusion",
     "multimodal_audio_qc",
+    "multimodal_audio_fingerprint_dedup",
     "quality_gate_agreement",
     "multimodal_resize_qa",
     "quality_length_bias",

@@ -12,6 +12,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 from sm_etl_cloud_run_spark.plans import get
 
 
@@ -556,9 +558,6 @@ def test_kneser_ney_outputs_are_probabilities(spark, sf_dir):
             <= (1_000_000 * r["c12"]) // r["c1"], r
 
 
-import pytest
-
-
 @pytest.mark.parametrize(
     "qname", ["events_multitouch_attribution", "events_timedecay_attribution"]
 )
@@ -618,17 +617,21 @@ def test_portable_hll_accuracy_bounded(spark, sf_dir):
         assert r["hll_users"] >= 1, r
 
 
-def test_phash_dedup_recovers_target_hashes(spark, sf_dir):
-    """The BMP encode→decode→average-hash roundtrip must recover the
-    closed-form target hash EXACTLY for every doc (the property the
-    oracle's closed form relies on): every within-cluster pair appears
-    with the designed Hamming distance (0 for same-motif clones, 1 for
-    the flipped member), i.e. pair count = C(3,2) + 3 per full
-    cluster of 4 consecutive doc_ids."""
+@pytest.mark.parametrize(
+    "qname", ["multimodal_phash_dedup", "multimodal_audio_fingerprint_dedup"]
+)
+def test_phash_dedup_recovers_target_hashes(spark, sf_dir, qname):
+    """The codec roundtrip (BMP→aHash for images, WAV→rFFT band
+    binarization for audio) must recover the closed-form target
+    fingerprint EXACTLY for every doc (the property the oracle's
+    closed form relies on): every within-cluster pair appears with the
+    designed Hamming distance (0 for same-motif clones, 1 for the
+    flipped member), i.e. pair count = C(3,2) + 3 per full cluster of
+    4 consecutive doc_ids."""
     from sm_etl_cloud_run_spark.plans import get
     from sm_etl_cloud_run_spark.tables import load_tables
 
-    rows = get("multimodal_phash_dedup").fn(spark, sf_dir).collect()
+    rows = get(qname).fn(spark, sf_dir).collect()
     n_docs = load_tables(spark, sf_dir)["documents"].count()
     full, rem = divmod(n_docs, 4)
     by_h = {}

@@ -125,6 +125,7 @@ QUERIES = (
     # is the probe claim) and the portable two-level register rollup.
     "quality_classifier_train",
     "events_sketch_rollup_merge",
+    "multimodal_audio_fingerprint_dedup",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
