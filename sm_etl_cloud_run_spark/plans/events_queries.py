@@ -2620,3 +2620,525 @@ def events_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rows_le_boundary") - F.col("target_rank")).cast("long")
         .alias("overshoot_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# portable theta/KMV sketch: K smallest md5 hashes, oracle-checkable
+# ---------------------------------------------------------------------------
+
+_THETA_K = 64
+_THETA_RANGE = 4294967296  # 2^32: the md5-prefix hash space
+
+_THETA_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+dh AS (SELECT DISTINCT event_type, h FROM ev),
+rk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS nd
+  FROM dh
+),
+th AS (
+  SELECT event_type, CAST(MAX(nd) AS BIGINT) AS hash_distinct,
+         MAX(CASE WHEN r = {_THETA_K} THEN h END) AS theta
+  FROM rk GROUP BY event_type
+),
+est AS (
+  SELECT event_type, hash_distinct,
+         CAST(CASE WHEN hash_distinct <= {_THETA_K} THEN hash_distinct
+                   ELSE ({_THETA_K} - 1) * {_THETA_RANGE} // theta END AS BIGINT)
+           AS theta_users
+  FROM th
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM ev GROUP BY event_type
+)
+SELECT est.event_type, est.theta_users, est.hash_distinct, ex.exact_users,
+       CAST(abs(est.theta_users - ex.exact_users) * 10000 // ex.exact_users AS BIGINT)
+         AS err_bp
+FROM est JOIN ex ON ex.event_type = est.event_type
+"""
+
+
+@register("events_theta_sketch_distinct", oracle=_THETA_ORACLE,
+          description="portable theta/KMV distinct sketch: K smallest md5 "
+                      "hashes per type, integer estimate hash-checked "
+                      "against DuckDB")
+def events_theta_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values / theta sketch (Beyer et al. 2007; the
+    Datasketches theta family's estimator) built PORTABLY, the KMV
+    sibling of events_hll_portable: both engines derive the same
+    32-bit md5-prefix hash of user_id, keep the K=64 smallest DISTINCT
+    hash values per event_type, and estimate distinct = (K-1) * 2^32 /
+    h_(K) — pure integer arithmetic, so the sketch contents AND the
+    estimate are value-hash-checked end-to-end (unlike the
+    engine-native events_sketch_* family, whose register layouts have
+    no DuckDB twin). When a type holds <= K distinct hashes the sketch
+    is the exact hash-distinct set and the estimate is exact — sf0.001
+    exercises that branch, sf0.01 the estimator branch. err_bp carries
+    the measured error against the exact per-type user count.
+
+    Shape at 100 TB: a KMV register is "the K smallest values" — a
+    bounded, mergeable state (union = K smallest of the union), the
+    same one-pass partial-aggregate shape as HLL registers. Here the
+    K-th smallest per type comes from `distributed_rank_in_groups`
+    over the DISTINCT (type, hash) relation — a range-partitioned
+    parallel sort, never a single-task per-type window — followed by
+    |types|-sized aggregates. The exact twin pays a user-keyed
+    distinct only at verify scale.
+    """
+    from ..operators.windows import distributed_rank_in_groups
+
+    t = load_tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id", _phll_hash_col().alias("h"))
+    )
+    dh = ev.select("event_type", "h").distinct()
+    ranked = distributed_rank_in_groups(
+        dh, ["event_type"], [F.col("h").asc()],
+        rank_name="__r", total_name="__nd",
+    )
+    th = ranked.groupBy("event_type").agg(
+        F.max("__nd").cast("long").alias("hash_distinct"),
+        F.max(F.when(F.col("__r") == _THETA_K, F.col("h"))).alias("theta"),
+    )
+    est = th.select(
+        "event_type", "hash_distinct",
+        F.expr(
+            f"CAST(CASE WHEN hash_distinct <= {_THETA_K} THEN hash_distinct"
+            f" ELSE ({_THETA_K} - 1) * {_THETA_RANGE} div theta END AS BIGINT)"
+        ).alias("theta_users"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return est.join(ex, "event_type").select(
+        "event_type", "theta_users", "hash_distinct", "exact_users",
+        F.expr(
+            "CAST(abs(theta_users - exact_users) * 10000 div exact_users AS BIGINT)"
+        ).alias("err_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact bitmap distinct rollup: the roaring-bitmap warehouse pattern
+# ---------------------------------------------------------------------------
+
+_BMP_W = 32  # bits per bitmap word (32 so 1<<bit never hits BIGINT overflow)
+
+_BITMAP_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, user_id,
+         user_id // {_BMP_W} AS word_idx,
+         CAST(user_id % {_BMP_W} AS INT) AS bit
+  FROM events WHERE user_id IS NOT NULL
+),
+daily AS (
+  SELECT event_type, day, word_idx,
+         bit_or(CAST(1 AS BIGINT) << bit) AS w
+  FROM ev GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, word_idx, bit_or(w) AS w FROM daily GROUP BY 1, 2
+),
+single AS (
+  SELECT event_type, word_idx, bit_or(CAST(1 AS BIGINT) << bit) AS w
+  FROM ev GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, CAST(SUM(bit_count(w)) AS BIGINT) AS merged_users
+  FROM merged GROUP BY event_type
+),
+s AS (
+  SELECT event_type, CAST(SUM(bit_count(w)) AS BIGINT) AS single_pass_users
+  FROM single GROUP BY event_type
+),
+nd AS (
+  SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+  FROM ev GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM ev GROUP BY event_type
+)
+SELECT m.event_type, nd.n_days, m.merged_users, s.single_pass_users,
+       CAST(m.merged_users = s.single_pass_users AS BIGINT) AS merge_exact,
+       ex.exact_users,
+       CAST(m.merged_users = ex.exact_users AS BIGINT) AS bitmap_exact
+FROM m
+JOIN s ON s.event_type = m.event_type
+JOIN nd ON nd.event_type = m.event_type
+JOIN ex ON ex.event_type = m.event_type
+"""
+
+
+@register("events_bitmap_distinct_rollup", oracle=_BITMAP_ORACLE,
+          description="EXACT bitmap distinct rollup: per-day bit_or word "
+                      "bitmaps OR-merged to per-type totals, merged == "
+                      "single-pass == exact in the hash-checked output")
+def events_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The roaring-bitmap warehouse pattern (ClickHouse groupBitmap /
+    Doris BITMAP_UNION) for EXACT mergeable distinct counts over a
+    dense integer key: user_id maps to (word_idx = id div 32, bit =
+    id % 32), a day's audience per type is bit_or(1 << bit) per word,
+    a month's audience is bit_or over the stored daily words — no
+    re-read of raw events — and distinct = sum(bit_count(word)).
+    Unlike the HLL/KMV sketch rows this rollup is EXACT, which the
+    output asserts twice: merge == single-pass (associativity of OR)
+    and merge == count(distinct) (no information loss). 32-bit words
+    keep `1 << bit` inside BIGINT on both engines (DuckDB raises on
+    `1 << 63`).
+
+    Shape at 100 TB: daily words are ONE fact-pass hash aggregate with
+    map-side partial bit_or combine; stored state is |types| × |days| ×
+    (max_user/32) words — the classic bitmap-index size/exactness
+    trade vs HLL's fixed 64 registers — and the rollup merge touches
+    only that word table. The exact twin costs a user-keyed distinct
+    at verify scale only.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"), "event_type", "user_id",
+            F.expr(f"user_id div {_BMP_W}").alias("word_idx"),
+            F.expr(f"CAST(user_id % {_BMP_W} AS INT)").alias("bit"),
+        )
+    )
+    word = F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))")
+    daily = ev.groupBy("event_type", "day", "word_idx").agg(word.alias("w"))
+    merged = daily.groupBy("event_type", "word_idx").agg(F.bit_or("w").alias("w"))
+    single = ev.groupBy("event_type", "word_idx").agg(word.alias("w"))
+    m = merged.groupBy("event_type").agg(
+        F.sum(F.bit_count("w")).cast("long").alias("merged_users")
+    )
+    s = single.groupBy("event_type").agg(
+        F.sum(F.bit_count("w")).cast("long").alias("single_pass_users")
+    )
+    nd = ev.groupBy("event_type").agg(
+        F.countDistinct("day").cast("long").alias("n_days")
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        m.join(s, "event_type").join(nd, "event_type").join(ex, "event_type")
+        .select(
+            "event_type", "n_days", "merged_users", "single_pass_users",
+            (F.col("merged_users") == F.col("single_pass_users"))
+            .cast("long").alias("merge_exact"),
+            "exact_users",
+            (F.col("merged_users") == F.col("exact_users"))
+            .cast("long").alias("bitmap_exact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# portable GK-style quantiles: deterministic md5 sample, rank-exact on both
+# ---------------------------------------------------------------------------
+
+_GKQ_QS = (5000, 9000, 9900)  # q targets in basis points
+_GKQ_RATE = 8                 # keep 1 row in 8, md5(event_id)-deterministic
+
+_GKQ_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % {_GKQ_RATE} AS coin
+  FROM events WHERE value IS NOT NULL
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _GKQ_QS)}]) AS q_bp),
+full_rk AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+samp_rk AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base WHERE coin = 0
+),
+full_t AS (
+  SELECT f.event_type, q.q_bp, CAST(f.n AS BIGINT) AS full_n,
+         f.cents AS exact_cents
+  FROM full_rk f JOIN qs q ON f.r = (q.q_bp * f.n + 9999) // 10000
+),
+samp_t AS (
+  SELECT s.event_type, q.q_bp, CAST(s.n AS BIGINT) AS sample_n,
+         s.cents AS est_cents
+  FROM samp_rk s JOIN qs q ON s.r = (q.q_bp * s.n + 9999) // 10000
+)
+SELECT f.event_type, CAST(f.q_bp AS BIGINT) AS q_bp, s.sample_n, f.full_n,
+       CAST(s.est_cents AS DOUBLE) / 100.0 AS est_value,
+       CAST(f.exact_cents AS DOUBLE) / 100.0 AS exact_value,
+       CAST(abs(s.est_cents - f.exact_cents) * 10000
+            // greatest(f.exact_cents, 1) AS BIGINT) AS err_bp
+FROM full_t f JOIN samp_t s
+  ON s.event_type = f.event_type AND s.q_bp = f.q_bp
+"""
+
+
+@register("events_gk_portable_quantiles", oracle=_GKQ_ORACLE,
+          description="portable GK-twin quantiles: deterministic md5 sample, "
+                      "rank-exact nearest-rank estimates, measured err_bp "
+                      "against the exact family")
+def events_gk_portable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checked portable twin of the engine-native GK summary
+    (approx_percentile): a DETERMINISTIC 1-in-8 sample — keep rows
+    where the 32-bit md5(event_id) prefix ≡ 0 (mod 8), so both engines
+    draw the SAME sample — then nearest-rank quantiles (r = ceil(q·n),
+    all-integer) on the sample vs the full data, with the measured
+    estimation error in bp per (type, quantile). This gives the 100 TB
+    routing note ("route heavy percentile queries to the sketch twin")
+    an oracle-checked estimator with a quantified error column,
+    rather than only the pytest-bounded engine-native GK rows
+    (events_sketch_profile).
+
+    Shape at 100 TB: both rank passes are `distributed_rank_in_groups`
+    (range-partitioned parallel sort; never a single-task per-type
+    window); the sample pass touches 1/8 of the data after a
+    pushed-down deterministic filter — the sample RATE, not the data,
+    is the knob that makes this the cheap path. Target-rank selection
+    is a |types|×|quantiles| broadcast join.
+    """
+    from ..operators.windows import distributed_rank_in_groups
+
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["events"]
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type", "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            (_gkq_coin_col() % _GKQ_RATE).alias("coin"),
+        )
+    )
+
+    def _targets(df: DataFrame, n_name: str, cents_name: str) -> DataFrame:
+        ranked = distributed_rank_in_groups(
+            df, ["event_type"],
+            [F.col("cents").asc(), F.col("event_id").asc()],
+            rank_name="__r", total_name="__n",
+        )
+        qs = F.explode(F.array(*[F.lit(q) for q in _GKQ_QS])).alias("q_bp")
+        return (
+            ranked.select("event_type", "cents", "__r", "__n", qs)
+            .where(F.expr("__r = (q_bp * __n + 9999) div 10000"))
+            .select(
+                "event_type",
+                F.col("q_bp").cast("long").alias("q_bp"),
+                F.col("__n").cast("long").alias(n_name),
+                F.col("cents").alias(cents_name),
+            )
+        )
+
+    full_t = _targets(base.drop("coin"), "full_n", "exact_cents")
+    samp_t = _targets(
+        base.where(F.col("coin") == 0).drop("coin"), "sample_n", "est_cents"
+    )
+    return full_t.join(samp_t, ["event_type", "q_bp"]).select(
+        "event_type", "q_bp", "sample_n", "full_n",
+        (F.col("est_cents").cast("double") / 100.0).alias("est_value"),
+        (F.col("exact_cents").cast("double") / 100.0).alias("exact_value"),
+        F.expr(
+            "CAST(abs(est_cents - exact_cents) * 10000"
+            " div greatest(exact_cents, 1) AS BIGINT)"
+        ).alias("err_bp"),
+    )
+
+
+def _gkq_coin_col() -> "F.Column":
+    """32-bit md5-prefix hash of event_id — identical on both engines."""
+    return (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# portable t-digest-style centroid digest: B fixed bins, centroid-mean reads
+# ---------------------------------------------------------------------------
+
+_TDG_B = 32  # centroid budget per group
+
+_TDG_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT event_type, MIN(cents) AS lo, MAX(cents) AS hi FROM base GROUP BY 1
+),
+binned AS (
+  SELECT b.event_type, b.cents,
+         least({_TDG_B - 1}, (b.cents - bd.lo) * {_TDG_B} // (bd.hi - bd.lo + 1))
+           AS bin
+  FROM base b JOIN bounds bd ON bd.event_type = b.event_type
+),
+cent AS (
+  SELECT event_type, bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(cents) AS BIGINT) AS s
+  FROM binned GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, cnt, s,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum_n
+  FROM cent
+),
+nt AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_centroids
+  FROM cent GROUP BY 1
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _GKQ_QS)}]) AS q_bp),
+targets AS (
+  SELECT nt.event_type, q.q_bp, nt.n_centroids,
+         (q.q_bp * nt.n + 9999) // 10000 AS r
+  FROM nt CROSS JOIN qs q
+),
+pick AS (
+  SELECT t.event_type, t.q_bp, t.n_centroids, t.r, MIN(c.bin) AS bin
+  FROM targets t JOIN cum c
+    ON c.event_type = t.event_type AND c.cum_n >= t.r
+  GROUP BY 1, 2, 3, 4
+),
+est AS (
+  SELECT p.event_type, p.q_bp, p.n_centroids, c.s // c.cnt AS est_cents
+  FROM pick p JOIN cent c ON c.event_type = p.event_type AND c.bin = p.bin
+),
+full_rk AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+exact AS (
+  SELECT f.event_type, q.q_bp, f.cents AS exact_cents
+  FROM full_rk f JOIN qs q ON f.r = (q.q_bp * f.n + 9999) // 10000
+)
+SELECT e.event_type, CAST(e.q_bp AS BIGINT) AS q_bp, e.n_centroids,
+       CAST(e.est_cents AS DOUBLE) / 100.0 AS est_value,
+       CAST(x.exact_cents AS DOUBLE) / 100.0 AS exact_value,
+       CAST(e.est_cents - x.exact_cents AS BIGINT) AS err_cents
+FROM est e JOIN exact x
+  ON x.event_type = e.event_type AND x.q_bp = e.q_bp
+"""
+
+
+@register("events_tdigest_portable", oracle=_TDG_ORACLE,
+          description="portable centroid digest (t-digest stand-in): 32 "
+                      "fixed-width centroids per type, centroid-mean quantile "
+                      "reads with signed err vs the rank-exact value")
+def events_tdigest_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deterministic, MERGE-ORDER-FREE centroid digest — the portable
+    stand-in for t-digest (Dunning & Ertl 2019), whose real centroid
+    placement depends on merge order and so can never be
+    value-hash-checked across engines: B=32 equal-width bins between
+    each type's observed [min, max] cents, (count, sum) centroids per
+    bin, quantile reads as "first centroid whose cumulative count
+    reaches the nearest-rank target", answered with the centroid MEAN
+    (floored integer) exactly as a t-digest read does. err_cents is
+    SIGNED — fixed-width bins bias toward the dense side in skewed
+    data, and showing that bias is this query's point (the q50 read
+    sits in the fattest centroid; q99 in a sparse tail bin).
+
+    Shape at 100 TB: centroid construction is ONE fact pass — a
+    min/max aggregate broadcast back, then a hash aggregate onto
+    |types| × 32 cells with map-side combine; centroids are mergeable
+    by (count, sum) addition exactly like the production digest. The
+    cumulative walk and quantile reads are windows/joins over the
+    parameter-sized centroid table (each type holds ≤ 32 rows by
+    construction — the bounded-size case of the per-group window
+    policy). Only the err_cents audit column pays a rank-exact pass.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.windows import distributed_rank_in_groups
+
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["events"]
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type", "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    bounds = base.groupBy("event_type").agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    binned = base.join(F.broadcast(bounds), "event_type").select(
+        "event_type", "cents",
+        F.expr(
+            f"least({_TDG_B - 1}, (cents - lo) * {_TDG_B} div (hi - lo + 1))"
+        ).alias("bin"),
+    )
+    cent = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    # ≤ 32 rows per type by construction: the bounded parameter-sized
+    # case where a plain per-group window is the right plan
+    w_cum = (
+        Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cent.withColumn("cum_n", F.sum("cnt").over(w_cum))
+    nt = cent.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_centroids"),
+    )
+    targets = nt.select(
+        "event_type", "n_centroids",
+        F.explode(F.array(*[F.lit(q) for q in _GKQ_QS])).alias("q_bp"),
+        F.col("n"),
+    ).select(
+        "event_type", "n_centroids",
+        F.col("q_bp").cast("long").alias("q_bp"),
+        F.expr("(q_bp * n + 9999) div 10000").alias("r"),
+    )
+    pick = (
+        cum.join(F.broadcast(targets), "event_type")
+        .where(F.col("cum_n") >= F.col("r"))
+        .groupBy("event_type", "q_bp", "n_centroids", "r")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = pick.join(cent, ["event_type", "bin"]).select(
+        "event_type", "q_bp", "n_centroids",
+        F.expr("s div cnt").alias("est_cents"),
+    )
+    ranked = distributed_rank_in_groups(
+        base, ["event_type"],
+        [F.col("cents").asc(), F.col("event_id").asc()],
+        rank_name="__r", total_name="__n",
+    )
+    exact = (
+        ranked.select(
+            "event_type", "cents", "__r", "__n",
+            F.explode(F.array(*[F.lit(q) for q in _GKQ_QS])).alias("q_bp"),
+        )
+        .where(F.expr("__r = (q_bp * __n + 9999) div 10000"))
+        .select(
+            "event_type", F.col("q_bp").cast("long").alias("q_bp"),
+            F.col("cents").alias("exact_cents"),
+        )
+    )
+    return est.join(exact, ["event_type", "q_bp"]).select(
+        "event_type", "q_bp", "n_centroids",
+        (F.col("est_cents").cast("double") / 100.0).alias("est_value"),
+        (F.col("exact_cents").cast("double") / 100.0).alias("exact_value"),
+        (F.col("est_cents") - F.col("exact_cents")).cast("long").alias("err_cents"),
+    )
