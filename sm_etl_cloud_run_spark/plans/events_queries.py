@@ -3142,3 +3142,165 @@ def events_tdigest_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("exact_cents").cast("double") / 100.0).alias("exact_value"),
         (F.col("est_cents") - F.col("exact_cents")).cast("long").alias("err_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental sessionization: stored per-user state + new batch == full batch
+# ---------------------------------------------------------------------------
+
+_SINC_CUTOFF = "2024-01-21 00:00:00"
+_SINC_GAP_S = 1800
+
+# epoch via floor() to match Spark's truncating timestamp->long cast
+# exactly (DuckDB epoch() returns a fractional DOUBLE and a bare CAST
+# would round-to-nearest, not truncate).
+_SINC_EP = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+_SINC_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, {_SINC_EP} AS ep FROM events
+),
+full_flags AS (
+  SELECT user_id,
+         CASE WHEN LAG(ep) OVER w IS NULL
+                OR ep - LAG(ep) OVER w > {_SINC_GAP_S} THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+full_s AS (
+  SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS sessions_full
+  FROM full_flags GROUP BY user_id
+),
+old_e AS (SELECT * FROM e WHERE ts < TIMESTAMP '{_SINC_CUTOFF}'),
+new_e AS (SELECT * FROM e WHERE ts >= TIMESTAMP '{_SINC_CUTOFF}'),
+old_flags AS (
+  SELECT user_id, ep,
+         CASE WHEN LAG(ep) OVER w IS NULL
+                OR ep - LAG(ep) OVER w > {_SINC_GAP_S} THEN 1 ELSE 0 END AS is_new
+  FROM old_e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+state AS (
+  SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS old_sessions,
+         MAX(ep) AS last_ep, CAST(COUNT(*) AS BIGINT) AS n_old
+  FROM old_flags GROUP BY user_id
+),
+new_flags AS (
+  SELECT n.user_id,
+         CASE WHEN LAG(n.ep) OVER w IS NOT NULL
+              THEN CASE WHEN n.ep - LAG(n.ep) OVER w > {_SINC_GAP_S}
+                        THEN 1 ELSE 0 END
+              ELSE CASE WHEN st.last_ep IS NULL
+                          OR n.ep - st.last_ep > {_SINC_GAP_S}
+                        THEN 1 ELSE 0 END
+         END AS is_new
+  FROM new_e n LEFT JOIN state st ON st.user_id = n.user_id
+  WINDOW w AS (PARTITION BY n.user_id ORDER BY n.ts, n.event_id)
+),
+newagg AS (
+  SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS new_sessions,
+         CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM new_flags GROUP BY user_id
+),
+inc AS (
+  SELECT COALESCE(st.user_id, na.user_id) AS user_id,
+         COALESCE(st.n_old, 0) AS n_old,
+         COALESCE(na.n_new, 0) AS n_new,
+         COALESCE(st.old_sessions, 0) + COALESCE(na.new_sessions, 0)
+           AS sessions_incremental
+  FROM state st FULL OUTER JOIN newagg na ON na.user_id = st.user_id
+)
+SELECT i.user_id, i.n_old, i.n_new, i.sessions_incremental, f.sessions_full,
+       CAST(i.sessions_incremental = f.sessions_full AS BIGINT) AS match
+FROM inc i JOIN full_s f ON f.user_id = i.user_id
+"""
+
+
+@register("events_sessionize_incremental", oracle=_SINC_ORACLE,
+          description="incremental sessionization: per-user (last_ts, count) "
+                      "state + new batch reproduces the full-batch session "
+                      "count exactly, hash-checked per user")
+def events_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch proof behind streaming session_window state handoff:
+    sessionize events BEFORE a cutoff into per-user state — (last
+    event epoch, sessions so far, rows seen) — then sessionize the
+    post-cutoff batch INCREMENTALLY: a new-batch event opens a session
+    iff its gap from the previous new-batch event exceeds 30 min, and
+    the FIRST new-batch event consults the stored state's last_ep
+    instead (no state → new session). The per-user output carries both
+    the incremental total and the full-batch recompute, and `match`
+    asserts they are equal — the associativity property that lets a
+    100 TB sessionization run day-by-day against a state table instead
+    of re-scanning history (the same contract
+    streaming/incremental.py's watermark pipelines rely on).
+
+    Epochs are truncated to whole seconds on BOTH engines (Spark's
+    long cast; floor(epoch()) in the oracle — a bare DuckDB cast
+    ROUNDS and would flip boundary gaps). Windows are per-user —
+    pigeonhole-bounded (user cardinality grows with the corpus), the
+    plain-window case of the per-group policy; everything else is
+    user-keyed hash aggregates and one user-keyed outer join, all
+    sharing the session-key shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit(_SINC_CUTOFF).cast("timestamp")
+    e = t["events"].select(
+        "user_id", "event_id", "ts", F.col("ts").cast("long").alias("ep")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def flags(df: DataFrame) -> DataFrame:
+        lag_ep = F.lag("ep").over(wu)
+        return df.withColumn(
+            "is_new",
+            F.when(lag_ep.isNull() | ((F.col("ep") - lag_ep) > _SINC_GAP_S), 1)
+            .otherwise(0),
+        )
+
+    full_s = flags(e).groupBy("user_id").agg(
+        F.sum("is_new").cast("long").alias("sessions_full")
+    )
+    state = flags(e.where(F.col("ts") < cutoff)).groupBy("user_id").agg(
+        F.sum("is_new").cast("long").alias("old_sessions"),
+        F.max("ep").alias("last_ep"),
+        F.count(F.lit(1)).cast("long").alias("n_old"),
+    )
+    new_e = e.where(F.col("ts") >= cutoff)
+    lag_ep = F.lag("ep").over(wu)
+    new_flags = (
+        new_e.join(state.select("user_id", "last_ep"), "user_id", "left")
+        .withColumn(
+            "is_new",
+            F.when(
+                lag_ep.isNotNull(),
+                F.when((F.col("ep") - lag_ep) > _SINC_GAP_S, 1).otherwise(0),
+            ).otherwise(
+                F.when(
+                    F.col("last_ep").isNull()
+                    | ((F.col("ep") - F.col("last_ep")) > _SINC_GAP_S),
+                    1,
+                ).otherwise(0)
+            ),
+        )
+    )
+    newagg = new_flags.groupBy("user_id").agg(
+        F.sum("is_new").cast("long").alias("new_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_new"),
+    )
+    inc = (
+        state.join(newagg, "user_id", "full")
+        .select(
+            "user_id",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            (
+                F.coalesce("old_sessions", F.lit(0))
+                + F.coalesce("new_sessions", F.lit(0))
+            ).cast("long").alias("sessions_incremental"),
+        )
+    )
+    return inc.join(full_s, "user_id").select(
+        "user_id", "n_old", "n_new", "sessions_incremental", "sessions_full",
+        (F.col("sessions_incremental") == F.col("sessions_full"))
+        .cast("long").alias("match"),
+    )

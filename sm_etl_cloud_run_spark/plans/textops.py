@@ -2287,3 +2287,134 @@ def dedup_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         "size_bucket", "n_components", "n_docs",
         F.expr("CAST(__sc * n_docs DIV __t AS BIGINT)").alias("docs_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# clone-collapse gate: the measured collapse-or-not decision as a query
+# ---------------------------------------------------------------------------
+
+_CCG_THRESHOLD = 6  # clone-cluster size that flips the gate (histogram bucket)
+
+_CCG_ORACLE = f"""
+WITH {_shingle_cte()},
+sig AS ({_sig_select()}),
+bands AS (
+{_bands_cte()}
+),
+clones AS (
+  SELECT md5(text) AS ck, MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1
+),
+stats AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_clone_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_clone_size,
+         CAST(SUM(CASE WHEN cnt >= {_CCG_THRESHOLD} THEN cnt ELSE 0 END) AS BIGINT)
+           AS clone_docs_ge6
+  FROM clones
+),
+bucket_stats AS (
+  SELECT b.band, b.bucket,
+         CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(c.cnt) AS BIGINT) AS n
+  FROM bands b JOIN clones c ON c.rep = b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pairs_raw,
+         CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS pairs_collapsed
+  FROM bucket_stats
+)
+SELECT s.n_docs, s.n_clone_keys, s.max_clone_size,
+       CAST(10000 * s.clone_docs_ge6 // s.n_docs AS BIGINT) AS clone_docs_ge6_bp,
+       p.pairs_raw, p.pairs_collapsed,
+       CAST(CASE WHEN p.pairs_raw > 0
+                 THEN 10000 * (p.pairs_raw - p.pairs_collapsed) // p.pairs_raw
+                 ELSE 0 END AS BIGINT) AS pairs_saved_bp,
+       CAST(s.max_clone_size >= {_CCG_THRESHOLD}
+            OR p.pairs_raw >= 2 * p.pairs_collapsed AS BIGINT) AS gate_collapse
+FROM stats s CROSS JOIN pairs p
+"""
+
+
+@register("dedup_clone_collapse_gate", oracle=_CCG_ORACLE,
+          description="the clone-collapse decision table: candidate-pair "
+                      "enumeration cost raw vs collapsed, with the gate bit "
+                      "the docstrings promise")
+def dedup_clone_collapse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented auto-gate for the LSH pair path (VERDICT r8 item
+    5), as an oracle-checked query: exact clones (identical text, so
+    identical MinHash signature and identical band buckets) are
+    grouped once — md5(text) → (representative, multiplicity) — and
+    the band bucket-join cost is computed BOTH ways from the SAME
+    collapsed bucket relation: pairs_raw = Σ n·(n−1)/2 over per-bucket
+    raw doc counts (what lsh_candidate_pairs would enumerate, clone
+    multiplicities re-expanded), pairs_collapsed = Σ m·(m−1)/2 over
+    distinct-clone-key counts (what it enumerates after collapse).
+    The gate bit is the decision rule the dedup docstrings promise:
+    collapse when any clone cluster reaches the histogram's ≥6 bucket
+    (dedup_component_size_histogram's heavy-tail signal) or when raw
+    enumeration at least doubles the collapsed cost. Measured on the
+    clone-pathology fixture (64 clones × 5k docs), this is the 332 s →
+    8.7 s routing decision (tools/lsh_probe.py --clone-pathology).
+
+    Shape at 100 TB: signatures/bands are computed over clone
+    REPRESENTATIVES only (one groupBy on the content hash, then the
+    normal MinHash pass on the surviving docs) — the collapse this
+    gate decides is already how the gate itself is computed, so its
+    cost is the collapsed cost plus one content-hash aggregate. All
+    outputs are 1-row integer aggregates; pair counts stay in BIGINT
+    (n per bucket ≤ |docs|; at petabyte scale the per-bucket n·n would
+    be the overflow to watch — DuckDB sums in HUGEINT, Spark ANSI
+    raises rather than wraps, so overflow is loud, not silent).
+    """
+    from ..operators.dedup import _band_buckets
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    clones = docs.groupBy(F.md5("text").alias("ck")).agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    clones = persist_tracked(clones)  # feeds stats, rep filter, and bucket join
+    stats = clones.agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_clone_keys"),
+        F.max("cnt").cast("long").alias("max_clone_size"),
+        F.sum(
+            F.when(F.col("cnt") >= _CCG_THRESHOLD, F.col("cnt")).otherwise(0)
+        ).cast("long").alias("clone_docs_ge6"),
+    )
+    rep_cnt = clones.select(F.col("rep").alias("doc_id"), "cnt")
+    rep_docs = docs.join(rep_cnt.select("doc_id"), "doc_id")
+    sigs = minhash_signatures(
+        rep_docs, text_col="text", id_col="doc_id",
+        num_hashes=NUM_HASHES, shingle_k=SHINGLE_K,
+    )
+    bucket_stats = (
+        _band_buckets(sigs, "doc_id", NUM_HASHES, LSH_BANDS)
+        .join(rep_cnt, "doc_id")
+        .groupBy("band", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("cnt").cast("long").alias("n"),
+        )
+    )
+    pairs = bucket_stats.agg(
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("pairs_raw"),
+        F.sum(F.expr("m * (m - 1) div 2")).cast("long").alias("pairs_collapsed"),
+    )
+    return stats.crossJoin(pairs).select(
+        "n_docs", "n_clone_keys", "max_clone_size",
+        F.expr("CAST(10000 * clone_docs_ge6 div n_docs AS BIGINT)")
+        .alias("clone_docs_ge6_bp"),
+        "pairs_raw", "pairs_collapsed",
+        F.expr(
+            "CAST(CASE WHEN pairs_raw > 0"
+            " THEN 10000 * (pairs_raw - pairs_collapsed) div pairs_raw"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("pairs_saved_bp"),
+        F.expr(
+            f"CAST(max_clone_size >= {_CCG_THRESHOLD}"
+            " OR pairs_raw >= 2 * pairs_collapsed AS BIGINT)"
+        ).alias("gate_collapse"),
+    )

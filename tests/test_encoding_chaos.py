@@ -292,6 +292,7 @@ _HOSTILE_QUERIES = (
     "dedup_component_size_histogram",
     "multimodal_frame_sample",
     "corpus_language_balance",
+    "dedup_clone_collapse_gate",
 )
 
 
@@ -430,6 +431,9 @@ def hostile_events_dir(tmp_path_factory):
      "events_rfm_segments", "events_velocity_rule",
      "events_churn_hazard", "events_range_partition_plan",
      "events_dau_mau_stickiness",
+     "events_theta_sketch_distinct", "events_bitmap_distinct_rollup",
+     "events_gk_portable_quantiles", "events_tdigest_portable",
+     "events_sessionize_incremental", "events_sketch_rollup_merge",
      "f4_watermark_gate", "percentile_metrics", "skew_salted_user_join"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):

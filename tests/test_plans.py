@@ -691,3 +691,103 @@ def test_contract_oracle_comma_contexts():
     assert (
         _contract_oracle("SELECT 1 FROM my_events") == "SELECT 1 FROM my_events"
     )
+
+
+def test_theta_sketch_estimator_bounded(spark, sf_dir):
+    """events_theta_sketch_distinct is parity-checked for exactness of
+    the COMPUTATION; this bounds the ESTIMATOR: KMV with K=64 has RSE
+    ≈ 1/sqrt(K-2) ≈ 13%, so per-type error stays within 25% (noise
+    headroom), the small-count branch (hash_distinct <= K) must be
+    exact, and every estimate is positive."""
+    from sm_etl_cloud_run_spark.plans import get
+
+    rows = get("events_theta_sketch_distinct").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["theta_users"] >= 1, r
+        assert r["err_bp"] <= 2500, r
+        if r["hash_distinct"] <= 64:
+            # sketch holds the whole hash-distinct set: estimator exact
+            # up to 32-bit md5 hash collisions (none at test scale)
+            assert r["theta_users"] == r["hash_distinct"], r
+
+
+def test_bitmap_rollup_is_exact(spark, sf_dir):
+    """The bitmap rollup's whole claim is EXACTNESS twice over: the
+    daily→total bit_or merge equals the single-pass bitmap, and both
+    equal count(distinct). A regression in word/bit arithmetic (e.g. a
+    shift overflow) breaks one of these flags before it breaks parity."""
+    from sm_etl_cloud_run_spark.plans import get
+
+    rows = get("events_bitmap_distinct_rollup").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["merge_exact"] == 1, r
+        assert r["bitmap_exact"] == 1, r
+        assert r["merged_users"] == r["exact_users"], r
+
+
+def test_portable_quantile_twins_bounded(spark, sf_dir):
+    """The two portable quantile estimators stay near the rank-exact
+    values: the md5 sample's nearest-rank estimate within a
+    sample-size-aware bound (quantile sampling error shrinks ~1/sqrt(n),
+    so the bp budget is 2500 + 50000/sqrt(sample_n) — ~12500 at the
+    sf0.001 25-row samples, ~5700 at sf0.01), and the 32-bin centroid
+    digest within one bin width of the exact value per (type, quantile)."""
+    from sm_etl_cloud_run_spark.plans import get
+    from sm_etl_cloud_run_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    gk = get("events_gk_portable_quantiles").fn(spark, sf_dir).collect()
+    assert gk
+    for r in gk:
+        assert r["sample_n"] * 8 <= r["full_n"] * 12, r  # rate sanity
+        assert r["err_bp"] <= 2500 + int(50000 / r["sample_n"] ** 0.5), r
+
+    # bin width per type = (hi-lo+1)/32 cents
+    t = load_tables(spark, sf_dir)
+    bounds = {
+        row["event_type"]: (row["lo"], row["hi"])
+        for row in t["events"].where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.min(F.round(F.col("value") * 100, 0).cast("long")).alias("lo"),
+            F.max(F.round(F.col("value") * 100, 0).cast("long")).alias("hi"),
+        ).collect()
+    }
+    td = get("events_tdigest_portable").fn(spark, sf_dir).collect()
+    assert td
+    for r in td:
+        lo, hi = bounds[r["event_type"]]
+        bin_width = (hi - lo + 1) / 32
+        assert abs(r["err_cents"]) <= bin_width + 1, (r, bin_width)
+
+
+def test_sessionize_incremental_matches_batch(spark, sf_dir):
+    """The associativity claim itself: state-carried incremental
+    sessionization equals the full-batch recompute for EVERY user, and
+    the row split covers all events."""
+    from sm_etl_cloud_run_spark.plans import get
+    from sm_etl_cloud_run_spark.tables import load_tables
+
+    rows = get("events_sessionize_incremental").fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["match"] == 1 for r in rows)
+    total = load_tables(spark, sf_dir)["events"].count()
+    assert sum(r["n_old"] + r["n_new"] for r in rows) == total
+
+
+def test_clone_collapse_gate_invariants(spark, sf_dir):
+    """pairs_raw >= pairs_collapsed always (clone multiplicities only
+    add pairs); savings bp consistent; the gate must fire whenever a
+    clone cluster reaches the threshold."""
+    from sm_etl_cloud_run_spark.plans import get
+
+    (r,) = get("dedup_clone_collapse_gate").fn(spark, sf_dir).collect()
+    assert r["pairs_raw"] >= r["pairs_collapsed"] >= 0, r
+    assert r["n_docs"] >= r["n_clone_keys"] >= 1, r
+    if r["max_clone_size"] >= 6:
+        assert r["gate_collapse"] == 1, r
+    if r["pairs_raw"] > 0:
+        expect = 10000 * (r["pairs_raw"] - r["pairs_collapsed"]) // r["pairs_raw"]
+        assert r["pairs_saved_bp"] == expect, r
