@@ -76,12 +76,93 @@ def probe(spark, mult: int, hash_fn: str) -> dict:
 
 
 def main() -> None:
-    mults = [int(m) for m in sys.argv[1:]] or [64, 256]
+    args = sys.argv[1:]
+    gate = "--gate" in args
+    mults = [int(m) for m in args if m != "--gate"] or [64, 256]
     spark = get_spark("lsh-probe")
     os.makedirs(PROBE_DIR, exist_ok=True)
     for mult in mults:
-        for fn in ("md5", "xxhash64"):
-            print(json.dumps(probe(spark, mult, fn)))
+        if gate:
+            print(json.dumps(gate_probe(spark, mult)))
+        else:
+            for fn in ("md5", "xxhash64"):
+                print(json.dumps(probe(spark, mult, fn)))
+
+
+
+
+# ---------------------------------------------------------------------------
+# --gate mode: the clone-collapse decision, measured end-to-end
+# ---------------------------------------------------------------------------
+
+def gate_probe(spark, mult: int, hash_fn: str = "xxhash64") -> dict:
+    """Exercise the documented auto-gate (dedup_clone_collapse_gate /
+    dedup_component_size_histogram's bucket-≥6 signal) on the
+    clone-pathology fixture: compute the gate decision, then run the
+    FULL transitive fixpoint (`lsh_dedup_components`) both ways —
+    directly on the cloned corpus, and with exact clones collapsed to
+    representatives first (fixpoint on reps, assignment expanded back
+    through the clone key). Component count must be invariant; the two
+    wall times are the cost the gate chooses between."""
+    from sm_etl_cloud_run_spark.operators.dedup import lsh_dedup_components
+
+    path = build_docs(spark, mult)
+    docs = spark.read.parquet(path)
+
+    t0 = time.perf_counter()
+    clones = docs.groupBy(F.md5("text").alias("ck")).agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
+    )
+    clones.persist()
+    n_docs, n_keys, max_clone = clones.agg(
+        F.sum("cnt"), F.count(F.lit(1)), F.max("cnt")
+    ).collect()[0]
+    gate_collapse = bool(max_clone >= 6)
+    gate_sec = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    comp_raw = lsh_dedup_components(
+        minhash_signatures(docs, num_hashes=8, hash_fn=hash_fn)
+    )
+    n_comp_raw = comp_raw.agg(F.countDistinct("group_rep")).collect()[0][0]
+    raw_sec = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    rep_docs = docs.join(clones.select(F.col("rep").alias("doc_id")), "doc_id")
+    comp_rep = lsh_dedup_components(
+        minhash_signatures(rep_docs, num_hashes=8, hash_fn=hash_fn)
+    )
+    # expand the rep-level assignment back to every clone member
+    assigned = (
+        docs.select("doc_id", F.md5("text").alias("ck"))
+        .join(clones.select("ck", "rep"), "ck")
+        .join(
+            comp_rep.select(F.col("doc_id").alias("rep"), "group_rep"), "rep"
+        )
+    )
+    n_assigned, n_comp_collapsed = assigned.agg(
+        F.count(F.lit(1)), F.countDistinct("group_rep")
+    ).collect()[0]
+    collapsed_sec = round(time.perf_counter() - t0, 2)
+    clones.unpersist()
+
+    return {
+        "mode": "gate",
+        "mult": mult,
+        "hash_fn": hash_fn,
+        "docs": n_docs,
+        "clone_keys": n_keys,
+        "max_clone_size": max_clone,
+        "gate_collapse": gate_collapse,
+        "gate_sec": gate_sec,
+        "fixpoint_raw_sec": raw_sec,
+        "fixpoint_collapsed_sec": collapsed_sec,
+        "speedup": round(raw_sec / collapsed_sec, 2) if collapsed_sec else None,
+        "components_raw": n_comp_raw,
+        "components_collapsed": n_comp_collapsed,
+        "components_match": n_comp_raw == n_comp_collapsed,
+        "docs_assigned": n_assigned,
+    }
 
 
 if __name__ == "__main__":
