@@ -91,8 +91,10 @@ def rows_only_queries() -> dict[str, str]:
         "events_sketch_profile":
             "engine-native HLL/GK sketches: no DuckDB-compatible "
             "oracle; error-bounded in tests/test_plans.py; exact twin: "
-            "percentile_metrics; portable oracle-checked sibling: "
-            "events_hll_portable",
+            "percentile_metrics; portable oracle-checked siblings: "
+            "events_hll_portable (HLL), events_gk_portable_quantiles "
+            "(GK), events_theta_sketch_distinct (KMV), "
+            "events_tdigest_portable (centroid digest)",
         "events_rolling_wau_hll":
             "rolling engine-native HLL union: no DuckDB-compatible "
             "oracle; exact twin: events_rolling_wau (oracle-verified)",
