@@ -340,6 +340,72 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle CONTAINMENT, not Jaccard.
+
+    C(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — the
+    fraction of A that appears in B. A 50-token quote embedded in a
+    5000-token page has C(quote in page) ≈ 1 while its Jaccard is
+    ≈ 1% — so symmetric dedup (`ngram_jaccard_pairs`, MinHash-LSH,
+    which estimates Jaccard) structurally misses subset duplication:
+    quoted posts, article+comments rescrapes, boilerplate-wrapped
+    copies. Emits pairs where max(C(a in b), C(b in a)) ≥ threshold,
+    with both directions and the Jaccard alongside so the caller can
+    separate "same doc" (both high) from "contained" (one high).
+
+    Same inverted-index self-join shape and df-cap scale guard as
+    `ngram_jaccard_pairs` (a shingle in df docs costs df² join rows;
+    with `max_df`, containment is exact over the informative-shingle
+    universe). At 100 TB: explode → hash-agg cap → bucket self-join →
+    pair hash-agg, all map-side-combined; no windows, no Python.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("sh"),
+    )
+    if max_df is not None:
+        kept = (
+            shingled.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("sh")
+        )
+        shingled = shingled.join(kept, "sh")
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("n_common").cast("double") / F.col("sz_a").cast("double")).alias("cont_a"),
+            (F.col("n_common").cast("double") / F.col("sz_b").cast("double")).alias("cont_b"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame,
     *,

@@ -615,3 +615,70 @@ def distributed_cumsum_in_groups(
             (F.row_number().over(w_local) + F.col("__dcg_coff")).cast("long"),
         )
     return out.drop(*drop_cols)
+
+
+def distributed_running_max(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_col: str,
+    *,
+    max_name: str = "running_max",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running maximum ``MAX(value) OVER (ORDER BY ...)`` without
+    the single-partition sort — the prefix-MAX member of the
+    distributed window family (max is a monoid like sum, so the exact
+    same TeraSort two-pass shape applies: :func:`distributed_cumsum`).
+
+    1. ``repartitionByRange`` on the FULL ordering, persisted (the
+       nondeterministic ``spark_partition_id`` defeats exchange reuse
+       otherwise — see distributed_rank);
+    2. per-partition MAX → EXCLUSIVE prefix maxima over the
+       partition-count-sized table (windowed over ≤ shuffle-partitions
+       rows, never the fact), broadcast;
+    3. per-partition local running max combined with the offset via
+       ``greatest`` (Spark's greatest skips NULLs, so the first range
+       partition's missing offset and — under ``exclusive`` — each
+       partition's NULL first-row local max compose correctly).
+
+    With ``exclusive=True`` the window is ``ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING``: row r sees the max of rows strictly
+    before it (NULL for the first row overall) — the form a
+    late-data/watermark audit needs, where an event must not count as
+    late against itself. ``value_col`` must be integral and non-NULL;
+    ``order_by`` must totally order rows up to ties that carry equal
+    ``value_col`` (with (key..., value) orderings, tied rows see the
+    same prefix max either way, so the result is order-stable).
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = df.repartitionByRange(num_partitions, *order_by).withColumn(
+        "__dm_pid", F.spark_partition_id()
+    )
+    part = persist_tracked(part)
+    maxes = part.groupBy("__dm_pid").agg(
+        F.max(F.col(value_col)).cast("long").alias("__dm_max")
+    )
+    w_off = Window.orderBy("__dm_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = maxes.select(
+        F.col("__dm_pid"),
+        F.max("__dm_max").over(w_off).cast("long").alias("__dm_off"),
+    )
+    lo, hi = (Window.unboundedPreceding, -1 if exclusive else 0)
+    w_local = (
+        Window.partitionBy("__dm_pid").orderBy(*order_by).rowsBetween(lo, hi)
+    )
+    return (
+        part.join(F.broadcast(offsets), "__dm_pid")
+        .withColumn(
+            max_name,
+            F.greatest(
+                F.max(F.col(value_col)).over(w_local).cast("long"),
+                F.col("__dm_off"),
+            ),
+        )
+        .drop("__dm_pid", "__dm_off")
+    )

@@ -3304,3 +3304,147 @@ def events_sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("sessions_incremental") == F.col("sessions_full"))
         .cast("long").alias("match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# late-data profile: the watermark-tuning histogram
+# ---------------------------------------------------------------------------
+
+# Lateness of an event = how far behind the maximum event-time already
+# seen (in arrival order — event_id is the ingest sequence) its own
+# timestamp is. This is exactly the quantity a Structured Streaming
+# watermark bounds: `withWatermark(ts, D)` drops/finalizes events whose
+# lateness exceeds D, so the histogram below IS the design table for
+# choosing D (streaming/stream_ops.py windowed aggs + velocity alerts):
+# the '<=1m' share is state the 1-minute watermark keeps, the '>1h'
+# share is data a 1-hour watermark would still lose.
+_LATE_BUCKETS_US = (
+    ("on_time", 0),
+    ("<=1m", 60_000_000),
+    ("<=10m", 600_000_000),
+    ("<=1h", 3_600_000_000),
+)
+
+_LATE_ORACLE = """
+WITH e AS (
+  SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS tsu FROM events
+),
+pm AS (
+  SELECT event_id, tsu,
+         MAX(tsu) OVER (ORDER BY event_id, tsu
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_max
+  FROM e
+),
+lat AS (
+  SELECT CASE WHEN prior_max IS NULL OR prior_max <= tsu THEN CAST(0 AS BIGINT)
+              ELSE prior_max - tsu END AS late_us
+  FROM pm
+),
+b AS (
+  SELECT CASE WHEN late_us = 0 THEN 'on_time'
+              WHEN late_us <= 60000000 THEN '<=1m'
+              WHEN late_us <= 600000000 THEN '<=10m'
+              WHEN late_us <= 3600000000 THEN '<=1h'
+              ELSE '>1h' END AS lateness_bucket,
+         late_us
+  FROM lat
+),
+g AS (
+  SELECT lateness_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+         CAST(SUM(late_us) AS BIGINT) AS sum_late_us
+  FROM b GROUP BY lateness_bucket
+)
+SELECT lateness_bucket, n_events, max_late_us, sum_late_us,
+       CAST((10000 * n_events) // (SELECT SUM(n_events) FROM g) AS BIGINT)
+         AS share_bp
+FROM g
+"""
+
+
+@register("events_late_data_profile", oracle=_LATE_ORACLE, bench=True,
+          description="watermark design table: event lateness vs the running "
+                      "event-time high-water mark, bucketed (distributed "
+                      "prefix-max, no single-task sort)")
+def events_late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How late does data actually arrive? For each event, lateness =
+    (max event-time seen strictly earlier in arrival order) − (its own
+    event-time), clamped at 0 — `event_id` is the ingest sequence, and
+    the EXCLUSIVE prefix-max means an event is never late against
+    itself. Bucketed into the candidate watermark delays, this is the
+    table that picks `withWatermark`'s D for every streaming op in
+    streaming/stream_ops.py: each bucket's share is the fraction of
+    events a watermark of that delay would have handled in-state.
+
+    Scale shape: the global running max rides
+    :func:`~..operators.windows.distributed_running_max` (range
+    partition on (event_id, tsu) → per-partition max → exclusive
+    offsets over the ≤|shuffle-partitions|-row table, broadcast →
+    per-partition local window) — no fact-sized single-task sort at
+    any size. The share window runs over the ≤5-row bucket histogram
+    (parameter-sized by the bucket ladder). Integer-exact end to end:
+    lateness in BIGINT microseconds, shares in offset-free 10000·n DIV
+    total basis points (all operands non-negative).
+
+    Reference parity: the reference's incremental loads assume
+    arrival is monotone in (UF, year-month) file drops
+    (load_bd/siasus_raas_ps_load_bd.py:140 — one file per period,
+    loaded in period order); this query is the measurement that
+    validates or sizes that assumption on a real event stream.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        "event_id", F.unix_micros(F.col("ts")).alias("tsu")
+    )
+    return lateness_profile(e)
+
+
+def lateness_profile(e: DataFrame) -> DataFrame:
+    """Core of `events_late_data_profile` over an (event_id, tsu)
+    relation — split out so tests can feed a HOSTILE out-of-order
+    stream (the driver fixture is perfectly time-ordered, so the
+    registry query's histogram is legitimately one all-on_time row;
+    tests/test_operators.py pins the multi-bucket path)."""
+    from ..operators.windows import distributed_running_max
+    from pyspark.sql.window import Window
+
+    pm = distributed_running_max(
+        e, [F.col("event_id"), F.col("tsu")], "tsu",
+        max_name="prior_max", exclusive=True,
+    )
+    late = pm.select(
+        F.when(
+            F.col("prior_max").isNull() | (F.col("prior_max") <= F.col("tsu")),
+            F.lit(0),
+        )
+        .otherwise(F.col("prior_max") - F.col("tsu"))
+        .cast("long")
+        .alias("late_us")
+    )
+    bucket = F.when(F.col("late_us") == 0, "on_time")
+    for name, hi in _LATE_BUCKETS_US[1:]:
+        bucket = bucket.when(F.col("late_us") <= hi, name)
+    bucket = bucket.otherwise(">1h")
+    g = (
+        late.select(bucket.alias("lateness_bucket"), "late_us")
+        .groupBy("lateness_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+            F.sum("late_us").cast("long").alias("sum_late_us"),
+        )
+    )
+    # share window over the <=5-row bucket histogram — parameter-sized
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return g.select(
+        "lateness_bucket", "n_events", "max_late_us", "sum_late_us",
+        F.expr("CAST(10000 * n_events AS BIGINT)").alias("__n"),
+        F.sum("n_events").over(w_all).cast("long").alias("__t"),
+    ).select(
+        "lateness_bucket", "n_events", "max_late_us", "sum_late_us",
+        F.expr("CAST(__n DIV __t AS BIGINT)").alias("share_bp"),
+    )

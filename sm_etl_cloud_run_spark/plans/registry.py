@@ -168,6 +168,9 @@ _CHANGED_OR_NEVER_CHECKED = (
     "dedup_clone_collapse_gate",
     "events_tdigest_portable",
     "events_sessionize_incremental",
+    "events_late_data_profile",
+    "dedup_containment_pairs",
+    "quality_classifier_auc",
 )
 
 # Tier 2 — longest unchecked among unchanged queries (green rows from

@@ -559,6 +559,55 @@ def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_THRESHOLD = 0.6
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_shingle_cte()},
+ex0 AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+kept AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= {_DFCAP}),
+ex AS (SELECT doc_id, ex0.s FROM ex0 JOIN kept ON ex0.s = kept.s),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_a,
+       CAST(n_common AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_b,
+       CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(CAST(n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+               CAST(n_common AS DOUBLE) / CAST(sb.sz AS DOUBLE))
+      >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("dedup_containment_pairs", oracle=_CONTAINMENT_ORACLE,
+          description="asymmetric shingle-containment near-dup pairs: "
+                      "catches short-doc-inside-long-doc duplication that "
+                      "Jaccard-based dedup structurally misses")
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplication detector: C(A in B) = |A∩B|/|A| over the
+    df-capped shingle universe (df-cap 16, the same df² join
+    guard as `dedup_ngram_jaccard_dfcap`). A document quoted inside a
+    longer one has near-1 containment at near-0 Jaccard, so this is
+    the family member MinHash-LSH (a Jaccard estimator) cannot
+    replace — the standard gap in symmetric near-dedup of training
+    corpora (quotes, rescrapes with added chrome, doc+comments).
+    Emits both directions plus Jaccard so "identical" (both high)
+    separates from "contained" (one-sided)."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    t = load_tables(spark, sf_dir)
+    return ngram_containment_pairs(
+        t["documents"], text_col="text", id_col="doc_id",
+        shingle_k=SHINGLE_K, threshold=_CONTAINMENT_THRESHOLD, max_df=_DFCAP,
+    )
+
+
 _WINNOW_W = 4
 
 _WINNOW_ORACLE = f"""
@@ -1875,6 +1924,97 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(1000.0 * F.col("w_sum") / F.col("n_tokens")).cast("long")
         .alias("score_milli"),
         F.when(F.col("w_sum") >= 0, 1).otherwise(0).cast("long").alias("keep"),
+    )
+
+
+_AUC_ORACLE = f"""
+WITH base AS ({_QLC_ORACLE}),
+lab AS (
+  SELECT score_milli,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM base
+),
+by_s AS (
+  SELECT score_milli,
+         CAST(SUM(y) AS BIGINT) AS pos_at,
+         CAST(SUM(1 - y) AS BIGINT) AS neg_at
+  FROM lab GROUP BY score_milli
+),
+cum AS (
+  SELECT pos_at, neg_at,
+         CAST(coalesce(SUM(neg_at) OVER (ORDER BY score_milli
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS neg_below
+  FROM by_s
+)
+SELECT CAST(SUM(pos_at) AS BIGINT) AS n_pos,
+       CAST(SUM(neg_at) AS BIGINT) AS n_neg,
+       CAST(SUM(pos_at * (2 * neg_below + neg_at)) AS BIGINT) AS u2,
+       CASE WHEN SUM(pos_at) = 0 OR SUM(neg_at) = 0 THEN NULL
+            ELSE CAST(SUM(pos_at * (2 * neg_below + neg_at)) AS DOUBLE)
+                 / (2.0 * SUM(pos_at) * SUM(neg_at)) END AS auc
+FROM cum
+"""
+
+
+@register("quality_classifier_auc", oracle=_AUC_ORACLE,
+          description="exact rank-based AUC (Mann-Whitney U with tie "
+                      "correction) of the quality classifier against the "
+                      "language label — integer-exact until the final ratio")
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold-free metric completing the classifier audit family
+    (score: `quality_linear_classifier`; sweep: `quality_pr_curve`;
+    bias: `quality_length_bias`; agreement: `quality_gate_agreement`;
+    training: `quality_classifier_train`). AUC = P(score of a random
+    positive > score of a random negative), computed EXACTLY by the
+    Mann-Whitney identity with the ½-tie correction:
+    U·2 = Σ_scores pos_at·(2·neg_below + neg_at), all in BIGINT — the
+    only division is the final u2 / (2·n_pos·n_neg), identical on both
+    engines. Label is the weak `lang='en'` signal shared with
+    quality_pr_curve and the trainer.
+
+    Scale shape: one doc-level score aggregate (the classifier pass),
+    one score-keyed hash aggregate — the relation after it is bounded
+    by the score codomain (score_milli ∈ [-1e6, 1e6]: ≤ 2,000,001 rows
+    REGARDLESS of corpus size) — then the exclusive negative prefix via
+    :func:`~..operators.windows.distributed_cumsum` (no single-task
+    sort even over the bounded relation) and a 1-row final aggregate.
+    """
+    from ..operators.windows import distributed_cumsum
+
+    sc = quality_linear_classifier(spark, sf_dir)
+    by_s = (
+        sc.select(
+            "score_milli",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("score_milli")
+        .agg(
+            F.sum("y").cast("long").alias("pos_at"),
+            F.sum(1 - F.col("y")).cast("long").alias("neg_at"),
+        )
+    )
+    cum = distributed_cumsum(
+        by_s, [F.col("score_milli")], "neg_at", cumsum_name="__neg_incl"
+    ).select(
+        "pos_at", "neg_at",
+        (F.col("__neg_incl") - F.col("neg_at")).cast("long").alias("neg_below"),
+    )
+    return cum.agg(
+        F.sum("pos_at").cast("long").alias("n_pos"),
+        F.sum("neg_at").cast("long").alias("n_neg"),
+        F.sum(F.col("pos_at") * (2 * F.col("neg_below") + F.col("neg_at")))
+        .cast("long").alias("u2"),
+    ).select(
+        "n_pos", "n_neg", "u2",
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.col("u2").cast("double")
+            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        )
+        .alias("auc"),
     )
 
 

@@ -795,3 +795,89 @@ def test_distributed_cumsum_in_groups_matches_partitioned_running_total(spark):
 
     from sm_etl_cloud_run_spark.cache import release_tracked
     release_tracked()
+
+
+def test_distributed_running_max_matches_single_window(spark):
+    """Prefix-max (inclusive and exclusive) == the single-task window,
+    on adversarial data: duplicate order keys carry EQUAL values (the
+    operator's tie contract), partition boundaries land mid-run."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from sm_etl_cloud_run_spark.operators.windows import distributed_running_max
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(500):
+        k = rng.randrange(120)  # heavy ties in the order key
+        v = (k * 37) % 101 - 50  # ties on k carry equal values
+        rows.append((k, v))
+    df = spark.createDataFrame(rows, "k long, v long")
+    for exclusive in (False, True):
+        got = distributed_running_max(
+            df, [F.col("k"), F.col("v")], "v",
+            max_name="m", exclusive=exclusive, num_partitions=7,
+        )
+        lo, hi = Window.unboundedPreceding, (-1 if exclusive else 0)
+        w = Window.orderBy("k", "v").rowsBetween(lo, hi)
+        want = df.withColumn("m", F.max("v").over(w).cast("long"))
+        key = lambda r: (r["k"], r["v"], r["m"] is not None, r["m"] or 0)
+        assert sorted(map(key, got.collect())) == \
+            sorted(map(key, want.collect())), exclusive
+
+
+def test_lateness_profile_hostile_out_of_order_stream(spark):
+    """The driver fixture is perfectly time-ordered (one all-on_time
+    row); this pins the multi-bucket path on a hand-built disordered
+    stream where every bucket of the ladder is hit."""
+    from sm_etl_cloud_run_spark.plans.events_queries import lateness_profile
+
+    us = 1_000_000
+    rows = [
+        (1, 0),                       # first row: never late
+        (2, 3600 * us),               # high-water mark jumps to 1h
+        (3, 3600 * us - 30 * us),     # 30s late -> '<=1m'
+        (4, 3600 * us - 300 * us),    # 5m late -> '<=10m'
+        (5, 3600 * us),               # ties the max: on_time
+        (6, 0),                       # 1h late -> '<=1h'
+        (7, 7200 * us),               # new max: on_time
+        (8, 1),                       # 2h-1us late -> '>1h'
+    ]
+    prof = {
+        r["lateness_bucket"]: r
+        for r in lateness_profile(
+            spark.createDataFrame(rows, "event_id long, tsu long")
+        ).collect()
+    }
+    assert {k: v["n_events"] for k, v in prof.items()} == {
+        "on_time": 4, "<=1m": 1, "<=10m": 1, "<=1h": 1, ">1h": 1,
+    }
+    assert prof[">1h"]["max_late_us"] == 7200 * us - 1
+    assert prof["on_time"]["share_bp"] == 5000
+    assert sum(v["n_events"] for v in prof.values()) == 8
+
+
+def test_containment_pairs_catch_subset_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment ~1,
+    jaccard tiny — the pair the symmetric detectors miss."""
+    from sm_etl_cloud_run_spark.operators.dedup import ngram_containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote), (3, "totally unrelated text here")],
+        "doc_id long, text string",
+    )
+    out = ngram_containment_pairs(
+        docs, text_col="text", id_col="doc_id", shingle_k=3, threshold=0.8
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+    r = out[0]
+    assert r["cont_a"] == 1.0          # every shingle of the quote is in doc 2
+    assert r["cont_b"] < 0.1           # doc 2 is mostly NOT the quote
+    assert r["jaccard"] < 0.1          # ... so Jaccard-based dedup misses it
+    # jaccard threshold at the same 0.8 finds nothing on this corpus
+    assert ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", shingle_k=3, threshold=0.8
+    ).count() == 0

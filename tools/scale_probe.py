@@ -126,6 +126,13 @@ QUERIES = (
     "quality_classifier_train",
     "events_sketch_rollup_merge",
     "multimodal_audio_fingerprint_dedup",
+    # round-14 additions (driver r9): the prefix-MAX lateness audit
+    # (global running max with no single-task sort — the monoid sibling
+    # of distributed_cumsum), the df-capped containment self-join, and
+    # the bounded-relation exact AUC.
+    "events_late_data_profile",
+    "dedup_containment_pairs",
+    "quality_classifier_auc",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
