@@ -171,6 +171,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_late_data_profile",
     "dedup_containment_pairs",
     "quality_classifier_auc",
+    "join_size_estimate_sampled",
 )
 
 # Tier 2 — longest unchecked among unchanged queries (green rows from

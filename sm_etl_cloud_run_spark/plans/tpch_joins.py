@@ -478,3 +478,91 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV GREATEST(COUNT(*) - SUM(matched), 1) AS BIGINT)"
         ).alias("fp_rate_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join-size estimation from a key-universe sample (planner primitive)
+# ---------------------------------------------------------------------------
+
+_JSE_S = 16  # 1-in-S key-universe sample (deterministic md5 coin)
+
+_JSE_ORACLE = f"""
+WITH f AS (
+  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+),
+exact AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM f
+),
+samp AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS samp_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys_sampled
+  FROM f
+  WHERE CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+        % {_JSE_S} = 0
+),
+j AS (SELECT * FROM exact CROSS JOIN samp)
+SELECT n_keys, n_keys_sampled, exact_rows,
+       CAST({_JSE_S} * coalesce(samp_rows, 0) AS BIGINT) AS est_rows,
+       CAST(CAST({_JSE_S} * coalesce(samp_rows, 0) AS DOUBLE)
+            / exact_rows AS DOUBLE) AS est_ratio
+FROM j
+"""
+
+
+@register("join_size_estimate_sampled", oracle=_JSE_ORACLE,
+          description="planner primitive: many-many self-join cardinality "
+                      "estimated from a deterministic 1-in-16 key-universe "
+                      "sample, exact twin alongside")
+def join_size_estimate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|lineitem ⋈ lineitem ON l_partkey| = Σ_k f(k)² — the quantity a
+    cost-based planner needs BEFORE committing to a join strategy (and
+    the blow-up the clone-collapse gate and skew salting react to).
+    Universe sampling on the KEY (md5 coin: key sampled iff
+    h(k) mod S = 0) is the unbiased estimator for multiplicity-weighted
+    join sizes — Bernoulli ROW sampling would need f² corrections, but
+    sampling whole keys keeps each key's full f(k)² contribution, so
+    E[S·Σ_sampled f²] = Σ f² exactly. The md5 coin makes the "sample"
+    deterministic, so est_rows hash-checks exactly on both engines;
+    est_ratio lands ~1 ± the sampling error the planner would live with.
+
+    Shape at 100 TB: one key-keyed map-side-combined aggregate over
+    the fact (the same f relation serves both arms), a filter for the
+    sampled arm, two 1-row aggregates cross-joined (parameter-sized,
+    whitelisted pattern). The production path runs ONLY the sampled
+    arm — its aggregate is 1/S the state; the exact arm is this
+    query's QA twin. Reference parity: the reference has no planner
+    (pandas executes what it's given); this primitive is part of the
+    scale layer the Spark engine adds.
+    """
+    t = load_tables(spark, sf_dir)
+    f = (
+        t["lineitem"].groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    from ..cache import persist_tracked
+    f = persist_tracked(f)  # one fact aggregate feeds both arms
+    exact = f.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    samp = f.where(
+        F.expr(
+            f"CAST(conv(substring(md5(CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_JSE_S} = 0"
+        )
+    ).agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("samp_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys_sampled"),
+    )
+    return exact.crossJoin(samp).select(
+        "n_keys", "n_keys_sampled", "exact_rows",
+        F.expr(f"CAST({_JSE_S} * coalesce(samp_rows, 0) AS BIGINT)")
+        .alias("est_rows"),
+        F.expr(
+            f"CAST(CAST({_JSE_S} * coalesce(samp_rows, 0) AS DOUBLE)"
+            f" / exact_rows AS DOUBLE)"
+        ).alias("est_ratio"),
+    )

@@ -133,6 +133,7 @@ QUERIES = (
     "events_late_data_profile",
     "dedup_containment_pairs",
     "quality_classifier_auc",
+    "join_size_estimate_sampled",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
