@@ -908,3 +908,156 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step long, mse long, n_correct long, w_l1 long, n_nonzero_w long, "
         "top_bucket long, top_w long",
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness: the third leg of the privacy-audit triad (k, l, t)
+# ---------------------------------------------------------------------------
+
+_TCLOSE_SCALE = 1_000_000   # micro fixed point for cumulative shares
+_TCLOSE_T = 200_000         # flag groups with EMD > 0.2 (micro)
+
+_TCLOSE_ORACLE = f"""
+WITH s AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + {_LDIV_BAND_OFF}) // 100000
+           AS bal_band
+  FROM customer
+),
+bands AS (
+  SELECT bal_band,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM (SELECT DISTINCT bal_band FROM s) d
+),
+ga AS (
+  SELECT bal_band, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1
+),
+gacum AS (
+  SELECT b.bal_band, b.m,
+         CAST(SUM(coalesce(ga.c, 0)) OVER (ORDER BY b.bal_band
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_all,
+         CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_all
+  FROM bands b LEFT JOIN ga ON ga.bal_band = b.bal_band
+),
+qi AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s GROUP BY 1, 2
+),
+gg AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, CAST(COUNT(*) AS BIGINT) AS c
+  FROM s GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT q.c_nationkey, q.c_mktsegment, q.n, g.bal_band, g.m, g.cum_all, g.n_all,
+         CAST(SUM(coalesce(gg.c, 0)) OVER (PARTITION BY q.c_nationkey,
+              q.c_mktsegment ORDER BY g.bal_band
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_grp
+  FROM qi q CROSS JOIN gacum g
+  LEFT JOIN gg ON gg.c_nationkey = q.c_nationkey
+              AND gg.c_mktsegment = q.c_mktsegment
+              AND gg.bal_band = g.bal_band
+)
+SELECT c_nationkey, c_mktsegment, n,
+       CAST(SUM(ABS(({_TCLOSE_SCALE} * cum_grp) // n
+                    - ({_TCLOSE_SCALE} * cum_all) // n_all))
+            // (MAX(m) - 1) AS BIGINT) AS t_micro,
+       CAST(CASE WHEN SUM(ABS(({_TCLOSE_SCALE} * cum_grp) // n
+                              - ({_TCLOSE_SCALE} * cum_all) // n_all))
+                      // (MAX(m) - 1) > {_TCLOSE_T}
+                 THEN 1 ELSE 0 END AS BIGINT) AS above_t
+FROM grid
+GROUP BY c_nationkey, c_mktsegment, n
+"""
+
+
+@register("customer_t_closeness", oracle=_TCLOSE_ORACLE,
+          description="t-closeness audit: ordered-EMD between each "
+                      "QI-group's sensitive-band distribution and the "
+                      "global one, exact micro fixed point")
+def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the privacy-audit triad (customer_k_anonymity,
+    customer_l_diversity): a group can be big (k) and diverse (l) and
+    STILL leak — if its sensitive-value distribution differs sharply
+    from the table's, membership alone updates an attacker's prior.
+    t-closeness (Li et al., ICDE 2007) bounds the Earth Mover's
+    Distance between group and global distributions; for ordered
+    numeric bands with equal steps, EMD has the closed form
+    (1/(m−1))·Σ_i |CumP_i − CumQ_i|. Cumulative shares are computed in
+    micro fixed point with floor DIV (non-negative operands, so both
+    engines truncate identically) — t_micro is hash-exact, not a
+    float estimate. Groups with t > 0.2 are flagged.
+
+    Shape at 100 TB: two fact-side hash aggregates (per-band global,
+    per-(QI, band) group counts); everything after is on the
+    |QI-groups| × |bands| GRID — parameter-sized (≈ 25 nations × 5
+    segments × a few dozen thousand-currency bands), built by an
+    explicit crossJoin and windowed per group over ≤|bands| rows.
+    The dense grid is the point: a band ABSENT from a group still
+    moves the cumulative gap, so joining only observed (group, band)
+    pairs would understate t.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    band = F.expr(
+        f"(CAST(round(c_acctbal * 100, 0) AS BIGINT) + {_LDIV_BAND_OFF}) DIV 100000"
+    )
+    s = t["customer"].select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+    from ..cache import persist_tracked
+    s = persist_tracked(s)  # feeds bands, global counts, QI counts, group counts
+    w_b = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_bcum = Window.orderBy("bal_band").rowsBetween(Window.unboundedPreceding, 0)
+    bands = s.select("bal_band").distinct().select(
+        "bal_band", F.count(F.lit(1)).over(w_b).cast("long").alias("m")
+    )
+    ga = s.groupBy("bal_band").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_all_w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gacum = (
+        bands.join(ga, "bal_band", "left")
+        .select(
+            "bal_band", "m",
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).over(w_bcum)
+            .cast("long").alias("cum_all"),
+        )
+        .select("bal_band", "m", "cum_all",
+                F.max("cum_all").over(n_all_w).cast("long").alias("n_all"))
+    )
+    qi = s.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    gg = s.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("gc")
+    )
+    w_gcum = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bal_band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grid = (
+        qi.crossJoin(gacum)
+        .join(gg, ["c_nationkey", "c_mktsegment", "bal_band"], "left")
+        .select(
+            "c_nationkey", "c_mktsegment", "n", "bal_band", "m",
+            "cum_all", "n_all",
+            F.sum(F.coalesce(F.col("gc"), F.lit(0))).over(w_gcum)
+            .cast("long").alias("cum_grp"),
+        )
+    )
+    out = grid.groupBy("c_nationkey", "c_mktsegment", "n").agg(
+        F.expr(
+            f"CAST(SUM(ABS(CAST({_TCLOSE_SCALE} * cum_grp AS BIGINT) DIV n"
+            f" - CAST({_TCLOSE_SCALE} * cum_all AS BIGINT) DIV n_all))"
+            f" DIV (MAX(m) - 1) AS BIGINT)"
+        ).alias("t_micro"),
+    )
+    return out.select(
+        "c_nationkey", "c_mktsegment", "n", "t_micro",
+        F.when(F.col("t_micro") > _TCLOSE_T, 1).otherwise(0).cast("long")
+        .alias("above_t"),
+    )

@@ -172,6 +172,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "dedup_containment_pairs",
     "quality_classifier_auc",
     "join_size_estimate_sampled",
+    "customer_t_closeness",
 )
 
 # Tier 2 — longest unchecked among unchanged queries (green rows from

@@ -562,7 +562,21 @@ def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAINMENT_THRESHOLD = 0.6
 
 _CONTAINMENT_ORACLE = f"""
-WITH {_shingle_cte()},
+WITH cl AS (
+  SELECT md5(text) AS ck, MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1
+),
+rd AS (
+  SELECT c.rep AS doc_id, c.cnt, d.text
+  FROM cl c JOIN documents d ON d.doc_id = c.rep
+),
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM rd),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t) - {SHINGLE_K - 1}, 0) + 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+  FROM toks
+),
 ex0 AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
 kept AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= {_DFCAP}),
 ex AS (SELECT doc_id, ex0.s FROM ex0 JOIN kept ON ex0.s = kept.s),
@@ -572,13 +586,15 @@ common AS (
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT id_a, id_b, n_common,
+SELECT id_a, id_b, ca.cnt AS cnt_a, cb.cnt AS cnt_b, n_common,
        CAST(n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_a,
        CAST(n_common AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_b,
        CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
+JOIN rd ca ON ca.doc_id = id_a
+JOIN rd cb ON cb.doc_id = id_b
 WHERE greatest(CAST(n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE),
                CAST(n_common AS DOUBLE) / CAST(sb.sz AS DOUBLE))
       >= {_CONTAINMENT_THRESHOLD}
@@ -598,13 +614,39 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     replace — the standard gap in symmetric near-dedup of training
     corpora (quotes, rescrapes with added chrome, doc+comments).
     Emits both directions plus Jaccard so "identical" (both high)
-    separates from "contained" (one-sided)."""
+    separates from "contained" (one-sided).
+
+    Clone discipline (the dedup_clone_collapse_gate rule, applied
+    unconditionally here): exact clones are collapsed to their
+    min-doc_id representative BEFORE shingling — same-text pairs are
+    exact duplicates (containment trivially 1), which belong to
+    `dedup_exact`, and enumerating them is the measured quadratic
+    pathology (the 16× clone probe blew the uncollapsed form from
+    1.9 s to 30.7 s; collapsed, the surviving singleton shingles df
+    back down to the informative universe). Representative pairs
+    carry their clone multiplicities (cnt_a, cnt_b), so downstream
+    accounting can re-expand without re-enumerating."""
     from ..operators.dedup import ngram_containment_pairs
 
     t = load_tables(spark, sf_dir)
-    return ngram_containment_pairs(
-        t["documents"], text_col="text", id_col="doc_id",
+    docs = t["documents"].select("doc_id", "text")
+    clones = docs.groupBy(F.md5("text").alias("ck")).agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    rep_cnt = clones.select(F.col("rep").alias("doc_id"), "cnt")
+    reps = docs.join(rep_cnt.select("doc_id"), "doc_id")
+    pairs = ngram_containment_pairs(
+        reps, text_col="text", id_col="doc_id",
         shingle_k=SHINGLE_K, threshold=_CONTAINMENT_THRESHOLD, max_df=_DFCAP,
+    )
+    return (
+        pairs.join(rep_cnt.select(F.col("doc_id").alias("id_a"),
+                                  F.col("cnt").alias("cnt_a")), "id_a")
+        .join(rep_cnt.select(F.col("doc_id").alias("id_b"),
+                             F.col("cnt").alias("cnt_b")), "id_b")
+        .select("id_a", "id_b", "cnt_a", "cnt_b",
+                "n_common", "cont_a", "cont_b", "jaccard")
     )
 
 

@@ -152,6 +152,7 @@ _NESTED_LOOP_OK = {
     "embedding_isotropy_probe",   # 64×64 fixed-budget pair join: the pair set IS the work
     "dedup_clone_collapse_gate",  # two 1-row aggs (corpus stats × pair costs) crossJoined into the 1-row gate
     "join_size_estimate_sampled",  # exact-arm × sampled-arm 1-row aggs crossJoined into the 1-row estimate
+    "customer_t_closeness",  # |QI-groups| × |bands| dense grid crossJoin — both sides parameter-sized
 }
 # Python appears only where the operator is Python by contract:
 # uuid7 ids and the stubbed multimodal decode kernels.
