@@ -173,6 +173,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "quality_classifier_auc",
     "join_size_estimate_sampled",
     "customer_t_closeness",
+    "quality_classifier_train_auc",
 )
 
 # Tier 2 — longest unchecked among unchanged queries (green rows from

@@ -794,3 +794,25 @@ def test_clone_collapse_gate_invariants(spark, sf_dir):
     if r["pairs_raw"] > 0:
         expect = 10000 * (r["pairs_raw"] - r["pairs_collapsed"]) // r["pairs_raw"]
         assert r["pairs_saved_bp"] == expect, r
+
+
+def test_trained_auc_beats_standin_and_chance():
+    """The train→evaluate loop's semantic claim, pinned via the oracles
+    (DuckDB only — engine agreement is the parity harness's job): the
+    step-K trained scores rank en above non-en better than the
+    untrained md5 stand-in scorer, and at least at chance."""
+    import duckdb
+
+    from sm_etl_cloud_run_spark.plans import all_queries
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    qs = all_queries()
+    trained = con.execute(qs["quality_classifier_train_auc"].oracle).fetchone()
+    standin = con.execute(qs["quality_classifier_auc"].oracle).fetchone()
+    assert trained[0] > 0 and trained[1] > 0  # both classes present
+    assert trained[3] > standin[3]
+    assert trained[3] >= 0.5
