@@ -174,6 +174,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "join_size_estimate_sampled",
     "customer_t_closeness",
     "quality_classifier_train_auc",
+    "text_shingle_df_profile",
 )
 
 # Tier 2 — longest unchecked among unchanged queries (green rows from

@@ -2600,3 +2600,99 @@ def dedup_clone_collapse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " OR pairs_raw >= 2 * pairs_collapsed AS BIGINT)"
         ).alias("gate_collapse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# shingle document-frequency profile: the df-cap decision table
+# ---------------------------------------------------------------------------
+
+_SDF_LADDER = (
+    ("df=1", 1), ("df=2", 2), ("df<=4", 4), ("df<=8", 8), ("df<=16", 16),
+)
+
+_SDF_ORACLE = f"""
+WITH {_shingle_cte()},
+ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+dfs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY s),
+b AS (
+  SELECT CASE WHEN df = 1 THEN 'df=1'
+              WHEN df = 2 THEN 'df=2'
+              WHEN df <= 4 THEN 'df<=4'
+              WHEN df <= 8 THEN 'df<=8'
+              WHEN df <= 16 THEN 'df<=16'
+              ELSE 'df>16' END AS df_bucket,
+         df
+  FROM dfs
+),
+g AS (
+  SELECT df_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(df) AS BIGINT) AS n_postings,
+         CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS n_join_rows
+  FROM b GROUP BY df_bucket
+)
+SELECT df_bucket, n_shingles, n_postings, n_join_rows,
+       CAST((10000 * n_join_rows) // (SELECT SUM(n_join_rows) FROM g) AS BIGINT)
+         AS join_rows_share_bp
+FROM g
+"""
+
+
+@register("text_shingle_df_profile", oracle=_SDF_ORACLE,
+          description="df-cap decision table: shingle document-frequency "
+                      "ladder with exact inverted-index join-row cost per "
+                      "bucket (where the df² mass sits)")
+def text_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement behind the `_DFCAP = 16` constant the whole
+    inverted-index family relies on (`dedup_ngram_jaccard_dfcap`,
+    `dedup_containment_pairs`, `text_winnowing_overlap_pairs`): a
+    shingle in df documents contributes df·(df−1)/2 rows to the
+    self-join, so the join's cost distribution over df buckets IS the
+    cap decision — the 'df>16' row is exactly the cost the cap
+    deletes, and its join_rows_share_bp is the % of the quadratic
+    blow-up avoided (on boilerplate-heavy crawls that row dominates;
+    the cap's recall loss is the same row's n_shingles as a share of
+    informative shingles). Companion to dedup_component_size_histogram
+    (which makes the same decision for LSH clone mass).
+
+    Shape at 100 TB: explode → one shingle-keyed map-side-combined
+    aggregate (the df table — the same relation the capped joins
+    build anyway) → a ladder-bucketed aggregate to ≤6 rows; the share
+    window runs over that ladder. No joins, no windows over fact-sized
+    input, all BIGINT.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import word_shingles
+
+    t = load_tables(spark, sf_dir)
+    ex = t["documents"].select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), SHINGLE_K)))
+        .alias("s"),
+    )
+    dfs = ex.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    bucket = F.when(F.col("df") == 1, "df=1")
+    for name, hi in _SDF_LADDER[1:]:
+        bucket = bucket.when(F.col("df") <= hi, name)
+    bucket = bucket.otherwise("df>16")
+    g = (
+        dfs.select(bucket.alias("df_bucket"), "df")
+        .groupBy("df_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum(F.expr("df * (df - 1) div 2")).cast("long").alias("n_join_rows"),
+        )
+    )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return g.select(
+        "df_bucket", "n_shingles", "n_postings", "n_join_rows",
+        F.expr("CAST(10000 * n_join_rows AS BIGINT)").alias("__n"),
+        F.sum("n_join_rows").over(w_all).cast("long").alias("__t"),
+    ).select(
+        "df_bucket", "n_shingles", "n_postings", "n_join_rows",
+        F.expr("CAST(__n DIV __t AS BIGINT)").alias("join_rows_share_bp"),
+    )

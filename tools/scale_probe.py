@@ -134,6 +134,9 @@ QUERIES = (
     "dedup_containment_pairs",
     "quality_classifier_auc",
     "join_size_estimate_sampled",
+    "customer_t_closeness",
+    "quality_classifier_train_auc",
+    "text_shingle_df_profile",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
