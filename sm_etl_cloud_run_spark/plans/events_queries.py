@@ -3448,3 +3448,152 @@ def lateness_profile(e: DataFrame) -> DataFrame:
         "lateness_bucket", "n_events", "max_late_us", "sum_late_us",
         F.expr("CAST(__n DIV __t AS BIGINT)").alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming state census: what each candidate watermark delay COSTS
+# ---------------------------------------------------------------------------
+
+# the same candidate ladder as events_late_data_profile (minus on_time):
+# lateness picks the delay, this query prices it in state entries.
+_CENSUS_DELAYS_US = (
+    ("1m", 60_000_000),
+    ("10m", 600_000_000),
+    ("1h", 3_600_000_000),
+)
+
+
+def _census_oracle() -> str:
+    arms = []
+    for label, d in _CENSUS_DELAYS_US:
+        arms.append(f"SELECT '{label}' AS delay, CAST({d} AS BIGINT) AS d")
+    return f"""
+WITH delays AS ({" UNION ALL ".join(arms)}),
+e AS (
+  SELECT dl.delay, dl.d, ev.user_id, CAST(epoch_us(ev.ts) AS BIGINT) AS tsu
+  FROM events ev CROSS JOIN delays dl
+),
+flg AS (
+  SELECT delay, d, user_id, tsu,
+         CASE WHEN tsu - lag(tsu) OVER (PARTITION BY delay, user_id
+                                        ORDER BY tsu) <= d
+              THEN 0 ELSE 1 END AS is_new
+  FROM e
+),
+sess AS (
+  SELECT delay, d, user_id, tsu,
+         SUM(is_new) OVER (PARTITION BY delay, user_id ORDER BY tsu
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flg
+),
+iv AS (
+  SELECT delay, user_id, MIN(tsu) AS t_open, MAX(tsu) + MAX(d) AS t_close
+  FROM sess GROUP BY delay, user_id, sid
+),
+pts AS (
+  SELECT delay, t_open AS t, CAST(1 AS BIGINT) AS delta, user_id FROM iv
+  UNION ALL
+  SELECT delay, t_close AS t, CAST(-1 AS BIGINT) AS delta, user_id FROM iv
+),
+sweep AS (
+  SELECT delay,
+         SUM(delta) OVER (PARTITION BY delay ORDER BY t, delta, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS open_now
+  FROM pts
+)
+SELECT i.delay,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(i.t_close - i.t_open) AS BIGINT) AS sum_open_us,
+       s.peak_state
+FROM iv i
+JOIN (SELECT delay, CAST(MAX(open_now) AS BIGINT) AS peak_state
+      FROM sweep GROUP BY delay) s ON s.delay = i.delay
+GROUP BY i.delay, s.peak_state
+"""
+
+
+@register("events_stream_state_census", oracle=_census_oracle(),
+          description="watermark cost table: exact PEAK concurrent per-user "
+                      "state for each candidate delay (merged-interval "
+                      "endpoint sweep on the grouped distributed prefix-sum)")
+def events_stream_state_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companion to `events_late_data_profile`: lateness picks the
+    watermark delay D, this prices it. A streaming per-user aggregate
+    holds state for a user from an event until D after their last
+    event, so the state at time t is the number of users whose merged
+    [first, last+D) intervals cover t — and the PEAK of that sweep is
+    the executor-memory high-water mark `withWatermark(D)` commits the
+    cluster to. Computed exactly: per-(delay, user) events merge into
+    intervals (gap-D sessionize — the pigeonhole-bounded per-user
+    window), each interval emits (+1 at open, −1 at close) endpoints,
+    and the running sum over (t, delta, user_id) per delay — ridden on
+    :func:`~..operators.windows.distributed_cumsum_in_groups` (3
+    delays = few heavy groups, its exact contract) — maxes into the
+    peak. Endpoint ties process −1 before +1 (half-open intervals),
+    matching state eviction-before-insert; the per-delay MAX is
+    tie-order invariant (within an equal-(t,delta) block the running
+    sum is a monotone ramp, so the block max is its last row whatever
+    the intra-block order).
+
+    Output per delay: interval count, total open state-time (the
+    integral a cost model multiplies by per-key state bytes), and
+    peak_state. On the driver fixture peak_1m < peak_10m < peak_1h
+    pins the monotone sanity.
+    """
+    from ..operators.windows import distributed_cumsum_in_groups
+
+    t = load_tables(spark, sf_dir)
+    delays = F.array(*[
+        F.struct(F.lit(label).alias("delay"), F.lit(d).cast("long").alias("d"))
+        for label, d in _CENSUS_DELAYS_US
+    ])
+    e = t["events"].select(
+        "user_id", F.unix_micros(F.col("ts")).alias("tsu"),
+        F.explode(delays).alias("dl"),
+    ).select("user_id", "tsu", F.col("dl.delay").alias("delay"),
+             F.col("dl.d").alias("d"))
+    from pyspark.sql.window import Window
+    w_u = Window.partitionBy("delay", "user_id").orderBy("tsu")
+    flg = e.withColumn(
+        "is_new",
+        F.when(F.col("tsu") - F.lag("tsu").over(w_u) <= F.col("d"), 0)
+        .otherwise(1),
+    )
+    sess = flg.withColumn(
+        "sid",
+        F.sum("is_new").over(w_u.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = (
+        sess.groupBy("delay", "user_id", "sid")
+        .agg(
+            F.min("tsu").alias("t_open"),
+            (F.max("tsu") + F.max("d")).alias("t_close"),
+        )
+    )
+    from ..cache import persist_tracked
+    iv = persist_tracked(iv)  # feeds both the sweep and the interval stats
+    pts = iv.select(
+        "delay", F.col("t_open").alias("t"),
+        F.lit(1).cast("long").alias("delta"), "user_id",
+    ).unionByName(iv.select(
+        "delay", F.col("t_close").alias("t"),
+        F.lit(-1).cast("long").alias("delta"), "user_id",
+    ))
+    sweep = distributed_cumsum_in_groups(
+        pts, ["delay"],
+        [F.col("t"), F.col("delta"), F.col("user_id")],
+        "delta", cumsum_name="open_now",
+    )
+    peak = sweep.groupBy("delay").agg(
+        F.max("open_now").cast("long").alias("peak_state")
+    )
+    stats = iv.groupBy("delay").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("t_close") - F.col("t_open")).cast("long")
+        .alias("sum_open_us"),
+    )
+    return stats.join(peak, "delay").select(
+        "delay", "n_intervals", "sum_open_us", "peak_state"
+    )

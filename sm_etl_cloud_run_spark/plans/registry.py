@@ -175,6 +175,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "customer_t_closeness",
     "quality_classifier_train_auc",
     "text_shingle_df_profile",
+    "events_stream_state_census",
 )
 
 # Tier 2 — longest unchecked among unchanged queries (green rows from

@@ -816,3 +816,25 @@ def test_trained_auc_beats_standin_and_chance():
     assert trained[0] > 0 and trained[1] > 0  # both classes present
     assert trained[3] > standin[3]
     assert trained[3] >= 0.5
+
+
+def test_stream_state_census_monotone_in_delay():
+    """Larger watermark delay can only hold state longer: peak and
+    total open-time must be monotone over the delay ladder, and merged
+    intervals monotone non-increasing (longer gaps merge more).
+    Pinned via the oracle (engine agreement is the parity harness)."""
+    import duckdb
+
+    from sm_etl_cloud_run_spark.plans import all_queries
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet')"
+    )
+    rows = {r[0]: r for r in con.execute(
+        all_queries()["events_stream_state_census"].oracle).fetchall()}
+    m1, m10, h1 = rows["1m"], rows["10m"], rows["1h"]
+    assert m1[3] <= m10[3] <= h1[3]          # peak_state
+    assert m1[2] <= m10[2] <= h1[2]          # sum_open_us
+    assert m1[1] >= m10[1] >= h1[1]          # n_intervals
