@@ -3542,16 +3542,28 @@ def events_stream_state_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     peak_state. On the driver fixture peak_1m < peak_10m < peak_1h
     pins the monotone sanity.
     """
+    t = load_tables(spark, sf_dir)
+    return state_census(
+        t["events"].select("user_id", F.unix_micros(F.col("ts")).alias("tsu"))
+    )
+
+
+def state_census(
+    ev: DataFrame,
+    delays_us: tuple[tuple[str, int], ...] = _CENSUS_DELAYS_US,
+) -> DataFrame:
+    """Core of `events_stream_state_census` over a (user_id, tsu)
+    relation — split out so tests can feed hostile fixtures (nested /
+    back-to-back intervals, simultaneous endpoints across users) with
+    hand-computable peaks."""
     from ..operators.windows import distributed_cumsum_in_groups
 
-    t = load_tables(spark, sf_dir)
     delays = F.array(*[
         F.struct(F.lit(label).alias("delay"), F.lit(d).cast("long").alias("d"))
-        for label, d in _CENSUS_DELAYS_US
+        for label, d in delays_us
     ])
-    e = t["events"].select(
-        "user_id", F.unix_micros(F.col("ts")).alias("tsu"),
-        F.explode(delays).alias("dl"),
+    e = ev.select(
+        "user_id", "tsu", F.explode(delays).alias("dl"),
     ).select("user_id", "tsu", F.col("dl.delay").alias("delay"),
              F.col("dl.d").alias("d"))
     from pyspark.sql.window import Window

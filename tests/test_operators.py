@@ -881,3 +881,29 @@ def test_containment_pairs_catch_subset_jaccard_misses(spark):
     assert ngram_jaccard_pairs(
         docs, text_col="text", id_col="doc_id", shingle_k=3, threshold=0.8
     ).count() == 0
+
+
+def test_stream_state_census_hostile_intervals(spark):
+    """Hand-computable peaks on a hostile stream: back-to-back events
+    merging into one interval, a user re-opening after the gap, and
+    three users overlapping at one instant."""
+    from sm_etl_cloud_run_spark.plans.events_queries import state_census
+
+    us = 1_000_000
+    rows = [
+        # user 1: events at 0s and 30s -> with D=60s ONE interval [0, 90s)
+        (1, 0), (1, 30 * us),
+        # user 1 again at 300s (gap 270s > 60s) -> second interval [300, 360)
+        (1, 300 * us),
+        # users 2,3: open inside user 1's first interval -> 3 concurrent
+        (2, 40 * us), (3, 50 * us),
+    ]
+    out = {r["delay"]: r for r in state_census(
+        spark.createDataFrame(rows, "user_id long, tsu long"),
+        delays_us=(("1m", 60 * us),),
+    ).collect()}
+    r = out["1m"]
+    assert r["n_intervals"] == 4          # u1×2, u2, u3
+    assert r["peak_state"] == 3           # at t in [50s, 90s)
+    # open time: u1 [0,90)+[300,360)=150s, u2 [40,100)=60s, u3 [50,110)=60s
+    assert r["sum_open_us"] == 270 * us

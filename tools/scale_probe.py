@@ -137,6 +137,7 @@ QUERIES = (
     "customer_t_closeness",
     "quality_classifier_train_auc",
     "text_shingle_df_profile",
+    "events_stream_state_census",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
