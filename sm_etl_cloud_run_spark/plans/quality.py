@@ -1031,7 +1031,12 @@ def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_b = Window.partitionBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    w_bcum = Window.orderBy("bal_band").rowsBetween(Window.unboundedPreceding, 0)
+    # explicit NULLS LAST: a NULL band (NULL acctbal in hostile regen)
+    # must cum in the same position on both engines (DuckDB ASC default
+    # is NULLS LAST; Spark's is NULLS FIRST)
+    w_bcum = Window.orderBy(F.col("bal_band").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     bands = s.select("bal_band").distinct().select(
         "bal_band", F.count(F.lit(1)).over(w_b).cast("long").alias("m")
     )
@@ -1057,7 +1062,7 @@ def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_gcum = (
         Window.partitionBy("c_nationkey", "c_mktsegment")
-        .orderBy("bal_band")
+        .orderBy(F.col("bal_band").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     grid = (
