@@ -176,6 +176,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "quality_classifier_train_auc",
     "text_shingle_df_profile",
     "events_stream_state_census",
+    "knn_ivf_recall_curve",
 )
 
 # Tier 2 — longest unchecked among unchanged queries (green rows from

@@ -573,7 +573,11 @@ _IVF_CENTROIDS_SQL = _rank_ids_sql(4, 5)   # ranks 6-9
 
 
 
-_IVF_ORACLE = f"""
+def _ivf_oracle_nprobe(nprobe: int) -> str:
+    """The IVF top-k oracle parameterized by nprobe (the `rn <=` probe
+    cut); `_IVF_ORACLE` keeps the historical nprobe=2 form and
+    `knn_ivf_recall_curve` sweeps 1/2/4."""
+    return f"""
 WITH c AS (
   SELECT vec_id AS cid, embedding AS cv FROM embeddings
   WHERE vec_id IN {_IVF_CENTROIDS_SQL}
@@ -583,7 +587,7 @@ qrank AS (
   SELECT cid, ROW_NUMBER() OVER (ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC, cid ASC) AS rn
   FROM c, q
 ),
-probe AS (SELECT cid FROM qrank WHERE rn <= 2),
+probe AS (SELECT cid FROM qrank WHERE rn <= {nprobe}),
 scored_c AS (
   SELECT e.vec_id, e.embedding, c.cid, {_cos_sql('e.embedding', 'c.cv')} AS s
   FROM embeddings e CROSS JOIN c
@@ -604,6 +608,9 @@ FROM cand
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {_TOPK}
 """
+
+
+_IVF_ORACLE = _ivf_oracle_nprobe(2)
 
 
 @register("knn_ivf", oracle=_IVF_ORACLE,
@@ -2319,3 +2326,73 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         kernel, "doc_id long, n_frames long, n_sampled long, checksum long"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning curve: recall@k per probe budget, one artifact
+# ---------------------------------------------------------------------------
+
+_CURVE_NPROBES = (1, 2, 4)
+
+_IVF_CURVE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT CAST({p} AS BIGINT) AS nprobe, CAST({_TOPK} AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(COUNT(*) * 10000 // {_TOPK} AS BIGINT) AS recall_bp
+FROM ({_KNN_ORACLE}) b
+JOIN ({_ivf_oracle_nprobe(p)}) a USING (vec_id)"""
+    for p in _CURVE_NPROBES
+)
+
+
+@register("knn_ivf_recall_curve", oracle=_IVF_CURVE_ORACLE,
+          description="ANN tuning curve: IVF recall@k at nprobe 1/2/4 against "
+                      "one shared brute-force ground truth — the scan-cost vs "
+                      "recall trade as a single artifact")
+def knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe dial `knn_ivf_recall` measures one point of, swept:
+    recall@k at probe budgets 1, 2 and 4 (= all centroids, so the top
+    row must read 10000 bp — the curve's built-in sanity anchor,
+    pinned by test). This is the ANN counterpart of the LSH S-curve
+    planner (`plan_lsh_bands`): pick the cheapest nprobe whose recall
+    clears the product bar, knowing scan cost ≈ nprobe/k_coarse of the
+    index.
+
+    Shape: ONE brute-force ground-truth pass (persisted k-row frame —
+    the expensive calibration side is paid once for the whole curve),
+    then one filtered IVF scan per budget; each arm's intersection is
+    a broadcast equi-join of two k-row frames. At 100 TB the arms
+    share the materialized cluster assignment as well (ivf_assign
+    writes it once; probing is a partition-pruned read per budget) —
+    at probe scale the three assignment passes here cost less than
+    the plumbing to share them.
+    """
+    from functools import reduce
+
+    from ..cache import persist_tracked
+    from ..operators.similarity import ivf_topk
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = _seed_rows(emb, 9)
+    qid = seeds[0]["vec_id"]
+    qv = [float(x) for x in seeds[0]["embedding"]]
+    centroids = [[float(x) for x in r["embedding"]] for r in seeds[5:9]]
+    rest = emb.where(F.col("vec_id") != qid)
+    bf = persist_tracked(brute_force_topk(rest, qv, k=_TOPK).select("vec_id"))
+    arms = []
+    for p in _CURVE_NPROBES:
+        approx = ivf_topk(
+            rest, qv, centroids, id_col="vec_id", vec_col="embedding",
+            k=_TOPK, nprobe=p,
+        ).select("vec_id")
+        arms.append(
+            bf.join(approx, "vec_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(p).cast("long").alias("nprobe"),
+                F.lit(_TOPK).cast("long").alias("k"),
+                F.col("hits").cast("long").alias("hits"),
+                F.expr(f"hits * 10000 div {_TOPK}").cast("long").alias("recall_bp"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), arms)

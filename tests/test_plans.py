@@ -838,3 +838,23 @@ def test_stream_state_census_monotone_in_delay():
     assert m1[3] <= m10[3] <= h1[3]          # peak_state
     assert m1[2] <= m10[2] <= h1[2]          # sum_open_us
     assert m1[1] >= m10[1] >= h1[1]          # n_intervals
+
+
+def test_ivf_recall_curve_monotone_with_exact_anchor():
+    """Recall must be non-decreasing in nprobe, and probing ALL
+    centroids (nprobe=4 of 4) is a full scan — exactly the brute-force
+    answer, so the last point MUST read 10000 bp."""
+    import duckdb
+
+    from sm_etl_cloud_run_spark.plans import all_queries
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    )
+    rows = sorted(con.execute(
+        all_queries()["knn_ivf_recall_curve"].oracle).fetchall())
+    assert [r[0] for r in rows] == [1, 2, 4]
+    assert rows[0][3] <= rows[1][3] <= rows[2][3]
+    assert rows[2][3] == 10000
