@@ -138,6 +138,7 @@ QUERIES = (
     "quality_classifier_train_auc",
     "text_shingle_df_profile",
     "events_stream_state_census",
+    "knn_ivf_recall_curve",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
