@@ -293,6 +293,14 @@ _HOSTILE_QUERIES = (
     "multimodal_frame_sample",
     "corpus_language_balance",
     "dedup_clone_collapse_gate",
+    # round-14: containment collapses md5(text) clones (NULL text ->
+    # coalesced '' at load, so all hostile rows share one rep), the
+    # AUC pair reads lang (NULL lang -> negative class), the df ladder
+    # shingles the coalesced text.
+    "dedup_containment_pairs",
+    "quality_classifier_auc",
+    "quality_classifier_train_auc",
+    "text_shingle_df_profile",
 )
 
 
@@ -434,7 +442,11 @@ def hostile_events_dir(tmp_path_factory):
      "events_theta_sketch_distinct", "events_bitmap_distinct_rollup",
      "events_gk_portable_quantiles", "events_tdigest_portable",
      "events_sessionize_incremental", "events_sketch_rollup_merge",
-     "f4_watermark_gate", "percentile_metrics", "skew_salted_user_join"],
+     "f4_watermark_gate", "percentile_metrics", "skew_salted_user_join",
+     # round-14: lateness orders by (event_id, tsu) — the duplicate
+     # event_id rows pin the tie contract; the census partitions by a
+     # NULLable user_id (a real group on both engines).
+     "events_late_data_profile", "events_stream_state_census"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
     problems = _oracle_compare(spark, hostile_events_dir, qname)
@@ -519,6 +531,9 @@ _HOSTILE_FACT_QUERIES = (
     "order_fulfillment_latency",
     "lineitem_corr_matrix",
     "orders_repeat_purchase",
+    # round-14: the estimator's md5 coin must flip identically on the
+    # contract-surviving key set (NULL l_partkey rows group as one key)
+    "join_size_estimate_sampled",
 )
 
 
@@ -563,7 +578,10 @@ def hostile_dims_dir(tmp_path_factory):
     ["q3_shipping_priority", "q5_region_revenue", "q9_product_profit",
      "q13_custdist_outer", "q2_min_cost_supplier", "flagship_panel_enrichment",
      "q10_returned_items", "q16_supplier_anti",
-     "customer_k_anonymity", "customer_l_diversity"],
+     "customer_k_anonymity", "customer_l_diversity",
+     # round-14: NULL nationkey is a real QI group; its grid rows join
+     # no group counts on EITHER engine (equality drops NULL=NULL)
+     "customer_t_closeness"],
 )
 def test_null_dim_rows_keep_oracle_parity(spark, hostile_dims_dir, qname):
     problems = _oracle_compare(spark, hostile_dims_dir, qname)
@@ -603,7 +621,7 @@ def hostile_embeddings_dir(tmp_path_factory):
      "embedding_hard_negatives",
      "knn_ivf_recall", "kmeans_cluster_purity", "knn_graph_link_prediction",
      "embedding_pca_top_component", "embedding_dim_profile",
-     "embedding_isotropy_probe"],
+     "embedding_isotropy_probe", "knn_ivf_recall_curve"],
 )
 def test_null_embedding_rows_keep_oracle_parity(spark, hostile_embeddings_dir, qname):
     problems = _oracle_compare(spark, hostile_embeddings_dir, qname)
