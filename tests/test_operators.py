@@ -907,3 +907,54 @@ def test_stream_state_census_hostile_intervals(spark):
     assert r["peak_state"] == 3           # at t in [50s, 90s)
     # open time: u1 [0,90)+[300,360)=150s, u2 [40,100)=60s, u3 [50,110)=60s
     assert r["sum_open_us"] == 270 * us
+
+
+def test_lateness_profile_incremental_equals_batch(spark):
+    """The streaming claim behind events_late_data_profile: lateness is
+    incrementally maintainable with ONE scalar of carried state (the
+    event-time high-water mark). Process a disordered stream in 3
+    arrival chunks, carry max(tsu) forward, clamp each chunk's prior
+    max against the carried scalar — the concatenated per-event
+    lateness must equal the single-pass profile exactly."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from sm_etl_cloud_run_spark.plans.events_queries import lateness_profile
+
+    rng = random.Random(13)
+    us = 1_000_000
+    rows = [(i, max(0, (i * 37) % 211 - rng.randrange(120)) * us)
+            for i in range(300)]
+    full = lateness_profile(
+        spark.createDataFrame(rows, "event_id long, tsu long")
+    ).collect()
+
+    hwm = None
+    merged: dict[str, int] = {}
+    for lo in range(0, 300, 100):  # 3 arrival chunks in event_id order
+        chunk = spark.createDataFrame(rows[lo:lo + 100], "event_id long, tsu long")
+        # a chunk-local prior max is wrong at the seam unless the
+        # carried hwm clamps it — fold the scalar into the window
+        w = Window.orderBy("event_id", "tsu").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        from pyspark.sql import functions as F2
+        pm = chunk.withColumn("lmax", F2.max("tsu").over(w))
+        pm = pm.withColumn(
+            "prior",
+            F2.greatest(F2.col("lmax"), F2.lit(hwm).cast("long"))
+            if hwm is not None else F2.col("lmax"),
+        )
+        late = pm.select(
+            F2.when(F2.col("prior").isNull() | (F2.col("prior") <= F2.col("tsu")), 0)
+            .otherwise(F2.col("prior") - F2.col("tsu")).alias("late_us")
+        ).collect()
+        for r in late:
+            lu = r["late_us"]
+            b = ("on_time" if lu == 0 else "<=1m" if lu <= 60 * us
+                 else "<=10m" if lu <= 600 * us
+                 else "<=1h" if lu <= 3600 * us else ">1h")
+            merged[b] = merged.get(b, 0) + 1
+        hwm = max([hwm or 0] + [t for _, t in rows[lo:lo + 100]])
+    assert merged == {r["lateness_bucket"]: r["n_events"] for r in full}
