@@ -718,3 +718,138 @@ def knn_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cn").desc(), F.col("jaccard_bp").desc(), "id_a", "id_b")
         .limit(_LP_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peeling) over the near-duplicate graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3   # unrolled peeling rounds (the BPE-trainer pattern:
+#                     fixed-R "k-core after R rounds" semantics, identical
+#                     CTE chain on both engines; R=3 reaches the fixpoint
+#                     on every fixture we probe — survivors' core degrees
+#                     are emitted so a non-converged graph is VISIBLE)
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev_v = None
+    for r in range(1, _KCORE_ROUNDS + 1):
+        src_deg = "d0" if r == 1 else f"d{r - 1}"
+        rounds.append(f"""
+v{r} AS (SELECT id FROM {src_deg} WHERE deg >= {_KCORE_K}),
+d{r} AS (
+  SELECT e.src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM edges e
+  JOIN v{r} a ON a.id = e.src
+  JOIN v{r} b ON b.id = e.dst
+  GROUP BY e.src
+),""")
+        prev_v = f"v{r}"
+    return f"""
+WITH h1 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 1)}),
+h2 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 2)}),
+h3 AS (SELECT embedding AS hv FROM embeddings WHERE vec_id IN {_rank_ids_sql(1, 3)}),
+demb AS (
+  SELECT embedding, MIN(vec_id) AS vec_id FROM embeddings GROUP BY embedding
+),
+eb AS (
+  SELECT vec_id, embedding, {_bucket_sql('e.embedding')} AS bucket
+  FROM demb e, h1, h2, h3
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(CAST({_dot_sql('a.embedding', 'b.embedding')} AS DOUBLE)
+              / (sqrt(CAST({_dot_sql('a.embedding', 'a.embedding')} AS DOUBLE))
+                 * sqrt(CAST({_dot_sql('b.embedding', 'b.embedding')} AS DOUBLE))), 6)
+        >= {_PR_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+d0 AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),{"".join(rounds)}
+final_v AS (SELECT id FROM {prev_v})
+SELECT d0.id AS vec_id, d0.deg AS deg_full,
+       CAST(CASE WHEN fv.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_kcore,
+       CAST(df.deg AS BIGINT) AS deg_core
+FROM d0
+LEFT JOIN final_v fv ON fv.id = d0.id
+LEFT JOIN d{_KCORE_ROUNDS} df ON df.id = d0.id
+"""
+
+
+@register("knn_graph_kcore", oracle=_kcore_oracle(),
+          description=f"k-core decomposition (k={_KCORE_K}, {_KCORE_ROUNDS} "
+                      "unrolled peeling rounds) over the near-duplicate graph "
+                      "— the density layer completing the graph family")
+def knn_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degeneracy peeling over the cosine near-duplicate graph: drop
+    every vertex with degree < k, recompute degrees among survivors,
+    repeat. The 2-core separates DENSE duplication communities (template
+    farms, mirror clusters — worth cluster-level dedup decisions) from
+    incidental pairwise matches (peeled leaves); PageRank ranks hubs,
+    k-core finds the cohesive subgraph they sit in.
+
+    Fixed-R semantics, the corpus_bpe_train_rounds pattern: exactly
+    {_KCORE_ROUNDS} peeling rounds unrolled identically in both engines
+    (no data-dependent termination to disagree on); survivors carry
+    their final core degree, so a graph that needs a 4th round is
+    visible in the output (a survivor with deg_core < k), not silently
+    wrong. Edge discovery reuses the pagerank path: exact-dup collapse
+    (one hash aggregate) then LSH-bucketed candidate pairs — the
+    clone-collapse discipline. Each peeling round is two semi-joins of
+    the edge list against the parameter-shrinking survivor set plus one
+    map-side-combined degree aggregate; the edge list is persisted
+    once. At 100 TB: rounds cost |E| hash-join work each, R is a
+    constant, and no step sorts or windows the graph globally.
+    """
+    from ..cache import persist_tracked
+    from ..operators.similarity import embedding_cosine_dup_pairs
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = _seed_rows(emb, 4)
+    planes = [[float(x) for x in seeds[i]["embedding"]] for i in (1, 2, 3)]
+    distinct = emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    pairs = embedding_cosine_dup_pairs(
+        distinct, id_col="vec_id", vec_col="embedding",
+        threshold=_PR_THRESHOLD, hyperplanes=planes,
+    )
+    edges = persist_tracked(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+    )
+    d0 = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .withColumnRenamed("src", "id")
+    )
+    deg = d0
+    for _ in range(_KCORE_ROUNDS):
+        alive = deg.where(F.col("deg") >= _KCORE_K).select("id")
+        deg = (
+            edges
+            .join(alive.withColumnRenamed("id", "src"), "src")
+            .join(alive.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .withColumnRenamed("src", "id")
+        )
+    final_v = alive
+    d_final = deg
+    return (
+        d0.withColumnRenamed("deg", "deg_full")
+        .join(final_v.withColumn("__in", F.lit(1)), "id", "left")
+        .join(d_final.withColumnRenamed("deg", "deg_core"), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("deg_full").cast("long").alias("deg_full"),
+            F.coalesce(F.col("__in"), F.lit(0)).cast("long").alias("in_kcore"),
+            F.col("deg_core").cast("long").alias("deg_core"),
+        )
+    )

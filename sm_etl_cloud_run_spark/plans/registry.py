@@ -177,6 +177,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "text_shingle_df_profile",
     "events_stream_state_census",
     "knn_ivf_recall_curve",
+    "knn_graph_kcore",
 )
 
 # Tier 2 — longest unchecked among unchanged queries (green rows from

@@ -621,7 +621,8 @@ def hostile_embeddings_dir(tmp_path_factory):
      "embedding_hard_negatives",
      "knn_ivf_recall", "kmeans_cluster_purity", "knn_graph_link_prediction",
      "embedding_pca_top_component", "embedding_dim_profile",
-     "embedding_isotropy_probe", "knn_ivf_recall_curve"],
+     "embedding_isotropy_probe", "knn_ivf_recall_curve",
+     "knn_graph_kcore"],
 )
 def test_null_embedding_rows_keep_oracle_parity(spark, hostile_embeddings_dir, qname):
     problems = _oracle_compare(spark, hostile_embeddings_dir, qname)

@@ -127,6 +127,7 @@ _NESTED_LOOP_OK = {
     "knn_graph_pagerank",
     "knn_graph_bfs_levels",  # same edge discovery as pagerank (plane scalars)
     "knn_graph_triangles",   # same edge discovery (plane scalars)
+    "knn_graph_kcore",       # same edge discovery (plane scalars)
     "training_dsir_sample",  # 1-row t_src/t_tgt scalar broadcast
     "text_pmi_collocations",  # 1-row total-token scalar broadcast (N for PMI)
     "text_bm25_topk",        # 1-row corpus-stats (N, total_tokens) scalar broadcast

@@ -139,6 +139,7 @@ QUERIES = (
     "text_shingle_df_profile",
     "events_stream_state_census",
     "knn_ivf_recall_curve",
+    "knn_graph_kcore",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
