@@ -3609,3 +3609,112 @@ def state_census(
     return stats.join(peak, "delay").select(
         "delay", "n_intervals", "sum_open_us", "peak_state"
     )
+
+
+# ---------------------------------------------------------------------------
+# the watermark TRADE-OFF table: completeness lost vs state paid, per delay
+# ---------------------------------------------------------------------------
+
+def _tradeoff_oracle() -> str:
+    drops = []
+    for label, d in _CENSUS_DELAYS_US:
+        drops.append(f"""
+  SELECT '{label}' AS delay,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN late_us > {d} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped
+  FROM lat""")
+    return f"""
+WITH e AS (
+  SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS tsu FROM events
+),
+pm AS (
+  SELECT event_id, tsu,
+         MAX(tsu) OVER (ORDER BY event_id, tsu
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_max
+  FROM e
+),
+lat AS (
+  SELECT CASE WHEN prior_max IS NULL OR prior_max <= tsu THEN CAST(0 AS BIGINT)
+              ELSE prior_max - tsu END AS late_us
+  FROM pm
+),
+drops AS ({" UNION ALL ".join(drops)}),
+census AS ({_census_oracle()})
+SELECT d.delay, d.n_events, d.n_dropped,
+       CAST((10000 * d.n_dropped) // d.n_events AS BIGINT) AS dropped_bp,
+       c.peak_state, c.n_intervals, c.sum_open_us
+FROM drops d JOIN census c ON c.delay = d.delay
+"""
+
+
+@register("events_watermark_tradeoff", oracle=_tradeoff_oracle(),
+          description="the watermark DECISION table: per candidate delay, "
+                      "exact data lost (events later than D) vs state paid "
+                      "(peak concurrent per-user entries)")
+def events_watermark_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact the late-data profile and the state census build
+    toward, joined on the delay ladder: for each candidate
+    `withWatermark` delay D, what the stream LOSES (events whose
+    lateness against the running event-time high-water mark exceeds D
+    — they'd arrive after their window finalized) against what the
+    cluster PAYS (the census's exact peak concurrent per-user state
+    and total open state-time). Reading this table IS the watermark
+    decision: pick the smallest D whose dropped_bp clears the
+    completeness bar and whose peak_state fits executor memory.
+
+    Shape: the lateness arm is one distributed prefix-max pass with
+    THREE conditional-count columns (no per-delay explode — the ladder
+    lives in the aggregate, so adding a candidate delay costs one
+    column, not one scan); the census arm is
+    :func:`state_census`; the join is ladder-sized. Integer-exact
+    throughout (BIGINT microseconds, offset-free bp DIVs).
+    """
+    from ..operators.windows import distributed_running_max
+
+    t = load_tables(spark, sf_dir)
+    base = t["events"].select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("tsu")
+    )
+    pm = distributed_running_max(
+        base.select("event_id", "tsu"),
+        [F.col("event_id"), F.col("tsu")], "tsu",
+        max_name="prior_max", exclusive=True,
+    )
+    late = pm.select(
+        F.when(
+            F.col("prior_max").isNull() | (F.col("prior_max") <= F.col("tsu")),
+            F.lit(0),
+        )
+        .otherwise(F.col("prior_max") - F.col("tsu"))
+        .cast("long")
+        .alias("late_us")
+    )
+    agg_cols = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    for label, d in _CENSUS_DELAYS_US:
+        agg_cols.append(
+            F.sum(F.when(F.col("late_us") > d, 1).otherwise(0))
+            .cast("long").alias(f"__drop_{label}")
+        )
+    one = late.agg(*agg_cols)
+    ladder = F.array(*[
+        F.struct(
+            F.lit(label).alias("delay"),
+            F.col(f"__drop_{label}").alias("n_dropped"),
+        )
+        for label, _ in _CENSUS_DELAYS_US
+    ])
+    drops = one.select(
+        "n_events", F.explode(ladder).alias("x")
+    ).select(
+        F.col("x.delay").alias("delay"), "n_events",
+        F.col("x.n_dropped").alias("n_dropped"),
+        F.expr("CAST((10000 * x.n_dropped) DIV n_events AS BIGINT)")
+        .alias("dropped_bp"),
+    )
+    census = state_census(base.select("user_id", "tsu"))
+    return drops.join(census, "delay").select(
+        "delay", "n_events", "n_dropped", "dropped_bp",
+        "peak_state", "n_intervals", "sum_open_us",
+    )

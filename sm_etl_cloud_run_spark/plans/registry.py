@@ -178,6 +178,7 @@ _CHANGED_OR_NEVER_CHECKED = (
     "events_stream_state_census",
     "knn_ivf_recall_curve",
     "knn_graph_kcore",
+    "events_watermark_tradeoff",
 )
 
 # Tier 2 — longest unchecked among unchanged queries (green rows from

@@ -446,7 +446,8 @@ def hostile_events_dir(tmp_path_factory):
      # round-14: lateness orders by (event_id, tsu) — the duplicate
      # event_id rows pin the tie contract; the census partitions by a
      # NULLable user_id (a real group on both engines).
-     "events_late_data_profile", "events_stream_state_census"],
+     "events_late_data_profile", "events_stream_state_census",
+     "events_watermark_tradeoff"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
     problems = _oracle_compare(spark, hostile_events_dir, qname)
