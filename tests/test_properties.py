@@ -226,3 +226,42 @@ def test_cdc_diff_apply_roundtrip_property(spark, old_rows, new_rows):
         .unionByName(diff.withColumn("seq", F.lit(1)))
     applied = {r["k"]: r["v"] for r in apply_cdc(log, ["k"], ["seq"]).collect()}
     assert applied == new_d
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30),
+                  st.integers(min_value=-50, max_value=50)),
+        min_size=1, max_size=80,
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+def test_distributed_running_max_property(spark, pairs, nparts):
+    """Prefix-max == Python's itertools.accumulate(max) over the sorted
+    stream, for ANY generated multiset of (key, value) rows and ANY
+    partition count — inclusive and exclusive forms. Values are made a
+    FUNCTION of the order key so duplicate order keys carry equal
+    values (the operator's tie contract)."""
+    import itertools
+
+    from sm_etl_cloud_run_spark.operators.windows import distributed_running_max
+
+    rows = [(k, (k * 13) % 37 - 18) for k, _ in pairs]  # v = f(k): tie-safe
+    df = spark.createDataFrame(rows, "k long, v long")
+    ordered = sorted(rows)
+    inc_want = list(itertools.accumulate((v for _, v in ordered), max))
+    exc_want = [None] + inc_want[:-1]
+    for exclusive, want in ((False, inc_want), (True, exc_want)):
+        got = distributed_running_max(
+            df, [F.col("k"), F.col("v")], "v",
+            max_name="m", exclusive=exclusive, num_partitions=nparts,
+        ).collect()
+        # rows tied on (k, v) may swap positions, but the MULTISET of
+        # (k, v, prefix-max) triples is order-invariant — compare those
+        from collections import Counter
+        want_rows = Counter(zip((k for k, _ in ordered), (v for _, v in ordered), want))
+        got_rows = Counter(
+            (r["k"], r["v"], r["m"]) for r in got
+        )
+        assert got_rows == want_rows, exclusive
