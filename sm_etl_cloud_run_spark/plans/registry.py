@@ -109,115 +109,25 @@ def register(
     return deco
 
 
-# The driver's CORRECTNESS gate checks exactly the FIRST 50 queries that
-# ``all_queries()`` yields. The yield order is change-aware (VERDICT r3,
-# "Next round" item 2): lead with queries whose implementation changed
-# since their last green driver row or that never had one, then the
-# longest-unchecked block, then the most recently checked block.
-# Registration order is unchanged; only the yield order is prioritized.
-
-# Tier 1 — queries whose implementation changed after their last green
-# driver row, plus anything newly registered. Round 9: CORRECTNESS_r08
-# greened exactly the first 50 of the round-8 ordering, so the head is
-# now the 29 contract-touched events rows that missed that window
-# (VERDICT r8 "Next round" item 1 — their newest driver-green row
-# predates the event_id load contract), ordered longest-unchecked
-# first, then this round's newly-registered queries.
-_CHANGED_OR_NEVER_CHECKED = (
-    # events family under the event_id contract, missed the r8 window —
-    # last driver-checked r4/r5:
-    "events_grouping_sets",
-    "events_asof_tolerance",
-    "events_rolling_wau",
-    "events_type_cooccurrence",
-    "events_session_stats",
-    "events_nstep_funnel",
-    "events_ab_test_readout",
-    "events_benford_audit",
-    # rows-only by design (weaker driver check, still contract-touched;
-    # events_sketch_rollup_merge additionally REIMPLEMENTED this round
-    # as a fully oracle-checked portable sketch — VERDICT r8 item 2):
-    "events_sketch_profile",
-    "events_sketch_rollup_merge",
-    "events_rolling_wau_hll",
-    # events family under the contract — last driver-checked r7:
-    "events_multitouch_attribution",
-    "events_value_ntile",
-    "events_cume_dist",
-    "events_winsorized_stats",
-    "events_mad_outliers",
-    "events_inter_arrival_stats",
-    "events_key_skew_profile",
-    "events_rfm_segments",
-    "events_decile_lift",
-    "events_hourly_rollup",
-    "events_sliding_window",
-    "percentile_metrics",
-    "events_sessionize",
-    "events_json_extract",
-    "f4_watermark_gate",
-    "events_asof_last_click",
-    "skew_salted_user_join",
-    "events_pivot_type_counts",
-    # registered round 9, never driver-checked (appended as they land):
-    "quality_classifier_train",
-    "multimodal_audio_fingerprint_dedup",
-    "events_gk_portable_quantiles",
-    "events_bitmap_distinct_rollup",
-    "events_theta_sketch_distinct",
-    "dedup_clone_collapse_gate",
-    "events_tdigest_portable",
-    "events_sessionize_incremental",
-    "events_late_data_profile",
-    "dedup_containment_pairs",
-    "quality_classifier_auc",
-    "join_size_estimate_sampled",
-    "customer_t_closeness",
-    "quality_classifier_train_auc",
-    "text_shingle_df_profile",
-    "events_stream_state_census",
-    "knn_ivf_recall_curve",
-    "knn_graph_kcore",
-    "events_watermark_tradeoff",
-)
-
-# Tier 2 — longest unchecked among unchanged queries (green rows from
-# rounds 1/2). 29 + 8 tier-1 rows leave 13 window slots: the first 13
-# below complete the 50; the rest clear in round 10 (every other
-# registry row is r8-green, so the whole ledger is ≤2 rounds old
-# after that).
-_DRIVER_CHECKED_R1_R2 = (
-    "corr_qty_discount", "topk_per_group", "f5_sliding_month_gate",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "f1_panel_semi_join", "f2_composite_predicate", "f3_conditional_null",
-    "f6_retention_window", "j1_period_range_join", "j1_period_equi_join",
-    "j1_period_bucketed_range_join", "j4_next_period_lead",
-    "a1_partition_rollup", "a4_null_validator", "r1_unpivot_melt",
-    "r2_union_harmonized", "p7_p8_code_split", "c1_c2_bool_decode",
-    "c6_roman_numerals", "c9_c14_date_parse", "c16_interval_text",
-    "c19_decimal_comma", "c18_c20_typed_measures",
-    "flagship_panel_enrichment", "pipeline_fact_transform",
-    "p1_p6_rename_project", "c5_substance_flags",
-    "s3_ftp_list_scan", "a5_distinct",
-    "p9_deterministic_row_id",
-)
+# The driver's CORRECTNESS gate checks exactly the FIRST 50 queries
+# that ``all_queries()`` yields. Through round 9 the yield order was
+# two hand-edited tier tuples; round 9 ran AT window capacity, one
+# hand edit away from a new query missing its own driver check. The
+# order is now COMPUTED from the CORRECTNESS_r*.json ledger
+# (window_plan.planned_order: never-checked first, then the
+# hand-declared force-recheck list of changed implementations, then
+# stale-first by last green round — VERDICT r9 "Next round" item 2).
+# Registration order is unchanged; only the yield order is planned.
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    """Yield specs in driver-window priority order.
+    """Yield specs in driver-window priority order (see
+    ``window_plan.planned_order``): never-checked queries first, then
+    force-recheck (changed implementations), then everything else
+    longest-unchecked-first per the CORRECTNESS ledger."""
+    from .window_plan import planned_order
 
-    Tier 1 (changed/never-checked) first, then tier 2 (longest
-    unchecked), then everything else (checked green most recently, in
-    registration order). Names listed but not registered are skipped.
-    """
-    ordered: dict[str, QuerySpec] = {}
-    for name in (*_CHANGED_OR_NEVER_CHECKED, *_DRIVER_CHECKED_R1_R2):
-        if name in _REGISTRY and name not in ordered:
-            ordered[name] = _REGISTRY[name]
-    for name, spec in _REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = spec
-    return ordered
+    return {name: _REGISTRY[name] for name in planned_order(list(_REGISTRY))}
 
 
 def bench_queries() -> dict[str, QuerySpec]:
