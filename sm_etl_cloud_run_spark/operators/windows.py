@@ -646,7 +646,13 @@ def distributed_running_max(
     PRECEDING AND 1 PRECEDING``: row r sees the max of rows strictly
     before it (NULL for the first row overall) — the form a
     late-data/watermark audit needs, where an event must not count as
-    late against itself. ``value_col`` must be integral and non-NULL;
+    late against itself. ``value_col`` must be integral; NULL values
+    are IGNORED by the prefix max (both ``MAX`` and ``greatest`` skip
+    NULLs on both engines), i.e. a NULL-value row sees the max of the
+    non-NULL values before it — NULL only if none exist — and
+    contributes nothing to later rows. Callers that feed derived
+    values (e.g. ``unix_micros(ts)`` in the lateness family) rely on
+    exactly this for contract-dropped NULL timestamps (ADVICE r9).
     ``order_by`` must totally order rows up to ties that carry equal
     ``value_col`` (with (key..., value) orderings, tied rows see the
     same prefix max either way, so the result is order-stable).

@@ -2609,18 +2609,18 @@ def dedup_clone_collapse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SDF_LADDER = (
     ("df=1", 1), ("df=2", 2), ("df<=4", 4), ("df<=8", 8), ("df<=16", 16),
 )
+# the overflow label is DERIVED from the top rung so editing the ladder
+# can't silently mislabel the bucket on one engine (ADVICE r9); the
+# rung conditions below are likewise generated from the same tuple
+_SDF_OVERFLOW = f"df>{_SDF_LADDER[-1][1]}"
 
 _SDF_ORACLE = f"""
 WITH {_shingle_cte()},
 ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
 dfs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY s),
 b AS (
-  SELECT CASE WHEN df = 1 THEN 'df=1'
-              WHEN df = 2 THEN 'df=2'
-              WHEN df <= 4 THEN 'df<=4'
-              WHEN df <= 8 THEN 'df<=8'
-              WHEN df <= 16 THEN 'df<=16'
-              ELSE 'df>16' END AS df_bucket,
+  SELECT CASE {" ".join(f"WHEN df <= {hi} THEN '{name}'" for name, hi in _SDF_LADDER)}
+              ELSE '{_SDF_OVERFLOW}' END AS df_bucket,
          df
   FROM dfs
 ),
@@ -2648,7 +2648,8 @@ def text_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_containment_pairs`, `text_winnowing_overlap_pairs`): a
     shingle in df documents contributes df·(df−1)/2 rows to the
     self-join, so the join's cost distribution over df buckets IS the
-    cap decision — the 'df>16' row is exactly the cost the cap
+    cap decision — the overflow row (`_SDF_OVERFLOW`, derived from the
+    ladder's top rung) is exactly the cost the cap
     deletes, and its join_rows_share_bp is the % of the quadratic
     blow-up avoided (on boilerplate-heavy crawls that row dominates;
     the cap's recall loss is the same row's n_shingles as a share of
@@ -2672,10 +2673,10 @@ def text_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s"),
     )
     dfs = ex.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    bucket = F.when(F.col("df") == 1, "df=1")
+    bucket = F.when(F.col("df") <= _SDF_LADDER[0][1], _SDF_LADDER[0][0])
     for name, hi in _SDF_LADDER[1:]:
         bucket = bucket.when(F.col("df") <= hi, name)
-    bucket = bucket.otherwise("df>16")
+    bucket = bucket.otherwise(_SDF_OVERFLOW)
     g = (
         dfs.select(bucket.alias("df_bucket"), "df")
         .groupBy("df_bucket")

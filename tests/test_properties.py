@@ -247,10 +247,20 @@ def test_distributed_running_max_property(spark, pairs, nparts):
 
     from sm_etl_cloud_run_spark.operators.windows import distributed_running_max
 
-    rows = [(k, (k * 13) % 37 - 18) for k, _ in pairs]  # v = f(k): tie-safe
+    # v = f(k): tie-safe. Every 4th key carries a NULL value — the
+    # operator's contract (ADVICE r9) is that NULL values are IGNORED
+    # by the prefix max: a NULL row sees the max of prior non-NULLs
+    # (NULL if none) and contributes nothing to later rows — exactly
+    # what the lateness callers rely on for NULL unix_micros(ts).
+    rows = [
+        (k, None if k % 4 == 0 else (k * 13) % 37 - 18) for k, _ in pairs
+    ]
     df = spark.createDataFrame(rows, "k long, v long")
-    ordered = sorted(rows)
-    inc_want = list(itertools.accumulate((v for _, v in ordered), max))
+    ordered = sorted(rows, key=lambda r: r[0])  # equal k ⇒ equal v
+    inc_want = list(itertools.accumulate(
+        (v for _, v in ordered),
+        lambda m, v: m if v is None else v if m is None else max(m, v),
+    ))
     exc_want = [None] + inc_want[:-1]
     for exclusive, want in ((False, inc_want), (True, exc_want)):
         got = distributed_running_max(

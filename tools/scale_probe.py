@@ -140,6 +140,10 @@ QUERIES = (
     "events_stream_state_census",
     "knn_ivf_recall_curve",
     "knn_graph_kcore",
+    # the watermark decision table (census arm + lateness ladder) — its
+    # 256x number in ROUND_NOTES must be reproducible from the default
+    # probe set, not an ad-hoc --queries invocation (ADVICE r9)
+    "events_watermark_tradeoff",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
