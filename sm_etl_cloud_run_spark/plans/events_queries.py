@@ -3551,11 +3551,22 @@ def events_stream_state_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 def state_census(
     ev: DataFrame,
     delays_us: tuple[tuple[str, int], ...] = _CENSUS_DELAYS_US,
+    *,
+    close_pad_us: int = 0,
 ) -> DataFrame:
     """Core of `events_stream_state_census` over a (user_id, tsu)
     relation — split out so tests can feed hostile fixtures (nested /
     back-to-back intervals, simultaneous endpoints across users) with
-    hand-computable peaks."""
+    hand-computable peaks.
+
+    ``close_pad_us`` separates the MERGE gap from the EVICTION horizon:
+    intervals merge events ``d`` apart but close at ``last + d + pad``.
+    The default 0 is the registered query's model (a per-user aggregate
+    with watermark delay d). A gap-G sessionizer run with watermark
+    delay W holds state until the event-time high-water mark passes
+    ``last + G + W`` while merging by G — i.e. rungs ``(label, G)`` with
+    ``close_pad_us=W`` price it exactly (the streaming integration test
+    pins evicted counts against this)."""
     from ..operators.windows import distributed_cumsum_in_groups
 
     delays = F.array(*[
@@ -3581,7 +3592,7 @@ def state_census(
         sess.groupBy("delay", "user_id", "sid")
         .agg(
             F.min("tsu").alias("t_open"),
-            (F.max("tsu") + F.max("d")).alias("t_close"),
+            (F.max("tsu") + F.max("d") + F.lit(close_pad_us)).alias("t_close"),
         )
     )
     from ..cache import persist_tracked
@@ -3671,12 +3682,25 @@ def events_watermark_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`state_census`; the join is ladder-sized. Integer-exact
     throughout (BIGINT microseconds, offset-free bp DIVs).
     """
-    from ..operators.windows import distributed_running_max
-
     t = load_tables(spark, sf_dir)
     base = t["events"].select(
         "event_id", "user_id", F.unix_micros(F.col("ts")).alias("tsu")
     )
+    return watermark_tradeoff_table(base)
+
+
+def watermark_tradeoff_table(
+    base: DataFrame,
+    delays_us: tuple[tuple[str, int], ...] = _CENSUS_DELAYS_US,
+) -> DataFrame:
+    """Core of `events_watermark_tradeoff` over an (event_id, user_id,
+    tsu) relation — split out so the STREAMING paths can compute the
+    decision table on any batch history slice and act on it
+    (`streaming.stream_ops.plan_watermark_delay`, VERDICT r9 item 5),
+    and so tests can feed hostile fixtures with hand-computable
+    drop/peak numbers."""
+    from ..operators.windows import distributed_running_max
+
     pm = distributed_running_max(
         base.select("event_id", "tsu"),
         [F.col("event_id"), F.col("tsu")], "tsu",
@@ -3692,7 +3716,7 @@ def events_watermark_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("late_us")
     )
     agg_cols = [F.count(F.lit(1)).cast("long").alias("n_events")]
-    for label, d in _CENSUS_DELAYS_US:
+    for label, d in delays_us:
         agg_cols.append(
             F.sum(F.when(F.col("late_us") > d, 1).otherwise(0))
             .cast("long").alias(f"__drop_{label}")
@@ -3703,7 +3727,7 @@ def events_watermark_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(label).alias("delay"),
             F.col(f"__drop_{label}").alias("n_dropped"),
         )
-        for label, _ in _CENSUS_DELAYS_US
+        for label, _ in delays_us
     ])
     drops = one.select(
         "n_events", F.explode(ladder).alias("x")
@@ -3713,7 +3737,7 @@ def events_watermark_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((10000 * x.n_dropped) DIV n_events AS BIGINT)")
         .alias("dropped_bp"),
     )
-    census = state_census(base.select("user_id", "tsu"))
+    census = state_census(base.select("user_id", "tsu"), delays_us)
     return drops.join(census, "delay").select(
         "delay", "n_events", "n_dropped", "dropped_bp",
         "peak_state", "n_intervals", "sum_open_us",

@@ -712,3 +712,186 @@ def stream_velocity_alerts(
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# watermark planning: act on the events_watermark_tradeoff decision table
+# ---------------------------------------------------------------------------
+
+
+def plan_watermark_delay(
+    tradeoff,
+    *,
+    max_dropped_bp: int,
+    max_peak_state: int | None = None,
+    delays_us: tuple[tuple[str, int], ...] | None = None,
+) -> tuple[str, int]:
+    """Pick the watermark delay FROM the decision table instead of by
+    folklore (VERDICT r9 item 5): the smallest candidate D whose exact
+    completeness loss (``dropped_bp``, events later than D against the
+    running event-time high-water mark) clears ``max_dropped_bp`` and —
+    when a state budget is given — whose exact peak concurrent per-user
+    state (``peak_state``) fits ``max_peak_state``.
+
+    ``tradeoff`` is the output of
+    ``plans.events_queries.watermark_tradeoff_table`` (DataFrame or its
+    collected rows — it is ladder-sized, so collecting here is a
+    parameter-sized transfer). Returns ``(label, d_us)``. Raises
+    ``ValueError`` when no rung qualifies: the table's job is to force
+    that conversation (grow the ladder, relax the bar, or buy memory),
+    not to silently pick the least-bad rung.
+    """
+    if delays_us is None:
+        from ..plans.events_queries import _CENSUS_DELAYS_US
+        delays_us = _CENSUS_DELAYS_US
+    d_of = dict(delays_us)
+    rows = tradeoff.collect() if hasattr(tradeoff, "collect") else list(tradeoff)
+    viable = [
+        (d_of[r["delay"]], r["delay"])
+        for r in rows
+        if r["delay"] in d_of
+        and r["dropped_bp"] <= max_dropped_bp
+        and (max_peak_state is None or r["peak_state"] <= max_peak_state)
+    ]
+    if not viable:
+        raise ValueError(
+            f"no candidate delay meets dropped_bp<={max_dropped_bp}"
+            f" and peak_state<={max_peak_state}; ladder covered"
+            f" {sorted(d_of)} us — widen the ladder or relax a bar"
+        )
+    d, label = min(viable)
+    return label, d
+
+
+def _us_to_duration(d_us: int) -> str:
+    """Exact CalendarInterval string for a microsecond delay (whole
+    seconds required — the ladder's rungs are minutes/hours)."""
+    if d_us % 1_000_000:
+        raise ValueError(f"sub-second watermark delay not supported: {d_us}us")
+    return f"{d_us // 1_000_000} seconds"
+
+
+def _duration_to_us(dur: str) -> int:
+    """Inverse of :func:`_us_to_duration` for the gap grammar
+    `sessionize_stateful_timeout` accepts ("<n> seconds|minutes|hours")."""
+    qty, unit = dur.split()
+    return int(qty) * {"seconds": 1, "minutes": 60, "hours": 3600}[unit] * 1_000_000
+
+
+def sessionize_with_planned_watermark(
+    events: DataFrame,
+    history: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    max_dropped_bp: int,
+    max_peak_state: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    delays_us: tuple[tuple[str, int], ...] | None = None,
+) -> tuple[str, int, DataFrame]:
+    """Gap-``gap`` stateful sessionization whose WATERMARK DELAY W is
+    chosen from the decision table computed on a batch ``history``
+    slice (event_id, user_id, ts) — closing the loop the
+    census/tradeoff queries open (VERDICT r9 item 5).
+
+    The two bars budget the two real costs:
+
+    - completeness: ``dropped_bp`` per rung W is the exact share of
+      history events later than W against the running event-time
+      high-water mark (the lateness arm of
+      ``watermark_tradeoff_table``) — those are the events the stream
+      would refuse;
+    - state: a gap-G sessionizer with delay W merges events G apart
+      but holds each entry until the high-water mark passes
+      ``last + G + W``, so the peak is priced by
+      ``state_census(history, rungs=(label, G), close_pad_us=W)`` —
+      NOT by the registered census's (G=0) model. The chosen rung's
+      ``n_intervals`` under that pricing is the run's exact
+      evicted-state count, which tests/test_streaming.py pins against
+      the actual stream on a shared fixture.
+
+    Returns ``(label, w_us, stream_df)``.
+    """
+    from ..plans.events_queries import (
+        _CENSUS_DELAYS_US,
+        state_census,
+        watermark_tradeoff_table,
+    )
+
+    ladder = _CENSUS_DELAYS_US if delays_us is None else delays_us
+    gap_us = _duration_to_us(gap)
+    base = history.select(
+        "event_id", F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("tsu"),
+    )
+    drops = watermark_tradeoff_table(base, ladder).collect()
+    # price state at the EFFECTIVE horizon per rung: merge by G, close
+    # at last + G + W. Because the pad differs per rung while the merge
+    # gap does not, each rung is its own 1-rung census call (the loop is
+    # ladder-sized) rather than one stacked ladder whose d would wrongly
+    # serve as the merge gap.
+    priced = {}
+    for label, w_us in ladder:
+        row = state_census(
+            base.select("user_id", "tsu"),
+            ((label, gap_us),),
+            close_pad_us=w_us,
+        ).collect()
+        if row:
+            priced[label] = row[0]
+    merged = [
+        {
+            "delay": r["delay"],
+            "dropped_bp": r["dropped_bp"],
+            "peak_state": priced[r["delay"]]["peak_state"],
+            "n_intervals": priced[r["delay"]]["n_intervals"],
+        }
+        for r in drops
+        if r["delay"] in priced
+    ]
+    label, w = plan_watermark_delay(
+        merged, max_dropped_bp=max_dropped_bp, max_peak_state=max_peak_state,
+        delays_us=ladder,
+    )
+    out = sessionize_stateful_timeout(
+        events, user_col=user_col, ts_col=ts_col,
+        gap=gap, watermark=_us_to_duration(w),
+    )
+    return label, w, out
+
+
+def velocity_alerts_with_planned_watermark(
+    events: DataFrame,
+    history: DataFrame,
+    *,
+    max_dropped_bp: int,
+    max_peak_state: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    delays_us: tuple[tuple[str, int], ...] | None = None,
+    **velocity_kwargs,
+) -> tuple[str, int, DataFrame]:
+    """`stream_velocity_alerts` with its state-eviction horizon chosen
+    from the decision table on a batch ``history`` slice: D bounds how
+    late an event may arrive and still count toward an alert window,
+    and the table says exactly what share of events that sacrifices
+    (``dropped_bp``) for what state ceiling. Returns
+    ``(label, d_us, stream_df)``."""
+    from ..plans.events_queries import watermark_tradeoff_table
+
+    base = history.select(
+        "event_id", F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("tsu"),
+    )
+    table = watermark_tradeoff_table(
+        base, *(() if delays_us is None else (delays_us,))
+    )
+    label, d = plan_watermark_delay(
+        table, max_dropped_bp=max_dropped_bp, max_peak_state=max_peak_state,
+        delays_us=delays_us,
+    )
+    out = stream_velocity_alerts(
+        events, ts_col=ts_col, user_col=user_col,
+        watermark=_us_to_duration(d), **velocity_kwargs,
+    )
+    return label, d, out
