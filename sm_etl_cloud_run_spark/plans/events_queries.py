@@ -3742,3 +3742,110 @@ def watermark_tradeoff_table(
         "delay", "n_events", "n_dropped", "dropped_bp",
         "peak_state", "n_intervals", "sum_open_us",
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM migration: monetary-quartile transition matrix across the two halves
+# ---------------------------------------------------------------------------
+
+_MIG_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL
+),
+mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS m FROM e),
+u1 AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS monetary
+  FROM e, mid WHERE us < m GROUP BY user_id
+),
+u2 AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS monetary
+  FROM e, mid WHERE us >= m GROUP BY user_id
+),
+q1 AS (
+  SELECT user_id, monetary,
+         CAST(NTILE(4) OVER (ORDER BY monetary ASC, user_id ASC) AS BIGINT) AS seg
+  FROM u1
+),
+q2 AS (
+  SELECT user_id, monetary,
+         CAST(NTILE(4) OVER (ORDER BY monetary ASC, user_id ASC) AS BIGINT) AS seg
+  FROM u2
+)
+SELECT CAST(COALESCE(q1.seg, 0) AS BIGINT) AS seg_h1,
+       CAST(COALESCE(q2.seg, 0) AS BIGINT) AS seg_h2,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COALESCE(SUM(q1.monetary), 0) AS BIGINT) AS monetary_h1_cents,
+       CAST(COALESCE(SUM(q2.monetary), 0) AS BIGINT) AS monetary_h2_cents
+FROM q1 FULL OUTER JOIN q2 ON q1.user_id = q2.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("events_rfm_migration", oracle=_MIG_ORACLE,
+          description="segment-migration matrix: per-user monetary quartile "
+                      "in the first vs second half of the corpus window, with "
+                      "explicit new/churned rows (segment 0)")
+def events_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temporal companion to events_rfm_segments: segmentation is a
+    snapshot, but the DECISIONS (win-back, upsell, churn save) live in
+    the transitions — so split the corpus at its midpoint timestamp,
+    score every user's monetary quartile within each half, and count
+    the (seg_h1, seg_h2) migration cells. Users absent from a half get
+    the explicit segment 0 (new joiners / churned), so the matrix's
+    margins reconcile to each half's user census instead of silently
+    dropping movers — the matrix is ≤ 5×5 minus the impossible (0,0).
+
+    Exactness: the midpoint is integer-DIV of BIGINT microseconds (one
+    1-row broadcast, the whitelisted scalar pattern); monetary is the
+    cents convention with COALESCE 0 (hostile NULL values); each half's
+    quartile is ntile(4) with the (monetary, user_id) unique tiebreak,
+    ridden on :func:`operators.windows.distributed_ntile` exactly as
+    events_rfm_segments rides it (no bare user-cardinality window).
+
+    Shape at 100 TB: two user-keyed hash aggregates (one per half —
+    same shuffle key, so AQE coalesces them), two distributed-ntile
+    rank passes, one user-keyed full outer join, ≤25-cell output.
+    """
+    from ..operators.windows import distributed_ntile
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"].where(F.col("user_id").isNotNull()).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    mid = e.agg(
+        F.expr("CAST((MIN(us) + MAX(us)) DIV 2 AS BIGINT)").alias("m")
+    )
+    em = e.crossJoin(F.broadcast(mid))
+
+    def half(pred) -> DataFrame:
+        u = em.where(pred).groupBy("user_id").agg(
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("monetary")
+        )
+        return distributed_ntile(
+            u, [F.col("monetary").asc(), F.col("user_id").asc()], 4,
+            tile_name="seg",
+        ).select("user_id", "monetary", F.col("seg").cast("long").alias("seg"))
+
+    q1 = half(F.col("us") < F.col("m"))
+    q2 = half(F.col("us") >= F.col("m"))
+    j = q1.select(
+        "user_id", F.col("seg").alias("seg1"), F.col("monetary").alias("m1")
+    ).join(
+        q2.select(
+            "user_id", F.col("seg").alias("seg2"), F.col("monetary").alias("m2")
+        ),
+        "user_id", "full_outer",
+    )
+    return j.groupBy(
+        F.coalesce(F.col("seg1"), F.lit(0)).cast("long").alias("seg_h1"),
+        F.coalesce(F.col("seg2"), F.lit(0)).cast("long").alias("seg_h2"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.coalesce(F.sum("m1"), F.lit(0)).cast("long").alias("monetary_h1_cents"),
+        F.coalesce(F.sum("m2"), F.lit(0)).cast("long").alias("monetary_h2_cents"),
+    )

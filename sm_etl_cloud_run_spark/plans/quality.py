@@ -1253,3 +1253,115 @@ def quality_classifier_train_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier fairness across languages: the per-group calibration audit
+# ---------------------------------------------------------------------------
+
+_QFAIR_OFF = 1_000_000_000  # |score_milli| << OFF: offset-DIV floor parity
+
+
+def _qfair_oracle() -> str:
+    from .textops import QLC_WT_SQL
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+),
+w AS (
+  SELECT doc_id, lang, {QLC_WT_SQL} AS wt FROM tok
+),
+sc AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(1000.0 * SUM(wt) / COUNT(*)) AS BIGINT) AS y
+  FROM w GROUP BY doc_id, lang
+),
+per_lang AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM sc GROUP BY lang
+),
+tot AS (
+  SELECT lang, n_docs, sy, n_pos,
+         CAST(SUM(n_docs) OVER () AS BIGINT) AS n_tot,
+         CAST(SUM(sy) OVER () AS BIGINT) AS sy_tot
+  FROM per_lang
+)
+SELECT lang, n_docs,
+       CAST((sy + n_docs * {_QFAIR_OFF}) // n_docs - {_QFAIR_OFF} AS BIGINT)
+         AS mean_score_milli,
+       CAST(((sy + n_docs * {_QFAIR_OFF}) // n_docs - {_QFAIR_OFF})
+            - ((sy_tot + n_tot * {_QFAIR_OFF}) // n_tot - {_QFAIR_OFF})
+            AS BIGINT) AS gap_milli,
+       CAST(10000 * n_pos // n_docs AS BIGINT) AS pos_share_bp
+FROM tot
+"""
+
+
+@register("quality_classifier_lang_fairness", oracle=_qfair_oracle(),
+          description="classifier fairness audit: per-language mean score, "
+                      "gap vs the global mean, and positive-rate share — "
+                      "exact milli/bp integers")
+def quality_classifier_lang_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The group-fairness companion to quality_length_bias: a learned
+    quality filter that systematically under-scores a language quietly
+    deletes that language from the curated corpus (the documented
+    failure mode of perplexity and fasttext-style filters on
+    low-resource languages). Per language: document count, mean
+    classifier score (the quality_linear_classifier hashed-weight
+    arithmetic, milli fixed-point), the GAP against the corpus-wide
+    mean (demographic-parity-style difference — the number a curation
+    review signs off on), and the positive-rate share (score > 0) in
+    bp. NULL lang is its own audited group, not a dropped row.
+
+    Exactness: scores are the registered classifier's own floored
+    milli integers; both means use the offset-then-DIV trick so floor
+    == trunc on negative sums; the gap subtracts two already-floored
+    integers (no double rounding anywhere).
+
+    Shape at 100 TB: explode → doc-keyed map-side-combined aggregate
+    (the classifier pass) → |langs|-sized aggregate; the global mean
+    rides a window over that parameter-sized relation. No fact-sized
+    windows, no joins.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+    from .textops import QLC_WT_SPARK
+
+    t = load_tables(spark, sf_dir)
+    sc = (
+        t["documents"]
+        .select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .select("doc_id", "lang", F.expr(QLC_WT_SPARK).alias("wt"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.floor(1000.0 * F.sum("wt") / F.count(F.lit(1)))
+            .cast("long").alias("y")
+        )
+    )
+    per_lang = sc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.when(F.col("y") > 0, 1).otherwise(0)).cast("long").alias("n_pos"),
+    )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = per_lang.select(
+        "lang", "n_docs", "sy", "n_pos",
+        F.sum("n_docs").over(w_all).cast("long").alias("n_tot"),
+        F.sum("sy").over(w_all).cast("long").alias("sy_tot"),
+    )
+    mean_l = f"(sy + n_docs * {_QFAIR_OFF}) DIV n_docs - {_QFAIR_OFF}"
+    mean_g = f"(sy_tot + n_tot * {_QFAIR_OFF}) DIV n_tot - {_QFAIR_OFF}"
+    return tot.select(
+        "lang", "n_docs",
+        F.expr(f"CAST({mean_l} AS BIGINT)").alias("mean_score_milli"),
+        F.expr(f"CAST(({mean_l}) - ({mean_g}) AS BIGINT)").alias("gap_milli"),
+        F.expr("CAST(10000 * n_pos DIV n_docs AS BIGINT)").alias("pos_share_bp"),
+    )

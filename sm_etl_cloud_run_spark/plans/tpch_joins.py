@@ -566,3 +566,101 @@ def join_size_estimate_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / exact_rows AS DOUBLE)"
         ).alias("est_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-table join-size estimation: correlated key-universe sampling
+# ---------------------------------------------------------------------------
+
+_JSE2_S = 16  # same 1-in-S coin; MUST flip identically on both tables
+
+
+_JSE2_ORACLE = f"""
+WITH a AS (
+  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS ca
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM lineitem GROUP BY 1
+),
+f AS (
+  SELECT a.k, a.ca, b.cb,
+         CAST(('0x' || substr(md5(CAST(a.k AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_JSE2_S} AS coin
+  FROM a JOIN b ON b.k = a.k
+),
+exact AS (
+  SELECT CAST(SUM(ca * cb) AS BIGINT) AS exact_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_join_keys
+  FROM f
+),
+samp AS (
+  SELECT CAST(SUM(ca * cb) AS BIGINT) AS samp_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys_sampled
+  FROM f WHERE coin = 0
+),
+j AS (SELECT * FROM exact CROSS JOIN samp)
+SELECT n_join_keys, n_keys_sampled, exact_rows,
+       CAST({_JSE2_S} * coalesce(samp_rows, 0) AS BIGINT) AS est_rows,
+       CAST(ABS({_JSE2_S} * coalesce(samp_rows, 0) - exact_rows) * 10000
+            // exact_rows AS BIGINT) AS err_bp
+FROM j
+"""
+
+
+@register("join_size_estimate_two_table", oracle=_JSE2_ORACLE,
+          description="planner primitive: |orders JOIN lineitem| estimated "
+                      "from a CORRELATED 1-in-16 key-universe sample of both "
+                      "sides, exact twin + err_bp alongside")
+def join_size_estimate_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-relation sibling of join_size_estimate_sampled and the
+    actual broadcast-vs-shuffle decision input: |R ⋈ S| = Σ_k a(k)·b(k),
+    estimated by sampling the KEY UNIVERSE with one md5 coin shared by
+    both sides (Vengerov et al., VLDB 2015: correlated sampling — two
+    INDEPENDENT samples would almost never retain the same keys, giving
+    quadratically fewer surviving pairs and a uselessly noisy estimate;
+    one shared coin keeps each sampled key's full a·b contribution, so
+    E[S·Σ_sampled a·b] = Σ a·b exactly). The md5 coin is deterministic,
+    so est_rows hash-checks on both engines; err_bp is the integer
+    sampling-error audit a planner would act on.
+
+    Shape at 100 TB: one key-keyed map-side-combined aggregate per
+    side, an equi-join of the two (already 1-row-per-key) count
+    relations, a coin filter, and two 1-row aggregates cross-joined
+    (the whitelisted scalar pattern). The production path runs only
+    the coin=0 arm — both aggregates shrink by S before the join.
+    """
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    b = t["lineitem"].groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    f = a.join(b, "k").select(
+        "k", "ca", "cb",
+        F.expr(
+            f"CAST(conv(substring(md5(CAST(k AS STRING)), 1, 8), 16, 10)"
+            f" AS BIGINT) % {_JSE2_S}"
+        ).alias("coin"),
+    )
+    from ..cache import persist_tracked
+    f = persist_tracked(f)  # the joined count relation feeds both arms
+    exact = f.agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("exact_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_join_keys"),
+    )
+    samp = f.where(F.col("coin") == 0).agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("samp_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys_sampled"),
+    )
+    return exact.crossJoin(samp).select(
+        "n_join_keys", "n_keys_sampled", "exact_rows",
+        F.expr(f"CAST({_JSE2_S} * coalesce(samp_rows, 0) AS BIGINT)")
+        .alias("est_rows"),
+        F.expr(
+            f"CAST(ABS({_JSE2_S} * coalesce(samp_rows, 0) - exact_rows)"
+            f" * 10000 DIV exact_rows AS BIGINT)"
+        ).alias("err_bp"),
+    )

@@ -220,3 +220,122 @@ def training_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.col("key_micro").desc(), F.col("doc_id").asc()).limit(_AES_K)
     w = Window.orderBy(F.col("key_micro").desc(), F.col("doc_id").asc())
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# curriculum schedule: quality-ordered pacing buckets with token budgets
+# ---------------------------------------------------------------------------
+
+_CURR_TILES = 10
+_CURR_OFF = 1_000_000_000
+
+
+def _curriculum_oracle() -> str:
+    from .textops import QLC_WT_SQL
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+w AS (
+  SELECT doc_id, {QLC_WT_SQL} AS wt FROM tok
+),
+sc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(FLOOR(1000.0 * SUM(wt) / COUNT(*)) AS BIGINT) AS y
+  FROM w GROUP BY doc_id
+),
+tiled AS (
+  SELECT x, y,
+         CAST(NTILE({_CURR_TILES}) OVER (ORDER BY y DESC, doc_id ASC) AS BIGINT)
+           AS phase
+  FROM sc
+),
+per AS (
+  SELECT phase,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(x) AS BIGINT) AS tokens,
+         CAST(SUM(y) AS BIGINT) AS sy
+  FROM tiled GROUP BY phase
+)
+SELECT phase, n_docs, tokens,
+       CAST((sy + n_docs * {_CURR_OFF}) // n_docs - {_CURR_OFF} AS BIGINT)
+         AS mean_score_milli,
+       CAST(SUM(tokens) OVER (ORDER BY phase
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       CAST(10000 * SUM(tokens) OVER (ORDER BY phase
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            // SUM(tokens) OVER () AS BIGINT) AS cum_share_bp
+FROM per
+"""
+
+
+@register("training_curriculum_schedule", oracle=_curriculum_oracle(),
+          description="curriculum pacing table: quality-score deciles "
+                      "best-first with per-phase and cumulative token "
+                      "budgets (exact milli/bp)")
+def training_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum learning's data-side artifact (Bengio et al. 2009
+    applied to corpus curation): order documents by classifier quality
+    score, cut the ranking into {n} phases best-first, and report each
+    phase's document count, token budget, mean score, and the
+    cumulative token position where the phase starts feeding the
+    trainer — the table a pacing function is read off of (and the
+    token-budget twin of training_token_budget_fill, which answers
+    "the best K tokens" for ONE cut; this prices every cut at once).
+
+    Exactness: scores are the quality_linear_classifier floored milli
+    integers; the decile is ntile({n}) with the (score DESC, doc_id)
+    unique tiebreak, ridden on distributed_ntile (no bare
+    doc-cardinality window); phase means use offset-DIV; the
+    cumulative walk is a window over the {n}-row phase table.
+
+    Shape at 100 TB: explode → doc-keyed map-side-combined aggregate
+    (the classifier pass) → one distributed-ntile rank pass →
+    {n}-sized aggregate + {n}-row window.
+    """
+    from ..functions.text import tokens
+    from ..operators.windows import distributed_ntile
+    from .textops import QLC_WT_SPARK
+
+    t = load_tables(spark, sf_dir)
+    sc = (
+        t["documents"]
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .select("doc_id", F.expr(QLC_WT_SPARK).alias("wt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.floor(1000.0 * F.sum("wt") / F.count(F.lit(1)))
+            .cast("long").alias("y"),
+        )
+    )
+    tiled = distributed_ntile(
+        sc, [F.col("y").desc(), F.col("doc_id").asc()], _CURR_TILES,
+        tile_name="phase",
+    )
+    per = tiled.groupBy(F.col("phase").cast("long").alias("phase")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("tokens"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    w_cum = Window.orderBy("phase").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "phase", "n_docs", "tokens", "sy",
+        F.sum("tokens").over(w_cum).cast("long").alias("cum_tokens"),
+        F.sum("tokens").over(w_all).cast("long").alias("tot_tokens"),
+    ).select(
+        "phase", "n_docs", "tokens",
+        F.expr(
+            f"CAST((sy + n_docs * {_CURR_OFF}) DIV n_docs - {_CURR_OFF}"
+            f" AS BIGINT)"
+        ).alias("mean_score_milli"),
+        "cum_tokens",
+        F.expr("CAST(10000 * cum_tokens DIV tot_tokens AS BIGINT)")
+        .alias("cum_share_bp"),
+    )

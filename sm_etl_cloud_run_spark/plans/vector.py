@@ -2396,3 +2396,232 @@ def knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), arms)
+
+
+# ---------------------------------------------------------------------------
+# per-dimension robust outliers: MAD-banded deviation census
+# ---------------------------------------------------------------------------
+
+_OUT_K = 4  # flag |x - mean| > K * mean-absolute-deviation
+
+
+_OUTLIER_ORACLE = f"""
+WITH u AS (
+  SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+  FROM embeddings WHERE len(embedding) > 0
+),
+e AS (SELECT dim, CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm FROM u),
+m AS (
+  SELECT dim,
+         CAST(COUNT(*) AS BIGINT) AS n_vals,
+         CAST((SUM(xm) + COUNT(*) * {_DIM_OFF}) // COUNT(*) - {_DIM_OFF}
+              AS BIGINT) AS mean_micro
+  FROM e GROUP BY dim
+),
+d AS (
+  SELECT e.dim, m.n_vals, m.mean_micro, ABS(e.xm - m.mean_micro) AS dev
+  FROM e JOIN m ON m.dim = e.dim
+),
+s AS (
+  SELECT dim, n_vals, mean_micro,
+         CAST(SUM(dev) // n_vals AS BIGINT) AS mad_micro
+  FROM d GROUP BY dim, n_vals, mean_micro
+)
+SELECT d.dim AS dim, s.n_vals, s.mean_micro, s.mad_micro,
+       CAST(SUM(CASE WHEN d.dev > {_OUT_K} * s.mad_micro THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(10000 * SUM(CASE WHEN d.dev > {_OUT_K} * s.mad_micro
+                             THEN 1 ELSE 0 END) // s.n_vals AS BIGINT)
+         AS outlier_bp
+FROM d JOIN s ON s.dim = d.dim
+GROUP BY d.dim, s.n_vals, s.mean_micro, s.mad_micro
+"""
+
+
+@register("embedding_outlier_profile", oracle=_OUTLIER_ORACLE,
+          description="per-dimension robust outlier census: mean absolute "
+                      "deviation bands in exact micro fixed-point, count and "
+                      "share of coordinates beyond K·MAD")
+def embedding_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corruption detector embedding_dim_profile's span column
+    hints at but can't quantify: per dimension, how many coordinates
+    sit outside {k}×(mean absolute deviation) of the dimension mean —
+    the robust-band census that catches fp16 overflow artifacts,
+    mis-scaled shards, and stuck-sign encoder bugs BEFORE an index
+    build amplifies them (a handful of 1e4-magnitude coordinates
+    dominate every IVF centroid they touch). MAD, not stddev, because
+    it needs no squared accumulator (no overflow ladder) and is itself
+    robust to the outliers being hunted.
+
+    Exactness: coordinates in the micro fixed-point convention; the
+    mean via offset-DIV; MAD = floor(Σ|x−mean| / n) is a non-negative
+    DIV (floor == trunc on both engines); the band test is pure BIGINT
+    compares. A constant dimension has MAD 0, so ANY deviation from
+    the mean flags — deterministic, not engine-dependent.
+
+    Shape at 100 TB: three passes over the exploded coordinates (mean,
+    MAD, band census) — each a map-side-combined d-sized aggregate,
+    with the d-row stats broadcast into the next pass. No fact-sized
+    windows; the N×d explode never survives an exchange.
+    """
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["embeddings"].where(F.size("embedding") > 0)
+        .select(
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, x ->"
+                    " CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+                )
+            ).alias("j", "xm")
+        )
+        .select((F.col("j") + 1).cast("long").alias("dim"), "xm")
+    )
+    from ..cache import persist_tracked
+
+    e = persist_tracked(e)  # feeds the mean pass, the MAD pass, the census
+    m = e.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vals"),
+        F.expr(
+            f"CAST((SUM(xm) + COUNT(*) * {_DIM_OFF}) DIV COUNT(*)"
+            f" - {_DIM_OFF} AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    d = e.join(F.broadcast(m), "dim").select(
+        "dim", "n_vals", "mean_micro",
+        F.abs(F.col("xm") - F.col("mean_micro")).cast("long").alias("dev"),
+    )
+    s = d.groupBy("dim", "n_vals", "mean_micro").agg(
+        F.expr("CAST(SUM(dev) DIV n_vals AS BIGINT)").alias("mad_micro")
+    )
+    out = d.join(F.broadcast(s.select("dim", "mad_micro")), "dim")
+    return out.groupBy("dim", "n_vals", "mean_micro", "mad_micro").agg(
+        F.sum(
+            F.when(F.col("dev") > _OUT_K * F.col("mad_micro"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    ).select(
+        "dim", "n_vals", "mean_micro", "mad_micro", "n_outliers",
+        F.expr("CAST(10000 * n_outliers DIV n_vals AS BIGINT)")
+        .alias("outlier_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scene-cut detection: consecutive-frame difference over the decoded clip
+# ---------------------------------------------------------------------------
+
+_SCUT_SCENE_LEN = 6    # frames per synthetic scene (cuts at 5->6, 11->12)
+_SCUT_JUMP = 97        # per-scene gray offset (coprime with 256)
+_SCUT_DRIFT = 3        # per-frame within-scene drift
+_SCUT_THRESH = 3000    # MAD > threshold == cut (within-scene MAD <= ~950)
+
+
+_SCENE_CUT_ORACLE = f"""
+WITH grid AS (
+  SELECT f.f AS f, i.i AS i
+  FROM (SELECT unnest(range(0, {_FS_FRAMES - 1})) AS f) f,
+       (SELECT unnest(range(0, 64)) AS i) i
+),
+px AS (
+  SELECT doc_id, f,
+         (doc_id * {_AQC_K} + (f // {_SCUT_SCENE_LEN}) * {_SCUT_JUMP}
+          + f * {_SCUT_DRIFT} + i) % 256 AS p1,
+         (doc_id * {_AQC_K} + ((f + 1) // {_SCUT_SCENE_LEN}) * {_SCUT_JUMP}
+          + (f + 1) * {_SCUT_DRIFT} + i) % 256 AS p2
+  FROM documents, grid
+),
+mad AS (
+  SELECT doc_id, f, CAST(SUM(ABS(p2 - p1)) AS BIGINT) AS mad
+  FROM px GROUP BY doc_id, f
+)
+SELECT doc_id,
+       CAST({_FS_FRAMES} AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN mad > {_SCUT_THRESH} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cuts,
+       CAST(MIN(CASE WHEN mad > {_SCUT_THRESH} THEN f + 1 END) AS BIGINT)
+         AS first_cut_frame,
+       CAST(SUM(mad) AS BIGINT) AS total_mad
+FROM mad GROUP BY doc_id
+"""
+
+
+@register("multimodal_frame_scene_cut", oracle=_SCENE_CUT_ORACLE,
+          description="scene-cut detection: full container decode, "
+                      "consecutive-frame mean-absolute-difference vs "
+                      "threshold (closed-form oracle)")
+def multimodal_frame_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shot-boundary verb of a video-ingest pipeline — the
+    full-decode sibling of multimodal_frame_sample's uniform stride
+    (sampling prices the per-frame model; cut detection must see EVERY
+    consecutive pair): each doc_id renders a 16-frame clip whose gray
+    level jumps by {jump} at two designed scene boundaries (frames
+    6 and 12) and drifts by {drift} within a scene, the kernel parses
+    the length-prefixed container, decodes ALL frames through
+    functions/codecs.decode_bmp, and flags a cut wherever the
+    consecutive-frame sum of absolute pixel differences exceeds the
+    threshold. Mod-256 wraparound makes each doc's per-pair difference
+    distinct, so total_mad hash-pins the decoded pixels, not just the
+    cut pattern; the DuckDB oracle is the generator's closed form over
+    the (doc, frame-pair, pixel) grid — a container, codec, or
+    pairing bug is a parity break, not a wrong-looking number.
+
+    Shape at 100 TB: one mapInPandas pass, payloads synthesized,
+    parsed, decoded, and differenced executor-side (frames never leave
+    the task); one row per clip, no shuffle. Real MPEG decode stays
+    behind the honest UnsupportedMediaError boundary — the Spark-side
+    contract (batch shape, per-pair cost, output schema) is what runs.
+    """
+    import struct
+
+    import numpy as np
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id")
+
+    def kernel(batches):
+        from ..functions.codecs import decode_bmp, encode_bmp
+
+        base = np.arange(64, dtype=np.int64).reshape(8, 8)
+
+        def frame_bmp(d: int, f: int) -> bytes:
+            gray = (
+                (d * _AQC_K + (f // _SCUT_SCENE_LEN) * _SCUT_JUMP
+                 + f * _SCUT_DRIFT + base) % 256
+            ).astype(np.uint8)
+            return encode_bmp(np.stack([gray, gray, gray], axis=-1))
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_frames": [], "n_cuts": [],
+                    "first_cut_frame": [], "total_mad": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = [frame_bmp(d, f) for f in range(_FS_FRAMES)]
+                payload = struct.pack("<I", len(frames)) + b"".join(
+                    struct.pack("<I", len(fb)) + fb for fb in frames
+                )
+                (n,) = struct.unpack_from("<I", payload, 0)
+                off, decoded = 4, []
+                for _ in range(n):
+                    (ln,) = struct.unpack_from("<I", payload, off)
+                    decoded.append(
+                        decode_bmp(payload[off + 4 : off + 4 + ln])[:, :, 0]
+                        .astype(np.int64)
+                    )
+                    off += 4 + ln
+                mads = [
+                    int(np.abs(decoded[f + 1] - decoded[f]).sum())
+                    for f in range(n - 1)
+                ]
+                cuts = [f + 1 for f, m in enumerate(mads) if m > _SCUT_THRESH]
+                rows["doc_id"].append(d)
+                rows["n_frames"].append(n)
+                rows["n_cuts"].append(len(cuts))
+                rows["first_cut_frame"].append(cuts[0] if cuts else None)
+                rows["total_mad"].append(sum(mads))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, n_frames long, n_cuts long, first_cut_frame long, "
+        "total_mad long",
+    )

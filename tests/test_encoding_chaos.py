@@ -301,6 +301,13 @@ _HOSTILE_QUERIES = (
     "quality_classifier_auc",
     "quality_classifier_train_auc",
     "text_shingle_df_profile",
+    # round-15: the fairness audit groups by a NULLable lang, the
+    # curriculum tiles coalesced-empty docs (0 tokens -> excluded by
+    # the explode on both engines), the scene-cut kernel only needs
+    # doc_id (contract-guaranteed non-NULL).
+    "quality_classifier_lang_fairness",
+    "training_curriculum_schedule",
+    "multimodal_frame_scene_cut",
 )
 
 
@@ -338,7 +345,8 @@ def renumbered_embeddings_dir(tmp_path_factory):
      "knn_ivf_pq", "embedding_hard_negatives",
      "knn_ivf_recall", "kmeans_cluster_purity", "knn_graph_link_prediction",
      "embedding_int8_quant_error", "knn_label_propagation",
-     "embedding_jl_distortion"],
+     "embedding_jl_distortion",
+     "embedding_outlier_profile"],
 )
 def test_renumbered_vec_ids_keep_oracle_parity(spark, renumbered_embeddings_dir, qname):
     problems = _oracle_compare(spark, renumbered_embeddings_dir, qname)
@@ -447,7 +455,10 @@ def hostile_events_dir(tmp_path_factory):
      # event_id rows pin the tie contract; the census partitions by a
      # NULLable user_id (a real group on both engines).
      "events_late_data_profile", "events_stream_state_census",
-     "events_watermark_tradeoff"],
+     "events_watermark_tradeoff",
+     # round-15: per-half monetary quartiles (NULL user filtered, NULL
+     # value coalesced to 0 cents on both engines)
+     "events_rfm_migration"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
     problems = _oracle_compare(spark, hostile_events_dir, qname)
@@ -535,6 +546,9 @@ _HOSTILE_FACT_QUERIES = (
     # round-14: the estimator's md5 coin must flip identically on the
     # contract-surviving key set (NULL l_partkey rows group as one key)
     "join_size_estimate_sampled",
+    # round-15: the correlated two-table coin (NULL orderkeys never
+    # join, identically on both engines)
+    "join_size_estimate_two_table",
 )
 
 

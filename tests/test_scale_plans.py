@@ -163,7 +163,10 @@ def test_fact_rank_plans_are_range_partitioned(spark, sf_dir):
                  # classifier threshold sweep rides distributed_ntile (r8)
                  "quality_pr_curve",
                  # boundary planner rides distributed_rank (r8)
-                 "events_range_partition_plan"):
+                 "events_range_partition_plan",
+                 # round-10 distributed_ntile riders: per-half monetary
+                 # quartiles and the quality-decile curriculum phases
+                 "events_rfm_migration", "training_curriculum_schedule"):
         df = all_queries()[name].fn(spark, sf_dir)
         plan = _explain(df, mode="simple")
         assert "rangepartitioning" in plan.lower(), name

@@ -144,6 +144,13 @@ QUERIES = (
     # 256x number in ROUND_NOTES must be reproducible from the default
     # probe set, not an ad-hoc --queries invocation (ADVICE r9)
     "events_watermark_tradeoff",
+    # round-15 additions (driver r10)
+    "events_rfm_migration",
+    "quality_classifier_lang_fairness",
+    "training_curriculum_schedule",
+    "embedding_outlier_profile",
+    "multimodal_frame_scene_cut",
+    "join_size_estimate_two_table",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
