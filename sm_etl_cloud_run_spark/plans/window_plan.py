@@ -47,13 +47,17 @@ WINDOW_SIZE = 50
 
 # Hand-maintained: queries whose implementation changed since their
 # last driver-green row. Emptied each round once the change is green.
-# Round 10: quality_classifier_train / _auc share _qt_fit, whose
-# per-step score relation is now persisted (VERDICT r9 item 3) — the
-# result is bit-identical, but the change-aware rule says a touched
-# implementation re-enters the window.
+# Round 10: quality_classifier_train / _auc now run the GD loop on
+# driver-side sufficient statistics (VERDICT r9 item 3 — trajectory
+# bit-identical, parity re-verified); the census/tradeoff pair had
+# their cores extracted for the streaming integration (plans
+# unchanged, but the change-aware rule says touched implementations
+# re-enter the window).
 FORCE_RECHECK: tuple[str, ...] = (
     "quality_classifier_train",
     "quality_classifier_train_auc",
+    "events_stream_state_census",
+    "events_watermark_tradeoff",
 )
 
 _ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
