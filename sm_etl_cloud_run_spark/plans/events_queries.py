@@ -3849,3 +3849,215 @@ def events_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("m1"), F.lit(0)).cast("long").alias("monetary_h1_cents"),
         F.coalesce(F.sum("m2"), F.lit(0)).cast("long").alias("monetary_h2_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup-state census: pricing dropDuplicatesWithinWatermark per delay
+# ---------------------------------------------------------------------------
+
+_DDC_ROUNDS = 3  # unrolled suppression-chain depth (test-asserted sufficient)
+
+
+def _ddc_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{label}' AS delay, CAST({d} AS BIGINT) AS d"
+        for label, d in _CENSUS_DELAYS_US
+    )
+    return f"""
+WITH delays AS ({arms}),
+occ AS (
+  SELECT dl.delay, dl.d, ev.event_id AS k, CAST(epoch_us(ev.ts) AS BIGINT) AS tsu
+  FROM events ev CROSS JOIN delays dl
+),
+s0 AS (
+  SELECT delay, d, k, MIN(tsu) AS s FROM occ GROUP BY delay, d, k
+),
+s1 AS (
+  SELECT o.delay, o.d, o.k, MIN(o.tsu) AS s
+  FROM occ o JOIN s0 ON s0.delay = o.delay AND s0.k = o.k
+  WHERE o.tsu > s0.s + o.d GROUP BY o.delay, o.d, o.k
+),
+s2 AS (
+  SELECT o.delay, o.d, o.k, MIN(o.tsu) AS s
+  FROM occ o JOIN s1 ON s1.delay = o.delay AND s1.k = o.k
+  WHERE o.tsu > s1.s + o.d GROUP BY o.delay, o.d, o.k
+),
+trunc AS (
+  SELECT o.delay, CAST(COUNT(DISTINCT o.k) AS BIGINT) AS truncated_keys
+  FROM occ o JOIN s2 ON s2.delay = o.delay AND s2.k = o.k
+  WHERE o.tsu > s2.s + o.d GROUP BY o.delay
+),
+iv AS (
+  SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+),
+pts AS (
+  SELECT delay, s AS t, CAST(1 AS BIGINT) AS delta, k FROM iv
+  UNION ALL
+  SELECT delay, s + d AS t, CAST(-1 AS BIGINT) AS delta, k FROM iv
+),
+sweep AS (
+  SELECT delay,
+         SUM(delta) OVER (PARTITION BY delay ORDER BY t, delta, k
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS open_now
+  FROM pts
+),
+stats AS (
+  SELECT i.delay,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         CAST(MIN(ne.n) AS BIGINT) AS n_events
+  FROM iv i CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events) ne
+  GROUP BY i.delay
+)
+SELECT st.delay, st.n_events, st.n_intervals,
+       CAST(st.n_events - st.n_intervals AS BIGINT) AS n_suppressed,
+       p.peak_state,
+       CAST(COALESCE(tr.truncated_keys, 0) AS BIGINT) AS truncated_keys
+FROM stats st
+JOIN (SELECT delay, CAST(MAX(open_now) AS BIGINT) AS peak_state
+      FROM sweep GROUP BY delay) p ON p.delay = st.delay
+LEFT JOIN trunc tr ON tr.delay = st.delay
+"""
+
+
+@register("events_dedup_state_census", oracle=_ddc_oracle(),
+          description="dedup-state cost table: per candidate delay, exact "
+                      "first-pass/suppressed split and PEAK concurrent "
+                      "distinct-key state for dropDuplicatesWithinWatermark")
+def events_dedup_state_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the streaming-state pricing family: the session census
+    (`events_stream_state_census`) prices per-user AGGREGATE state;
+    this prices the DEDUP operator — `dropDuplicatesWithinWatermark`
+    holds one entry per distinct key from its first sight until the
+    event-time high-water mark passes first_seen + D, suppressing
+    duplicates inside that window and RE-ADMITTING the key after
+    eviction. Per candidate D: how many rows pass (n_intervals — the
+    rows a streaming dedup emits), how many are suppressed, and the
+    exact peak concurrent key state the cluster pays.
+
+    The suppression chain per key (first sight → next occurrence
+    strictly past s + D opens a new entry) is data-dependent, so it is
+    UNROLLED to `_DDC_ROUNDS` segments — the knn_graph_kcore fixed-R
+    convention: no data-dependent termination for the engines to
+    disagree on, and the `truncated_keys` column reports (hash-checked
+    on both engines) how many keys would need a deeper chain — 0 on
+    every fixture, pinned in tests.
+
+    Shape at 100 TB: each chain round is one key-keyed
+    map-side-combined aggregate plus an equi-join against the (already
+    1-row-per-key) previous round; the peak rides
+    :func:`~..operators.windows.distributed_cumsum_in_groups` over the
+    interval endpoints (|delays| heavy groups — its exact contract).
+    Eviction-before-insert ties: endpoints order (t, delta, k) with
+    −1 < +1, matching half-open [s, s+D).
+    """
+    t = load_tables(spark, sf_dir)
+    return dedup_state_census(
+        t["events"].select(
+            F.col("event_id").alias("k"),
+            F.unix_micros(F.col("ts")).alias("tsu"),
+        )
+    )
+
+
+def dedup_state_census(
+    ev: DataFrame,
+    delays_us: tuple[tuple[str, int], ...] = _CENSUS_DELAYS_US,
+) -> DataFrame:
+    """Core of `events_dedup_state_census` over a (k, tsu) relation —
+    split out (the :func:`state_census` pattern) so the streaming
+    integration test can price an arbitrary fixture and pin the REAL
+    `streaming_dedup` run's emitted/evicted counts against it."""
+    from ..cache import persist_tracked
+    from ..operators.windows import distributed_cumsum_in_groups
+
+    delays = F.array(*[
+        F.struct(F.lit(label).alias("delay"), F.lit(d).cast("long").alias("d"))
+        for label, d in delays_us
+    ])
+    n_events = ev.count()  # 1-scalar, parameter-sized
+    # one delay-independent pass over the fact: per-key first sight +
+    # multiplicity. Only keys seen MORE than once can ever chain past
+    # segment 0, so every chain round below runs on the (tiny on real
+    # data) duplicate-key slice instead of the full per-delay explode —
+    # the same prune the dedup family applies before candidate joins.
+    per_k = persist_tracked(
+        ev.groupBy("k").agg(
+            F.min("tsu").alias("s"), F.count(F.lit(1)).alias("c")
+        )
+    )
+    multi_occ = persist_tracked(
+        ev.join(per_k.where(F.col("c") > 1).select("k"), "k")
+        .select("k", "tsu", F.explode(delays).alias("dl"))
+        .select("k", "tsu", F.col("dl.delay").alias("delay"),
+                F.col("dl.d").alias("d"))
+    )  # feeds every chain round and the truncation check
+
+    def next_round(prev: DataFrame) -> DataFrame:
+        return (
+            multi_occ.join(
+                prev.select("delay", "k", F.col("s").alias("ps")),
+                ["delay", "k"],
+            )
+            .where(F.col("tsu") > F.col("ps") + F.col("d"))
+            .groupBy("delay", "d", "k")
+            .agg(F.min("tsu").alias("s"))
+        )
+
+    # segment 0 for ALL keys: the per-key min exploded by the ladder
+    s0 = per_k.select(
+        "k", "s", F.explode(delays).alias("dl")
+    ).select(
+        F.col("dl.delay").alias("delay"), F.col("dl.d").alias("d"), "k", "s",
+    )
+    s1 = multi_occ.join(
+        per_k.where(F.col("c") > 1).select("k", F.col("s").alias("ps")), "k"
+    ).where(F.col("tsu") > F.col("ps") + F.col("d")).groupBy(
+        "delay", "d", "k"
+    ).agg(F.min("tsu").alias("s"))
+    rounds = [s0, s1]
+    for _ in range(_DDC_ROUNDS - 2):
+        rounds.append(next_round(rounds[-1]))
+    trunc = (
+        multi_occ.join(
+            rounds[-1].select("delay", "k", F.col("s").alias("ps")),
+            ["delay", "k"],
+        )
+        .where(F.col("tsu") > F.col("ps") + F.col("d"))
+        .groupBy("delay")
+        .agg(F.countDistinct("k").cast("long").alias("truncated_keys"))
+    )
+    iv = rounds[0]
+    for r in rounds[1:]:
+        iv = iv.unionByName(r)
+    iv = persist_tracked(iv)  # feeds the sweep and the interval count
+    pts = iv.select(
+        "delay", F.col("s").alias("t"), F.lit(1).cast("long").alias("delta"),
+        "k",
+    ).unionByName(iv.select(
+        "delay", (F.col("s") + F.col("d")).alias("t"),
+        F.lit(-1).cast("long").alias("delta"), "k",
+    ))
+    sweep = distributed_cumsum_in_groups(
+        pts, ["delay"], [F.col("t"), F.col("delta"), F.col("k")],
+        "delta", cumsum_name="open_now",
+    )
+    peak = sweep.groupBy("delay").agg(
+        F.max("open_now").cast("long").alias("peak_state")
+    )
+    stats = iv.groupBy("delay").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals")
+    )
+    return (
+        stats.join(peak, "delay").join(trunc, "delay", "left")
+        .select(
+            "delay",
+            F.lit(n_events).cast("long").alias("n_events"),
+            "n_intervals",
+            (F.lit(n_events) - F.col("n_intervals")).cast("long")
+            .alias("n_suppressed"),
+            "peak_state",
+            F.coalesce(F.col("truncated_keys"), F.lit(0)).cast("long")
+            .alias("truncated_keys"),
+        )
+    )

@@ -1365,3 +1365,95 @@ def quality_classifier_lang_fairness(spark: SparkSession, sf_dir: str) -> DataFr
         F.expr(f"CAST(({mean_l}) - ({mean_g}) AS BIGINT)").alias("gap_milli"),
         F.expr("CAST(10000 * n_pos DIV n_docs AS BIGINT)").alias("pos_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization ladder: band width vs suppression cost
+# ---------------------------------------------------------------------------
+
+# candidate widths for the balance quasi-identifier, in cents: 1k / 10k /
+# 100k currency bands, plus the fully generalized rung (no balance QI)
+_KGEN_WIDTHS = (("band_1k", 100_000), ("band_10k", 1_000_000),
+                ("band_100k", 10_000_000), ("no_band", 0))
+
+
+def _kgen_oracle() -> str:
+    arms = []
+    for label, w in _KGEN_WIDTHS:
+        band = ("CAST(0 AS BIGINT)" if w == 0 else
+                f"(CAST(round(c_acctbal * 100) AS BIGINT) + {_LDIV_BAND_OFF}) // {w}")
+        arms.append(f"""
+  SELECT '{label}' AS rung,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+           AS groups_below_k,
+         CAST(SUM(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT)
+           AS customers_suppressed,
+         CAST(SUM(n) AS BIGINT) AS n_customers
+  FROM (
+    SELECT c_nationkey, c_mktsegment, {band} AS b,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1, 2, 3
+  ) g""")
+    return f"""
+WITH arms AS ({" UNION ALL ".join(arms)})
+SELECT rung, n_groups, groups_below_k, customers_suppressed,
+       CAST(10000 * customers_suppressed // n_customers AS BIGINT)
+         AS suppressed_bp
+FROM arms
+"""
+
+
+@register("customer_k_anon_generalization_ladder", oracle=_kgen_oracle(),
+          description=f"k-anonymization planner: per candidate balance-band "
+                      f"width, exact group census and share of customers a "
+                      f"k={_K_ANON} release would have to suppress")
+def customer_k_anon_generalization_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ENGINEERING half of the privacy triad the k/l/t audits only
+    measure: anonymizing a release means choosing how far to generalize
+    the quasi-identifiers, and each candidate generalization trades
+    analytic resolution (finer balance bands) against suppression (rows
+    in groups still below k must be withheld). This ladder prices every
+    rung — group count, groups below k, and the exact share of
+    customers suppressed — so the release decision is read off a table
+    instead of iterated by hand (the same decision-table pattern as
+    events_watermark_tradeoff and training_context_length_ladder).
+
+    Shape at 100 TB: the QI relation is customer-dimension-sized; each
+    rung is one map-side-combined (QI, band) aggregate reduced to a
+    1-row arm, unioned ladder-sized. Groupings differ per rung, so the
+    rungs are separate aggregates by construction — each linear, none
+    windowed. Exact cents arithmetic with the l-diversity band offset
+    (negative balances floor identically on both engines).
+    """
+    t = load_tables(spark, sf_dir)
+    arms = []
+    for label, w in _KGEN_WIDTHS:
+        band = (F.lit(0).cast("long") if w == 0 else F.expr(
+            f"(CAST(round(c_acctbal * 100, 0) AS BIGINT) + {_LDIV_BAND_OFF})"
+            f" DIV {w}"
+        ))
+        g = (
+            t["customer"]
+            .groupBy("c_nationkey", "c_mktsegment", band.alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        arms.append(g.agg(
+            F.lit(label).alias("rung"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("n") < _K_ANON, 1).otherwise(0))
+            .cast("long").alias("groups_below_k"),
+            F.sum(F.when(F.col("n") < _K_ANON, F.col("n")).otherwise(0))
+            .cast("long").alias("customers_suppressed"),
+            F.sum("n").cast("long").alias("n_customers"),
+        ))
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.select(
+        "rung", "n_groups", "groups_below_k", "customers_suppressed",
+        F.expr("CAST(10000 * customers_suppressed DIV n_customers AS BIGINT)")
+        .alias("suppressed_bp"),
+    )

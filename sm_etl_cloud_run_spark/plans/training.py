@@ -339,3 +339,108 @@ def training_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(10000 * cum_tokens DIV tot_tokens AS BIGINT)")
         .alias("cum_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# context-length ladder: truncation loss vs padding waste per candidate L
+# ---------------------------------------------------------------------------
+
+_CTX_LADDER = (128, 512, 2048, 8192)
+
+
+def _ctx_ladder_oracle() -> str:
+    arms = []
+    for L in _CTX_LADDER:
+        arms.append(f"""
+  SELECT CAST({L} AS BIGINT) AS context_len,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens,
+         CAST(SUM(CASE WHEN n_tokens > {L} THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_truncated,
+         CAST(SUM(CASE WHEN n_tokens > {L} THEN n_tokens - {L} ELSE 0 END)
+              AS BIGINT) AS tokens_truncated,
+         CAST(SUM(CASE WHEN n_tokens > {L} THEN 0 ELSE {L} - n_tokens END)
+              AS BIGINT) AS tokens_padded
+  FROM toks""")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split(trim(text), ' ')) END AS n_tokens
+  FROM documents
+),
+arms AS ({" UNION ALL ".join(arms)})
+SELECT context_len, n_docs, docs_truncated, tokens_truncated, tokens_padded,
+       CAST(10000 * tokens_truncated // corpus_tokens AS BIGINT)
+         AS truncated_bp,
+       CAST(10000 * (corpus_tokens - tokens_truncated)
+            // (n_docs * context_len) AS BIGINT) AS utilization_bp
+FROM arms
+"""
+
+
+@register("training_context_length_ladder", oracle=_ctx_ladder_oracle(),
+          description="SFT layout decision table: per candidate context "
+                      "length, exact truncation loss vs padding waste and "
+                      "the resulting utilization")
+def training_context_length_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-document-per-sequence (SFT / instruction-tuning) twin of
+    training_pack_sequences' concat-and-chunk: when sequences must not
+    cross document boundaries, the context length L trades truncation
+    (docs longer than L lose their tails — data destroyed) against
+    padding (docs shorter than L waste compute), and this table prices
+    every rung of the ladder in one scan — tokens_truncated,
+    tokens_padded, truncated_bp of the corpus, and utilization
+    (kept tokens over n_docs·L, the fraction of the batch the model
+    actually trains on). Reading it IS the max_len decision.
+
+    Shape at 100 TB: the ladder lives in conditional-aggregate COLUMNS
+    of one doc-keyed pass (the events_watermark_tradeoff pattern —
+    adding a rung costs a column, not a scan), exploded to rows only
+    at the ladder-sized end. All-integer arithmetic.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long").alias("n_tokens")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("corpus_tokens"),
+    ]
+    for L in _CTX_LADDER:
+        aggs += [
+            F.sum(F.when(F.col("n_tokens") > L, 1).otherwise(0))
+            .cast("long").alias(f"__dt_{L}"),
+            F.sum(F.when(F.col("n_tokens") > L, F.col("n_tokens") - L)
+                  .otherwise(0)).cast("long").alias(f"__tt_{L}"),
+            F.sum(F.when(F.col("n_tokens") > L, 0)
+                  .otherwise(L - F.col("n_tokens")))
+            .cast("long").alias(f"__tp_{L}"),
+        ]
+    one = toks.agg(*aggs)
+    ladder = F.array(*[
+        F.struct(
+            F.lit(L).cast("long").alias("context_len"),
+            F.col(f"__dt_{L}").alias("docs_truncated"),
+            F.col(f"__tt_{L}").alias("tokens_truncated"),
+            F.col(f"__tp_{L}").alias("tokens_padded"),
+        )
+        for L in _CTX_LADDER
+    ])
+    return one.select(
+        "n_docs", "corpus_tokens", F.explode(ladder).alias("x")
+    ).select(
+        F.col("x.context_len").alias("context_len"),
+        "n_docs",
+        F.col("x.docs_truncated").alias("docs_truncated"),
+        F.col("x.tokens_truncated").alias("tokens_truncated"),
+        F.col("x.tokens_padded").alias("tokens_padded"),
+        F.expr("CAST(10000 * x.tokens_truncated DIV corpus_tokens AS BIGINT)")
+        .alias("truncated_bp"),
+        F.expr(
+            "CAST(10000 * (corpus_tokens - x.tokens_truncated)"
+            " DIV (n_docs * x.context_len) AS BIGINT)"
+        ).alias("utilization_bp"),
+    )

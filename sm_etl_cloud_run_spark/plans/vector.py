@@ -2625,3 +2625,199 @@ def multimodal_frame_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, n_cuts long, first_cut_frame long, "
         "total_mad long",
     )
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patchify: per-patch statistics over the decoded image
+# ---------------------------------------------------------------------------
+
+_PATCH = 4  # 8x8 image -> 2x2 grid of 4x4 patches (the ViT patch-embed shape)
+
+
+_PATCH_STATS_ORACLE = f"""
+WITH grid AS (
+  SELECT r.r AS r, c.c AS c
+  FROM (SELECT unnest(range(0, 8)) AS r) r,
+       (SELECT unnest(range(0, 8)) AS c) c
+),
+px AS (
+  SELECT doc_id,
+         (r // {_PATCH}) * 2 + (c // {_PATCH}) AS patch_id,
+         (doc_id * {_RSZ_K} + 8 * r + c) % 256 AS p
+  FROM documents, grid
+)
+SELECT doc_id, CAST(patch_id AS BIGINT) AS patch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST((1000 * SUM(p)) // COUNT(*) AS BIGINT) AS mean_milli,
+       CAST(MIN(p) AS BIGINT) AS min_px,
+       CAST(MAX(p) AS BIGINT) AS max_px
+FROM px GROUP BY doc_id, patch_id
+"""
+
+
+@register("multimodal_patch_stats", oracle=_PATCH_STATS_ORACLE,
+          description="ViT-style patchify: decode the image, split into the "
+                      "patch grid, per-patch mean/extrema (closed-form oracle)")
+def multimodal_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The patch-embedding front half of a vision-transformer ingest
+    (Dosovitskiy et al. 2021): decode the image, cut it into the
+    non-overlapping patch grid, and emit per-patch statistics — the
+    verb a multimodal curation pipeline runs to drop flat/saturated
+    patches and to normalize per-patch before the encoder. Each doc_id
+    renders the resize-QA gradient BMP (pixel(r,c) = (doc_id·K + 8r +
+    c) mod 256), the kernel decodes it through
+    functions/codecs.decode_bmp and reduces each 4×4 patch to
+    (mean_milli, min, max); the DuckDB oracle is the generator's
+    closed form over the (doc, patch, pixel) grid, so a patch-index or
+    decode bug is a parity break. Patch means are floored milli
+    integers ((1000·Σp) DIV n — non-negative, trunc == floor).
+
+    Shape at 100 TB: one mapInPandas pass, decode and patch reduction
+    executor-side, 4 rows per image out (patch grid is a constant),
+    no shuffle.
+    """
+    import numpy as np
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id")
+
+    def kernel(batches):
+        from ..functions.codecs import decode_bmp, encode_bmp
+
+        rr, cc = np.meshgrid(np.arange(8, dtype=np.int64),
+                             np.arange(8, dtype=np.int64), indexing="ij")
+        for pdf in batches:
+            rows = {"doc_id": [], "patch_id": [], "n_px": [],
+                    "mean_milli": [], "min_px": [], "max_px": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                gray = ((d * _RSZ_K + 8 * rr + cc) % 256).astype(np.uint8)
+                px = decode_bmp(
+                    encode_bmp(np.stack([gray, gray, gray], axis=-1))
+                )[:, :, 0].astype(np.int64)
+                for pr in range(2):
+                    for pc in range(2):
+                        patch = px[pr * _PATCH:(pr + 1) * _PATCH,
+                                   pc * _PATCH:(pc + 1) * _PATCH]
+                        rows["doc_id"].append(d)
+                        rows["patch_id"].append(pr * 2 + pc)
+                        rows["n_px"].append(int(patch.size))
+                        rows["mean_milli"].append(
+                            (1000 * int(patch.sum())) // int(patch.size)
+                        )
+                        rows["min_px"].append(int(patch.min()))
+                        rows["max_px"].append(int(patch.max()))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, patch_id long, n_px long, mean_milli long, "
+        "min_px long, max_px long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# centroid drift: per-label embedding shift between the two id halves
+# ---------------------------------------------------------------------------
+
+_DRIFT_OFF = 10_000_000  # |mean_micro| bound, offset-DIV floor parity
+
+
+_CENTROID_DRIFT_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE len(embedding) > 0
+),
+mid AS (SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS m FROM e),
+u AS (
+  SELECT CASE WHEN vec_id < m THEN 0 ELSE 1 END AS half, label,
+         generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+  FROM e, mid
+),
+c AS (
+  SELECT half, label, dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST((SUM(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+               + COUNT(*) * {_DRIFT_OFF}) // COUNT(*) - {_DRIFT_OFF}
+              AS BIGINT) AS mean_micro
+  FROM u GROUP BY half, label, dim
+)
+SELECT a.label,
+       CAST(MIN(a.n) AS BIGINT) AS n_first_half,
+       CAST(MIN(b.n) AS BIGINT) AS n_second_half,
+       CAST(SUM(ABS(a.mean_micro - b.mean_micro)) AS BIGINT)
+         AS l1_drift_micro,
+       CAST(MAX(ABS(a.mean_micro - b.mean_micro)) AS BIGINT)
+         AS max_dim_drift_micro
+FROM c a JOIN c b ON b.label = a.label AND b.dim = a.dim
+WHERE a.half = 0 AND b.half = 1
+GROUP BY a.label
+"""
+
+
+@register("embedding_centroid_drift", oracle=_CENTROID_DRIFT_ORACLE,
+          description="dataset-shift QA: per-label centroid displacement "
+                      "(L1 + worst dimension, exact micro) between the two "
+                      "vec_id halves of the corpus")
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding freshness / dataset-shift detection: if the vectors
+    ingested later (the upper vec_id half — ids are assigned in ingest
+    order) have drifted from the earlier ones, every centroid-anchored
+    structure built on the old half (IVF lists, k-means codebooks,
+    semantic-dedup thresholds) is silently stale. Per label: the L1
+    displacement between the two halves' centroids and the worst
+    single dimension — read against embedding_dim_profile's span to
+    decide between re-clustering and per-dimension re-centering.
+
+    Exactness: per-(half, label, dim) means in micro fixed-point via
+    offset-DIV; the drift is |difference of two already-floored
+    integers| summed over dims — no doubles anywhere. Labels missing
+    from either half drop out of the inner join identically on both
+    engines.
+
+    Shape at 100 TB: the N×d posexplode is crushed map-side to
+    2·|labels|·d cells before the exchange; the drift join and both
+    aggregates run on that parameter-sized grid. One 1-row id-midpoint
+    broadcast (whitelisted scalar pattern).
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].where(F.size("embedding") > 0).select(
+        "vec_id", "label", "embedding"
+    )
+    mid = e.agg(
+        F.expr("CAST((MIN(vec_id) + MAX(vec_id)) DIV 2 AS BIGINT)").alias("m")
+    )
+    u = (
+        e.crossJoin(F.broadcast(mid))
+        .select(
+            F.when(F.col("vec_id") < F.col("m"), 0).otherwise(1).alias("half"),
+            "label",
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, x ->"
+                    " CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+                )
+            ).alias("j", "xm"),
+        )
+        .select("half", "label", (F.col("j") + 1).alias("dim"), "xm")
+    )
+    c = u.groupBy("half", "label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            f"CAST((SUM(xm) + COUNT(*) * {_DRIFT_OFF}) DIV COUNT(*)"
+            f" - {_DRIFT_OFF} AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    a = c.where(F.col("half") == 0).select(
+        "label", "dim", F.col("n").alias("na"), F.col("mean_micro").alias("ma")
+    )
+    b = c.where(F.col("half") == 1).select(
+        "label", "dim", F.col("n").alias("nb"), F.col("mean_micro").alias("mb")
+    )
+    return a.join(b, ["label", "dim"]).groupBy("label").agg(
+        F.min("na").cast("long").alias("n_first_half"),
+        F.min("nb").cast("long").alias("n_second_half"),
+        F.sum(F.abs(F.col("ma") - F.col("mb"))).cast("long")
+        .alias("l1_drift_micro"),
+        F.max(F.abs(F.col("ma") - F.col("mb"))).cast("long")
+        .alias("max_dim_drift_micro"),
+    )

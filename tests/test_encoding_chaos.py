@@ -308,6 +308,10 @@ _HOSTILE_QUERIES = (
     "quality_classifier_lang_fairness",
     "training_curriculum_schedule",
     "multimodal_frame_scene_cut",
+    # tranche 2: the SFT ladder counts coalesced-empty docs as
+    # 0-token (pure pad) rows; patchify needs only doc_id
+    "training_context_length_ladder",
+    "multimodal_patch_stats",
 )
 
 
@@ -346,7 +350,9 @@ def renumbered_embeddings_dir(tmp_path_factory):
      "knn_ivf_recall", "kmeans_cluster_purity", "knn_graph_link_prediction",
      "embedding_int8_quant_error", "knn_label_propagation",
      "embedding_jl_distortion",
-     "embedding_outlier_profile"],
+     "embedding_outlier_profile",
+     # renumbered ids shift the midpoint split but identically so
+     "embedding_centroid_drift"],
 )
 def test_renumbered_vec_ids_keep_oracle_parity(spark, renumbered_embeddings_dir, qname):
     problems = _oracle_compare(spark, renumbered_embeddings_dir, qname)
@@ -458,7 +464,10 @@ def hostile_events_dir(tmp_path_factory):
      "events_watermark_tradeoff",
      # round-15: per-half monetary quartiles (NULL user filtered, NULL
      # value coalesced to 0 cents on both engines)
-     "events_rfm_migration"],
+     "events_rfm_migration",
+     # the dedup census: hostile DUPLICATE event_ids exercise the
+     # suppression chain for real (NULL ids dropped by contract)
+     "events_dedup_state_census"],
 )
 def test_null_event_rows_keep_oracle_parity(spark, hostile_events_dir, qname):
     problems = _oracle_compare(spark, hostile_events_dir, qname)
@@ -596,7 +605,9 @@ def hostile_dims_dir(tmp_path_factory):
      "customer_k_anonymity", "customer_l_diversity",
      # round-14: NULL nationkey is a real QI group; its grid rows join
      # no group counts on EITHER engine (equality drops NULL=NULL)
-     "customer_t_closeness"],
+     "customer_t_closeness",
+     # the generalization ladder: NULL nation/band group on both engines
+     "customer_k_anon_generalization_ladder"],
 )
 def test_null_dim_rows_keep_oracle_parity(spark, hostile_dims_dir, qname):
     problems = _oracle_compare(spark, hostile_dims_dir, qname)

@@ -928,3 +928,74 @@ def test_velocity_planned_watermark_picks_from_table(spark):
     assert (label, w) == ("30s", 30_000_000)
     alerts = out.collect()
     assert {r["user_id"] for r in alerts} == {1}  # 4 events in 2 minutes
+
+
+def test_streaming_dedup_evictions_match_dedup_census(spark, tmp_path):
+    """The dedup-state census is the PRICE TAG of streaming_dedup: on a
+    shared fixture, the real dropDuplicatesWithinWatermark run must
+    emit exactly the census's n_intervals rows (one per state
+    lifecycle), suppress n_suppressed, and end with only the flush
+    sentinel in the state store. Spacing note: the operator stores
+    expiresAt = first_seen + D and evicts when the watermark (which
+    itself lags by D) passes it, so a key re-admits in-order only when
+    an intervening event exceeds first_seen + 2D — the fixture provides
+    that margin, while the census only needs the event-time condition
+    t > first_seen + D (both hold here, so the counts must agree)."""
+    from sm_etl_cloud_run_spark.plans.events_queries import dedup_state_census
+    from sm_etl_cloud_run_spark.streaming.stream_ops import streaming_dedup
+
+    base_t = dt.datetime(2024, 6, 1, 9, 0)
+
+    def ts(s: int) -> dt.datetime:
+        return base_t + dt.timedelta(seconds=s)
+
+    # (event_id, sec) in arrival == event-time order; dups on keys 1, 2
+    arrival = [(1, 0), (1, 5), (2, 10), (2, 35), (3, 65), (4, 70), (1, 100)]
+    hist = spark.createDataFrame(
+        [(k, ts(s)) for k, s in arrival], "event_id long, ts timestamp"
+    )
+    census = dedup_state_census(
+        hist.select(
+            F.col("event_id").alias("k"), F.unix_micros("ts").alias("tsu")
+        ),
+        (("30s", 30_000_000),),
+    ).collect()[0]
+    assert census["n_intervals"] == 5
+    assert census["n_suppressed"] == 2
+    assert census["truncated_keys"] == 0
+    # [65,95) x [70,100) overlap; k4's close at t=100 is processed
+    # BEFORE k1's re-entry opens (half-open eviction-before-insert),
+    # so the peak is 2, never 3
+    assert census["peak_state"] == 2
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp"
+    stream = streaming_dedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        keys=("event_id",), ts_col="ts", watermark="30 seconds",
+    )
+    q = stream.writeStream.outputMode("append").format("memory") \
+        .queryName("dedup_census_out").start()
+    try:
+        for k, s in arrival + [(99, 1000), (99, 1001)]:
+            spark.createDataFrame([(k, ts(s))], schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+            q.processAllAvailable()
+        got = spark.sql(
+            "SELECT event_id, ts FROM dedup_census_out WHERE event_id != 99"
+        ).collect()
+        assert len(got) == census["n_intervals"]
+        assert {
+            (r["event_id"], int((r["ts"] - base_t).total_seconds()))
+            for r in got
+        } == {(1, 0), (2, 10), (3, 65), (4, 70), (1, 100)}
+        state_rows = [
+            op["numRowsTotal"]
+            for p in (q.recentProgress or [])
+            for op in (p["stateOperators"] or [])
+        ]
+        assert state_rows and state_rows[-1] == 1  # only the sentinel remains
+    finally:
+        q.stop()

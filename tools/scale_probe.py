@@ -151,6 +151,12 @@ QUERIES = (
     "embedding_outlier_profile",
     "multimodal_frame_scene_cut",
     "join_size_estimate_two_table",
+    # round-15 tranche 2
+    "training_context_length_ladder",
+    "multimodal_patch_stats",
+    "customer_k_anon_generalization_ladder",
+    "embedding_centroid_drift",
+    "events_dedup_state_census",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
