@@ -357,3 +357,104 @@ def orders_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_bucket_30d", "n_intervals",
         F.expr("CAST(__sc * n_intervals DIV __total AS BIGINT)").alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# revenue concentration: the Pareto ladder over per-customer spend
+# ---------------------------------------------------------------------------
+
+_PARETO_PCTS = (1, 5, 10, 20, 50)
+
+
+def _pareto_oracle() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS top_pct" for p in _PARETO_PCTS
+    )
+    return f"""
+WITH rev AS (
+  SELECT o_custkey AS c,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+),
+rk AS (
+  SELECT c, cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, c ASC) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+  FROM rev
+),
+pcts AS ({arms})
+SELECT p.top_pct,
+       CAST((p.top_pct * MIN(rk.n)) // 100 AS BIGINT) AS n_top,
+       CAST(SUM(CASE WHEN rk.rn <= (p.top_pct * rk.n) // 100
+                     THEN rk.cents ELSE 0 END) AS BIGINT) AS top_cents,
+       CAST(10000 * SUM(CASE WHEN rk.rn <= (p.top_pct * rk.n) // 100
+                             THEN rk.cents ELSE 0 END)
+            // MIN(rk.total_cents) AS BIGINT) AS revenue_share_bp
+FROM rk CROSS JOIN pcts p
+GROUP BY p.top_pct
+"""
+
+
+@register("orders_pareto_revenue_curve", oracle=_pareto_oracle(),
+          description="revenue concentration ladder: exact share of total "
+                      "spend held by the top 1/5/10/20/50% of customers")
+def orders_pareto_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 audit as one table: rank customers by exact cents
+    spend and read off the revenue share of each top-p% prefix — the
+    concentration number behind key-account risk, whale-dependence
+    alerts, and (in the curation analogy) how much of a corpus a few
+    sources dominate. Complements events_key_skew_profile's Gini with
+    the actionable prefix form (Gini says "skewed"; this says "the top
+    1% is 31% of revenue").
+
+    Shape at 100 TB: one customer-keyed map-side-combined aggregate,
+    one :func:`~..operators.windows.distributed_rank` pass (no
+    single-task sort; n and total ride along on ladder-sized
+    windows over the ranked relation — computed as conditional sums,
+    the corpus_vocab_coverage pattern), ladder-sized output. The
+    prefix cut uses rank ≤ (p·n) DIV 100 exactly on both engines.
+    """
+    from ..operators.windows import distributed_rank
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    rev = t["orders"].where(F.col("o_custkey").isNotNull()).groupBy(
+        F.col("o_custkey").alias("c")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long").alias("cents")
+    )
+    rk = distributed_rank(
+        rev, [F.col("cents").desc(), F.col("c").asc()],
+        rank_name="rn", total_name="n",
+    )
+    aggs = [
+        F.min("n").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    ]
+    for p in _PARETO_PCTS:
+        aggs.append(
+            F.sum(
+                F.when(F.col("rn") <= F.expr(f"({p} * n) DIV 100"),
+                       F.col("cents")).otherwise(0)
+            ).cast("long").alias(f"__tc_{p}")
+        )
+    one = rk.agg(*aggs)
+    ladder = F.array(*[
+        F.struct(
+            F.lit(p).cast("long").alias("top_pct"),
+            F.col(f"__tc_{p}").alias("top_cents"),
+        )
+        for p in _PARETO_PCTS
+    ])
+    return one.select(
+        "n_customers", "total_cents", F.explode(ladder).alias("x")
+    ).select(
+        F.col("x.top_pct").alias("top_pct"),
+        F.expr("CAST(x.top_pct * n_customers DIV 100 AS BIGINT)")
+        .alias("n_top"),
+        F.col("x.top_cents").alias("top_cents"),
+        F.expr("CAST(10000 * x.top_cents DIV total_cents AS BIGINT)")
+        .alias("revenue_share_bp"),
+    )

@@ -558,6 +558,7 @@ _HOSTILE_FACT_QUERIES = (
     # round-15: the correlated two-table coin (NULL orderkeys never
     # join, identically on both engines)
     "join_size_estimate_two_table",
+    "orders_pareto_revenue_curve",
 )
 
 

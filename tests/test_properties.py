@@ -275,3 +275,61 @@ def test_distributed_running_max_property(spark, pairs, nparts):
             (r["k"], r["v"], r["m"]) for r in got
         )
         assert got_rows == want_rows, exclusive
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=7),    # key
+                  st.integers(min_value=0, max_value=30)),  # time
+        min_size=1, max_size=60,
+    ),
+    st.sampled_from([10, 15]),
+)
+def test_dedup_state_census_property(spark, occs, d):
+    """events_dedup_state_census's suppression-chain + endpoint-sweep
+    == a literal Python simulation, for ANY multiset of (key, time)
+    occurrences: greedy chain per key (new segment strictly past
+    s + d, capped at the operator's unroll depth with the same
+    truncation contract), peak via the eviction-before-insert sweep.
+    The time range and d are chosen so chains can reach (but not
+    exceed) the unroll cap, exercising every segment."""
+    from sm_etl_cloud_run_spark.plans.events_queries import (
+        _DDC_ROUNDS,
+        dedup_state_census,
+    )
+
+    ev = spark.createDataFrame(occs, "k long, tsu long")
+    got = dedup_state_census(ev, (("d", d),)).collect()[0]
+
+    by_key: dict[int, list[int]] = {}
+    for k, t in occs:
+        by_key.setdefault(k, []).append(t)
+    intervals, truncated = [], set()
+    for k, ts in by_key.items():
+        ts = sorted(ts)
+        starts = [ts[0]]
+        for t in ts[1:]:
+            if len(starts) == _DDC_ROUNDS:
+                if t > starts[-1] + d:
+                    truncated.add(k)
+                continue
+            if t > starts[-1] + d:
+                starts.append(t)
+        intervals += [(s, s + d, k) for s in starts]
+    # sweep: close (-1) before open (+1) at equal t
+    pts = sorted(
+        [(s, 1, k) for s, _, k in intervals]
+        + [(e, -1, k) for _, e, k in intervals],
+        key=lambda p: (p[0], p[1], p[2]),
+    )
+    peak = cur = 0
+    for _, delta, _k in pts:
+        cur += delta
+        peak = max(peak, cur)
+
+    assert got["n_events"] == len(occs)
+    assert got["n_intervals"] == len(intervals)
+    assert got["n_suppressed"] == len(occs) - len(intervals)
+    assert got["peak_state"] == peak
+    assert got["truncated_keys"] == len(truncated)

@@ -166,7 +166,9 @@ def test_fact_rank_plans_are_range_partitioned(spark, sf_dir):
                  "events_range_partition_plan",
                  # round-10 distributed_ntile riders: per-half monetary
                  # quartiles and the quality-decile curriculum phases
-                 "events_rfm_migration", "training_curriculum_schedule"):
+                 "events_rfm_migration", "training_curriculum_schedule",
+                 # the Pareto prefix rides distributed_rank
+                 "orders_pareto_revenue_curve"):
         df = all_queries()[name].fn(spark, sf_dir)
         plan = _explain(df, mode="simple")
         assert "rangepartitioning" in plan.lower(), name

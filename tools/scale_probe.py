@@ -157,6 +157,7 @@ QUERIES = (
     "customer_k_anon_generalization_ladder",
     "embedding_centroid_drift",
     "events_dedup_state_census",
+    "orders_pareto_revenue_curve",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
