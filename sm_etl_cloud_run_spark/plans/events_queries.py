@@ -3920,7 +3920,7 @@ LEFT JOIN trunc tr ON tr.delay = st.delay
 """
 
 
-@register("events_dedup_state_census", oracle=_ddc_oracle(),
+@register("events_dedup_state_census", oracle=_ddc_oracle(), bench=True,
           description="dedup-state cost table: per candidate delay, exact "
                       "first-pass/suppressed split and PEAK concurrent "
                       "distinct-key state for dropDuplicatesWithinWatermark")

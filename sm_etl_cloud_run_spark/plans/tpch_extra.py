@@ -396,7 +396,7 @@ GROUP BY p.top_pct
 """
 
 
-@register("orders_pareto_revenue_curve", oracle=_pareto_oracle(),
+@register("orders_pareto_revenue_curve", oracle=_pareto_oracle(), bench=True,
           description="revenue concentration ladder: exact share of total "
                       "spend held by the top 1/5/10/20/50% of customers")
 def orders_pareto_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
