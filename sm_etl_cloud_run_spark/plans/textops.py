@@ -2697,3 +2697,158 @@ def text_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df_bucket", "n_shingles", "n_postings", "n_join_rows",
         F.expr("CAST(__n DIV __t AS BIGINT)").alias("join_rows_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH detector recall probe: the measured S-curve, INCLUDING the misses
+# ---------------------------------------------------------------------------
+
+_LRP_PROBES = 64  # fixed md5-rank sample: 2016 pairs forever
+
+_LRP_BUCKETS = (
+    ("j<20", 2000), ("j20-49", 5000), ("j50-79", 8000), ("j80-100", 10001),
+)
+
+
+def _lrp_oracle() -> str:
+    bucket = "CASE " + " ".join(
+        f"WHEN exact_bp < {hi} THEN '{name}'" for name, hi in _LRP_BUCKETS
+    ) + " END"
+    return f"""
+WITH {_shingle_cte()},
+eligible AS (
+  SELECT doc_id, list_distinct(shingles) AS sset, shingles
+  FROM sh WHERE len(shingles) > 0
+),
+samp AS (
+  SELECT doc_id, sset, shingles
+  FROM eligible
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {_LRP_PROBES}
+),
+ex AS (SELECT doc_id, unnest(sset) AS s FROM samp),
+sz AS (SELECT doc_id, CAST(len(sset) AS BIGINT) AS n FROM samp),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM ex a JOIN ex b ON b.s = a.s AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+         CAST(10000 * COALESCE(i.i, 0)
+              // (sa.n + sb.n - COALESCE(i.i, 0)) AS BIGINT) AS exact_bp
+  FROM sz sa JOIN sz sb ON sb.doc_id > sa.doc_id
+  LEFT JOIN inter i ON i.id_a = sa.doc_id AND i.id_b = sb.doc_id
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"list_aggregate(list_transform(shingles, s -> substr(md5('{i // 4}:' || s), {8 * (i % 4) + 1}, 8)), 'min') AS sig_{i}" for i in range(NUM_HASHES))}
+  FROM samp
+),
+bands AS (
+{_bands_cte()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT {bucket} AS jacc_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_candidates,
+       CAST(10000 * SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS candidate_bp
+FROM pairs p
+LEFT JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b
+GROUP BY 1
+"""
+
+
+@register("dedup_lsh_recall_probe", oracle=_lrp_oracle(),
+          description="measured LSH S-curve INCLUDING misses: candidate rate "
+                      "per exact-Jaccard band over a fixed 64-doc sample "
+                      "(every pair exact-scored, candidate or not)")
+def dedup_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_accuracy audits the pairs the LSH FOUND; this
+    audits the ones it missed — the number the banding planner's
+    theoretical S-curve (dedup_lsh_planner family) predicts but nothing
+    measured until now. A fixed 64-document md5-rank sample (the
+    isotropy/label-propagation fixed-budget rule: 2016 pairs forever)
+    gets EVERY pair exact-Jaccard-scored via a shingle equi-join, then
+    left-joined against the banded candidate set built by the same
+    minhash/banding machinery the production path uses; the output is
+    candidate rate (bp) per exact-Jaccard band — empirical recall in
+    the high bands, empirical false-candidate rate in the low ones.
+
+    Shape at 100 TB: the sample is a TakeOrdered over md5 rank (one
+    corpus scan, no global sort materializes); everything after is
+    64-doc-sized — the 2016-pair join is the whitelisted fixed-budget
+    NLJ, exact Jaccard runs on exploded DISTINCT shingles of 64 docs,
+    and the banding is the production operator applied to 64
+    signatures. Output ≤ 4 ladder rows, all-integer bp.
+    """
+    from ..cache import persist_tracked
+    from ..functions.text import word_shingles
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    t = load_tables(spark, sf_dir)
+    eligible = t["documents"].select(
+        "doc_id", "text",
+        F.array_distinct(word_shingles(F.col("text"), SHINGLE_K)).alias("sset"),
+    ).where(F.size("sset") > 0)
+    samp = persist_tracked(
+        eligible.orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        ).limit(_LRP_PROBES)
+    )  # feeds the exact-Jaccard arm AND the signature/banding arm
+    ex = samp.select("doc_id", F.explode("sset").alias("s"))
+    sz = samp.select("doc_id", F.size("sset").cast("long").alias("n"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"),
+              (F.col("b.s") == F.col("a.s"))
+              & (F.col("b.doc_id") > F.col("a.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    pairs = (
+        sz.alias("sa")
+        .join(sz.alias("sb"), F.col("sb.doc_id") > F.col("sa.doc_id"))
+        .select(
+            F.col("sa.doc_id").alias("id_a"), F.col("sb.doc_id").alias("id_b"),
+            F.col("sa.n").alias("na"), F.col("sb.n").alias("nb"),
+        )
+        .join(inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b",
+            F.expr(
+                "CAST(10000 * COALESCE(i, 0)"
+                " DIV (na + nb - COALESCE(i, 0)) AS BIGINT)"
+            ).alias("exact_bp"),
+        )
+    )
+    sigs = minhash_signatures(
+        samp, text_col="text", id_col="doc_id",
+        num_hashes=NUM_HASHES, shingle_k=SHINGLE_K,
+    )
+    cand = lsh_candidate_pairs(
+        sigs, id_col="doc_id", num_hashes=NUM_HASHES, bands=LSH_BANDS
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    bucket = F.when(F.col("exact_bp") < _LRP_BUCKETS[0][1], _LRP_BUCKETS[0][0])
+    for name, hi in _LRP_BUCKETS[1:]:
+        bucket = bucket.when(F.col("exact_bp") < hi, name)
+    return (
+        pairs.join(cand, ["id_a", "id_b"], "left")
+        .groupBy(bucket.alias("jacc_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+            .alias("n_candidates"),
+        )
+        .select(
+            "jacc_bucket", "n_pairs", "n_candidates",
+            F.expr("CAST(10000 * n_candidates DIV n_pairs AS BIGINT)")
+            .alias("candidate_bp"),
+        )
+    )

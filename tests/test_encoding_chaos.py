@@ -312,6 +312,7 @@ _HOSTILE_QUERIES = (
     # 0-token (pure pad) rows; patchify needs only doc_id
     "training_context_length_ladder",
     "multimodal_patch_stats",
+    "dedup_lsh_recall_probe",
 )
 
 

@@ -158,6 +158,7 @@ QUERIES = (
     "embedding_centroid_drift",
     "events_dedup_state_census",
     "orders_pareto_revenue_curve",
+    "dedup_lsh_recall_probe",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
