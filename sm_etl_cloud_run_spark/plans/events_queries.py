@@ -3975,7 +3975,6 @@ def dedup_state_census(
         F.struct(F.lit(label).alias("delay"), F.lit(d).cast("long").alias("d"))
         for label, d in delays_us
     ])
-    n_events = ev.count()  # 1-scalar, parameter-sized
     # one delay-independent pass over the fact: per-key first sight +
     # multiplicity. Only keys seen MORE than once can ever chain past
     # segment 0, so every chain round below runs on the (tiny on real
@@ -3985,6 +3984,14 @@ def dedup_state_census(
         ev.groupBy("k").agg(
             F.min("tsu").alias("s"), F.count(F.lit(1)).alias("c")
         )
+    )
+    # n_events from the persisted per-key aggregate — materializing
+    # per_k was already required below, so this costs one pass over
+    # |keys| rows instead of a second full scan of the fact
+    # (VERDICT r10 item 2: ev.count() was the census's only redundant
+    # fact scan and its heaviest 256x term).
+    n_events = int(
+        per_k.agg(F.sum("c").cast("long").alias("n")).collect()[0]["n"] or 0
     )
     multi_occ = persist_tracked(
         ev.join(per_k.where(F.col("c") > 1).select("k"), "k")

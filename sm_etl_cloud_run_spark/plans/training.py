@@ -366,7 +366,7 @@ def _ctx_ladder_oracle() -> str:
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split(trim(text), ' ')) END AS n_tokens
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
   FROM documents
 ),
 arms AS ({" UNION ALL ".join(arms)})

@@ -47,17 +47,14 @@ WINDOW_SIZE = 50
 
 # Hand-maintained: queries whose implementation changed since their
 # last driver-green row. Emptied each round once the change is green.
-# Round 10: quality_classifier_train / _auc now run the GD loop on
-# driver-side sufficient statistics (VERDICT r9 item 3 — trajectory
-# bit-identical, parity re-verified); the census/tradeoff pair had
-# their cores extracted for the streaming integration (plans
-# unchanged, but the change-aware rule says touched implementations
-# re-enter the window).
+# Round 11 start: the round-10 forced rows (train pair +
+# census/tradeoff pair) all landed hash-green in CORRECTNESS_r10, so
+# the tuple is emptied per VERDICT r10 item 1 — the generated window
+# now covers the full r3-age backlog. Entries added below as round-11
+# work touches implementations.
 FORCE_RECHECK: tuple[str, ...] = (
-    "quality_classifier_train",
-    "quality_classifier_train_auc",
-    "events_stream_state_census",
-    "events_watermark_tradeoff",
+    "events_dedup_state_census",
+    "training_context_length_ladder",
 )
 
 _ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

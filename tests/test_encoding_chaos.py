@@ -206,13 +206,25 @@ def hostile_docs_dir(tmp_path_factory):
             # enumeration's 63-position cap (range(1,64) in the oracles,
             # least(length-1, 63) in Spark — ADVICE r8: an uncapped
             # Spark sequence() would emit 6 extra pairs on this row).
-            "doc_id": pa.array([900001, 900002, 900003, None, 900004], pa.int64()),
-            "text": pa.array(
-                ["", "   ", None, "stray row", "ab" * 35 + " tail"], pa.string()
+            # 900005: internal whitespace RUNS (double space, tab,
+            # newline) — ADVICE r10: a single-space string_split counts
+            # empty tokens from '  ' and never splits on '\t'/'\n', so
+            # any query whose two sides disagree on the tokenizer
+            # (regex vs single-space) diverges on this row; both
+            # conventions are parity-safe only when used on BOTH sides.
+            "doc_id": pa.array(
+                [900001, 900002, 900003, None, 900004, 900005], pa.int64()
             ),
-            "lang": pa.array(["en", "en", None, "en", "en"], pa.string()),
-            "source": pa.array(["web", "web", "web", "web", "web"], pa.string()),
-            "n_chars": pa.array([0, 3, None, 9, 75], pa.int64()),
+            "text": pa.array(
+                ["", "   ", None, "stray row", "ab" * 35 + " tail",
+                 "multi  space\ttab\nnewline  run"],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "en", None, "en", "en", "en"], pa.string()),
+            "source": pa.array(
+                ["web", "web", "web", "web", "web", "web"], pa.string()
+            ),
+            "n_chars": pa.array([0, 3, None, 9, 75, 29], pa.int64()),
         }
     )
     pq.write_table(

@@ -22,6 +22,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from sm_etl_cloud_run_spark import plans  # noqa: E402
+from sm_etl_cloud_run_spark.plans.registry import _REGISTRY  # noqa: E402
 from sm_etl_cloud_run_spark.plans.window_plan import (  # noqa: E402
     FORCE_RECHECK,
     WINDOW_SIZE,
@@ -36,10 +37,15 @@ def main() -> None:
                     help="simulate this many future driver rounds")
     args = ap.parse_args()
 
-    registered = list(plans.all_queries())
+    # registration order is the plan's tie-break baseline — the
+    # forecast below must re-plan from IT each simulated round, not
+    # from the already-planned yield order (ADVICE r10: planned
+    # positions as tie-breaks diverge from what all_queries() yields).
+    registered = list(_REGISTRY)
     greens = last_green()
-    order = planned_order(sorted(registered, key=registered.index), greens)
-    assert order == registered, "plans.all_queries() diverges from the plan"
+    order = planned_order(registered, greens)
+    assert order == list(plans.all_queries()), (
+        "plans.all_queries() diverges from the plan")
 
     cur_round = max(greens.values(), default=0)
     window = order[:WINDOW_SIZE]
@@ -62,11 +68,13 @@ def main() -> None:
     print("\nrotation forecast (stale-first, no new registrations):")
     for k in range(1, args.forecast + 1):
         rnd = cur_round + k
-        w = planned_order(order, sim, FORCE_RECHECK if k == 1 else ())[:WINDOW_SIZE]
+        w = planned_order(
+            registered, sim, FORCE_RECHECK if k == 1 else ()
+        )[:WINDOW_SIZE]
         for name in w:
             sim[name] = rnd
-        oldest = min(sim.get(n, 0) for n in order)
-        h = Counter(sim.get(n, 0) for n in order)
+        oldest = min(sim.get(n, 0) for n in registered)
+        h = Counter(sim.get(n, 0) for n in registered)
         print(f"  after r{rnd}: oldest last-green r{oldest}, "
               f"age {rnd - oldest}; histogram {dict(sorted(h.items()))}")
 
