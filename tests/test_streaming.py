@@ -999,3 +999,109 @@ def test_streaming_dedup_evictions_match_dedup_census(spark, tmp_path):
         assert state_rows and state_rows[-1] == 1  # only the sentinel remains
     finally:
         q.stop()
+
+
+def test_near_dedup_planned_watermark_matches_dedup_census(spark, tmp_path):
+    """Closes the streaming-pricing triangle (VERDICT r10 item 3): the
+    near-dedup's state is one dropDuplicatesWithinWatermark entry per
+    distinct BAND KEY in horizon, so the dedup-state census fed the
+    claim relation must be its exact price tag. On a shared fixture:
+    (1) the planner picks the 30s rung (one doc is 20s late, so the 5s
+    rung drops it and a zero drop bar rejects 5s); (2) a REAL stream
+    run of the claims stage admits exactly the census's n_intervals
+    claims and suppresses n_suppressed; (3) the full planned operator's
+    survivor set equals the hand-derived first-claimant-of-every-band
+    set, batch and stream agreeing."""
+    from sm_etl_cloud_run_spark.plans.events_queries import dedup_state_census
+    from sm_etl_cloud_run_spark.streaming.stream_ops import (
+        near_dedup_band_claims,
+        near_dedup_with_planned_watermark,
+        run_stream_to_memory,
+        streaming_near_dedup,
+    )
+
+    base_t = dt.datetime(2024, 6, 1, 9, 0)
+
+    def ts(s: int) -> dt.datetime:
+        return base_t + dt.timedelta(seconds=s)
+
+    t1 = "alpha beta gamma delta epsilon"
+    t2 = "zeta eta theta iota kappa"
+    t3 = "lam mu nu xi omicron"
+    t4 = "pi rho sigma tau upsilon"
+    bands, num_hashes = 2, 4
+    # (doc_id, sec, text) — doc_id IS arrival order (the tradeoff
+    # table's lateness contract); doc 5 is 20s late (event time 50
+    # after doc 4's 70); doc 6 re-claims t1's bands past first + 2D,
+    # the operator's documented in-order re-admission margin.
+    arrival = [
+        (1, 0, t1), (2, 5, t1), (3, 10, t2),
+        (4, 70, t3), (5, 50, t4), (6, 100, t1),
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    hist = spark.createDataFrame([(d, ts(s), x) for d, s, x in arrival], schema)
+
+    ladder = (("5s", 5_000_000), ("30s", 30_000_000))
+    label, d_us, planned = near_dedup_with_planned_watermark(
+        hist, hist, max_dropped_bp=0, delays_us=ladder,
+        bands=bands, num_hashes=num_hashes,
+    )
+    assert (label, d_us) == ("30s", 30_000_000)
+
+    claims = near_dedup_band_claims(
+        hist, bands=bands, num_hashes=num_hashes
+    ).select(
+        F.col("__band_key").alias("k"), F.unix_micros("ts").alias("tsu")
+    )
+    census = dedup_state_census(claims, (("30s", 30_000_000),)).collect()[0]
+    # hand-derivation (2 band keys per doc, no cross-text collisions):
+    # t1's 2 keys occur at {0, 5, 100} → 2 lifecycles each (5 is
+    # suppressed, 100 > 0 + 30 re-admits); t2/t3/t4 keys once each.
+    assert census["n_events"] == 12
+    assert census["n_intervals"] == 10
+    assert census["n_suppressed"] == 2
+    assert census["truncated_keys"] == 0
+    # intervals: t1 [0,30)x2 + t2 [10,40)x2 overlap → 4; t4 [50,80)x2
+    # + t3 [70,100)x2 overlap → 4; t1 re-entry [100,130)x2 alone.
+    assert census["peak_state"] == 4
+
+    # (2) real stream of the CLAIMS stage == the census, exactly
+    src = str(tmp_path / "near_docs")
+    os.makedirs(src)
+    sentinel = [(99, ts(1000), "sentinel text rolls the watermark on"),
+                (98, ts(1001), "second sentinel advances once more so")]
+    claims_stream = near_dedup_band_claims(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        bands=bands, num_hashes=num_hashes,
+    ).withWatermark("ts", "30 seconds").dropDuplicatesWithinWatermark(
+        ["__band_key"]
+    )
+    q = claims_stream.writeStream.outputMode("append").format("memory") \
+        .queryName("near_claims_out").start()
+    try:
+        for d, s, x in arrival + sentinel:
+            spark.createDataFrame([(d, ts(s) if isinstance(s, int) else s, x)],
+                                  schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+            q.processAllAvailable()
+        got = spark.sql(
+            "SELECT doc_id FROM near_claims_out WHERE doc_id < 90"
+        ).collect()
+        assert len(got) == census["n_intervals"]
+        admitted = sorted(r["doc_id"] for r in got)
+        assert admitted == [1, 1, 3, 3, 4, 4, 5, 5, 6, 6]  # doc 2 suppressed
+    finally:
+        q.stop()
+
+    # (3) the planned operator end-to-end: batch twin on the same call.
+    # The batch twin dedups GLOBALLY (first claimant ever, no horizon),
+    # so doc 6's re-admission is stream-only — the claims-stage pin in
+    # (2) is what proves the horizon semantics; here the twin drops
+    # both clones of t1's bands.
+    surv = {r["doc_id"] for r in streaming_near_dedup(
+        hist, watermark="30 seconds", bands=bands, num_hashes=num_hashes,
+    ).collect()}
+    assert surv == {1, 3, 4, 5}
+    assert planned.isStreaming is False  # batch twin returned for a batch frame
+    assert {r["doc_id"] for r in planned.collect()} == surv
