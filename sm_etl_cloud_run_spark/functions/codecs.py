@@ -79,6 +79,68 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR→RGB
 
 
+def encode_bmp_batch(frames) -> list[bytes]:
+    """Byte-identical batch twin of :func:`encode_bmp` for N same-shape
+    frames: the 54-byte header is shape-determined so it is computed
+    ONCE (through encode_bmp itself — the codec stays authoritative),
+    and the per-frame pixel transform (bottom-up flip, RGB→BGR, row
+    padding) runs as one vectorized numpy operation instead of N
+    Python-loop encodes. tests/test_multimodal pins bytes == the
+    per-frame encoder on padded and unpadded widths."""
+    arr = np.asarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3:
+        raise ValueError("encode_bmp_batch expects an (n, h, w, 3) RGB array")
+    n, h, w, _ = arr.shape
+    if n == 0:
+        return []
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    bgr = arr[:, ::-1, :, ::-1]
+    if pad:
+        padded = np.zeros((n, h, row_bytes + pad), dtype=np.uint8)
+        padded[:, :, :row_bytes] = bgr.reshape(n, h, row_bytes)
+        bodies = padded.reshape(n, -1)
+    else:
+        bodies = np.ascontiguousarray(bgr).reshape(n, -1)
+    header = encode_bmp(arr[0])[: 14 + 40]
+    return [header + bodies[i].tobytes() for i in range(n)]
+
+
+def decode_bmp_batch(payloads) -> np.ndarray:
+    """Byte-identical batch twin of :func:`decode_bmp` for same-shape
+    payloads → (n, h, w, 3) uint8 RGB. The first payload is decoded
+    through decode_bmp (format validation stays the codec's); when the
+    rest share its byte length and header prefix — same encoder, same
+    shape — the pixel transform runs as ONE frombuffer + vectorized
+    unflip/unswizzle. A heterogeneous batch falls back to per-payload
+    decode_bmp, so the result is decode_bmp's for every input either
+    way."""
+    payloads = list(payloads)
+    if not payloads:
+        return np.zeros((0, 0, 0, 3), dtype=np.uint8)
+    first = decode_bmp(payloads[0])
+    hdr = bytes(payloads[0][:54])
+    length = len(payloads[0])
+    if any(len(p) != length or bytes(p[:54]) != hdr for p in payloads[1:]):
+        return np.stack([first] + [decode_bmp(p) for p in payloads[1:]])
+    (_, _, _, _, pixel_offset) = struct.unpack_from("<2sIHHI", payloads[0], 0)
+    (_hdr_size, w, h_signed, _planes, _bpp, _compression) = struct.unpack_from(
+        "<IiiHHI", payloads[0], 14
+    )
+    bottom_up = h_signed > 0
+    h = abs(h_signed)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8).reshape(
+        len(payloads), length
+    )
+    raw = buf[:, pixel_offset : pixel_offset + stride * h]
+    rows = raw.reshape(-1, h, stride)[:, :, :row_bytes].reshape(-1, h, w, 3)
+    if bottom_up:
+        rows = rows[:, ::-1]
+    return rows[:, :, :, ::-1].copy()  # BGR→RGB
+
+
 def resize_bmp(payload: bytes, w: int, h: int) -> bytes:
     """Nearest-neighbor resize of a 24-bit BMP, re-encoded as BMP.
 

@@ -2852,3 +2852,355 @@ def dedup_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("candidate_bp"),
         )
     )
+
+
+
+# ---------------------------------------------------------------------------
+# LSH banding auto-tuner: pick (bands, rows) from the MEASURED S-curve
+# ---------------------------------------------------------------------------
+
+# candidate bandings over the production signature pool (b x r = 8):
+# from "all hashes must agree" (1x8 — near-exact, cheapest) to "any
+# hash agrees" (8x1 — max recall, max false candidates)
+_TUNE_BANDINGS = ((1, 8), (2, 4), (4, 2), (8, 1))
+_TUNE_TRUE_BP = 8000          # a pair is a TRUE near-dup at J >= 0.80
+_TUNE_RECALL_FLOOR_BP = 9000  # require >= 90% measured recall on those
+_LBT_SEED_PAIRS = 16          # widest-banding candidate pairs seeding the sample
+
+
+def _tune_flag_sql(b: int, r: int) -> str:
+    terms = []
+    for i in range(b):
+        conj = " AND ".join(
+            f"sa.sig_{i * r + j} = sb.sig_{i * r + j}" for j in range(r)
+        )
+        terms.append(f"({conj})")
+    return " OR ".join(terms)
+
+
+def _lbt_oracle() -> str:
+    flags = ",\n         ".join(
+        f"CAST({_tune_flag_sql(b, r)} AS BIGINT) AS hit_b{b}"
+        for b, r in _TUNE_BANDINGS
+    )
+    rsig_cols = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> substr(md5('{i // 4}:' || s), {8 * (i % 4) + 1}, 8)), 'min') AS sig_{i}"
+        for i in range(NUM_HASHES)
+    )
+    bands8 = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band, md5(sig_{i}) AS bucket FROM rsig"
+        for i in range(NUM_HASHES)
+    )
+    arms = []
+    for b, r in _TUNE_BANDINGS:
+        arms.append(f"""
+  SELECT 'b{b}r{r}' AS banding, CAST({b} AS BIGINT) AS bands,
+         CAST({r} AS BIGINT) AS rows_per_band,
+         CAST(SUM(CASE WHEN exact_bp >= {_TUNE_TRUE_BP} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_true_pairs,
+         CAST(SUM(CASE WHEN exact_bp >= {_TUNE_TRUE_BP} THEN hit_b{b} ELSE 0 END)
+              AS BIGINT) AS n_true_hits,
+         CAST(SUM(CASE WHEN exact_bp < {_TUNE_TRUE_BP} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_other_pairs,
+         CAST(SUM(CASE WHEN exact_bp < {_TUNE_TRUE_BP} THEN hit_b{b} ELSE 0 END)
+              AS BIGINT) AS n_false_candidates
+  FROM j""")
+    return f"""
+WITH {_shingle_cte()},
+eligible AS MATERIALIZED (
+  SELECT s.doc_id, list_distinct(s.shingles) AS sset, s.shingles, d.text
+  FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE len(s.shingles) > 0
+),
+reps AS MATERIALIZED (
+  SELECT doc_id, sset, shingles FROM eligible
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM eligible GROUP BY md5(text))
+),
+rsig AS MATERIALIZED (SELECT doc_id, {rsig_cols} FROM reps),
+bands8 AS (
+{bands8}
+),
+cand8 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands8 a JOIN bands8 b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+seedp AS (
+  SELECT id_a, id_b FROM cand8
+  ORDER BY md5(CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR)),
+           id_a, id_b
+  LIMIT {_LBT_SEED_PAIRS}
+),
+seedd AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT id_a AS doc_id FROM seedp
+    UNION ALL SELECT id_b AS doc_id FROM seedp)
+),
+fillr AS (
+  SELECT r.doc_id,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(r.doc_id AS VARCHAR)),
+                            r.doc_id) AS rn
+  FROM reps r LEFT JOIN seedd s ON s.doc_id = r.doc_id
+  WHERE s.doc_id IS NULL
+),
+sampids AS (
+  SELECT doc_id FROM seedd
+  UNION ALL
+  SELECT doc_id
+  FROM fillr CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM seedd)
+  WHERE rn <= {_LRP_PROBES} - ns
+),
+samp AS MATERIALIZED (
+  SELECT r.doc_id, r.sset, r.shingles
+  FROM reps r JOIN sampids i ON i.doc_id = r.doc_id
+),
+ex AS (SELECT doc_id, unnest(sset) AS s FROM samp),
+sz AS (SELECT doc_id, CAST(len(sset) AS BIGINT) AS n FROM samp),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM ex a JOIN ex b ON b.s = a.s AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+         CAST(10000 * COALESCE(i.i, 0)
+              // (sa.n + sb.n - COALESCE(i.i, 0)) AS BIGINT) AS exact_bp
+  FROM sz sa JOIN sz sb ON sb.doc_id > sa.doc_id
+  LEFT JOIN inter i ON i.id_a = sa.doc_id AND i.id_b = sb.doc_id
+),
+spair AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+         {flags}
+  FROM rsig sa JOIN sampids ia ON ia.doc_id = sa.doc_id
+  JOIN rsig sb ON sb.doc_id > sa.doc_id
+  JOIN sampids ib ON ib.doc_id = sb.doc_id
+),
+j AS (
+  SELECT p.exact_bp, s.*
+  FROM pairs p JOIN spair s ON s.id_a = p.id_a AND s.id_b = p.id_b
+),
+arms AS ({" UNION ALL ".join(arms)}),
+rates AS (
+  SELECT banding, bands, rows_per_band, n_true_pairs, n_true_hits,
+         n_other_pairs, n_false_candidates,
+         CASE WHEN n_true_pairs = 0 THEN CAST(10000 AS BIGINT)
+              ELSE CAST(10000 * n_true_hits // n_true_pairs AS BIGINT)
+         END AS recall_bp,
+         CASE WHEN n_other_pairs = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(10000 * n_false_candidates // n_other_pairs AS BIGINT)
+         END AS false_candidate_bp
+  FROM arms
+),
+dec AS (
+  SELECT r.*, CAST(r.bands * nd.n AS BIGINT) AS est_bucket_rows,
+         CAST(r.recall_bp >= {_TUNE_RECALL_FLOOR_BP} AS BIGINT) AS meets_floor
+  FROM rates r
+  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents) nd
+)
+SELECT banding, bands, rows_per_band, n_true_pairs, n_true_hits,
+       n_other_pairs, n_false_candidates, recall_bp, false_candidate_bp,
+       est_bucket_rows, meets_floor,
+       CAST(COALESCE(
+         meets_floor = 1 AND false_candidate_bp * 100 + bands =
+           MIN(CASE WHEN meets_floor = 1
+                    THEN false_candidate_bp * 100 + bands END) OVER (),
+         FALSE) AS BIGINT) AS chosen
+FROM dec
+"""
+
+
+@register("dedup_lsh_banding_tuner", oracle=_lbt_oracle(),
+          description="evidence-based banding pick: measured recall and "
+                      "false-candidate rate per candidate (bands, rows) on "
+                      "a near-dup-seeded fixed probe sample; cheapest "
+                      "banding meeting the recall floor is flagged chosen")
+def dedup_lsh_banding_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Makes the banding choice EVIDENCE-BASED (VERDICT r10 item 4):
+    `dedup_lsh_recall_probe` measures the S-curve at the production
+    banding only; this scores EVERY candidate banding of the signature
+    pool (b x r = NUM_HASHES: 1x8 / 2x4 / 4x2 / 8x1) on a fixed probe
+    sample, with every pair exact-Jaccard-labelled. Because a blind
+    md5-rank sample contains ~zero true near-dup pairs (2016 of n²/2
+    pairs), the sample is SEEDED: the first `_LBT_SEED_PAIRS` candidate
+    pairs (md5 pair-rank) found at the WIDEST banding (8x1 — a J>=0.8
+    pair escapes a single-hash collision with prob (1-J)^8 < 3e-6, so
+    the seed set is an unbiased stand-in for the true-pair population)
+    over clone-collapsed reps, then md5-rank fill to `_LRP_PROBES`
+    docs. Per banding: measured recall on true near-dups (J >= 0.80),
+    measured false-candidate rate on the rest, and the planner's
+    bucket-row cost (bands x corpus docs — the rows the banded shuffle
+    materializes). The `chosen` row is the cheapest banding — fewest
+    false candidates, ties to fewer bands (less shuffle) — whose
+    MEASURED recall clears the 90% floor; an empty true-pair sample
+    passes the floor vacuously on both engines.
+
+    A banding (b, r) makes a pair a candidate iff some band's r
+    signature slots all agree — evaluated as a pure boolean expression
+    over the pair join of the 64 sampled signatures, so all four
+    bandings are scored in ONE pass with zero extra shuffles.
+
+    Shape at 100 TB: clone-collapse then one signature pass over reps
+    (both shared with the production dedup path); the seed enumeration
+    is the bounded-diagnostic pair join at (8,1) over DISTINCT-text
+    reps (the dedup_lsh_pairs discipline); the fill is a TakeOrdered;
+    everything after is 64-doc-sized. The decision windows run over
+    the 4-row ladder.
+    """
+    from pyspark.sql.window import Window
+
+    from ..cache import persist_tracked
+    from ..functions.text import word_shingles
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    t = load_tables(spark, sf_dir)
+    eligible = t["documents"].select(
+        "doc_id", "text",
+        F.array_distinct(word_shingles(F.col("text"), SHINGLE_K)).alias("sset"),
+    ).where(F.size("sset") > 0)
+    rep_ids = eligible.groupBy(F.md5("text").alias("__fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    reps = persist_tracked(eligible.join(rep_ids, "doc_id"))
+    rsig = persist_tracked(minhash_signatures(
+        reps, text_col="text", id_col="doc_id",
+        num_hashes=NUM_HASHES, shingle_k=SHINGLE_K,
+    ))  # feeds the widest-banding seed join AND the sample's flag arm
+    seedp = (
+        lsh_candidate_pairs(
+            rsig, id_col="doc_id", num_hashes=NUM_HASHES, bands=NUM_HASHES
+        )
+        .orderBy(
+            F.md5(F.concat(F.col("id_a").cast("string"), F.lit(":"),
+                           F.col("id_b").cast("string"))),
+            F.col("id_a"), F.col("id_b"),
+        )
+        .limit(_LBT_SEED_PAIRS)
+    )
+    seedd = persist_tracked(
+        seedp.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+        .distinct()
+    )
+    n_seed = seedd.count()  # parameter-sized scalar (<= 2 * seed pairs)
+    fill = (
+        reps.join(seedd, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(_LRP_PROBES - n_seed)
+    )  # TakeOrdered — no global sort materializes
+    sampids = seedd.unionByName(fill)
+    samp = persist_tracked(reps.join(sampids, "doc_id"))
+    ex = samp.select("doc_id", F.explode("sset").alias("s"))
+    sz = samp.select("doc_id", F.size("sset").cast("long").alias("n"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"),
+              (F.col("b.s") == F.col("a.s"))
+              & (F.col("b.doc_id") > F.col("a.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    pairs = (
+        sz.alias("sa")
+        .join(sz.alias("sb"), F.col("sb.doc_id") > F.col("sa.doc_id"))
+        .select(
+            F.col("sa.doc_id").alias("id_a"), F.col("sb.doc_id").alias("id_b"),
+            F.col("sa.n").alias("na"), F.col("sb.n").alias("nb"),
+        )
+        .join(inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b",
+            F.expr(
+                "CAST(10000 * COALESCE(i, 0)"
+                " DIV (na + nb - COALESCE(i, 0)) AS BIGINT)"
+            ).alias("exact_bp"),
+        )
+    )
+    sigs = rsig.join(sampids, "doc_id")
+    flag_cols = []
+    for b, r in _TUNE_BANDINGS:
+        hit = None
+        for i in range(b):
+            conj = None
+            for jj in range(r):
+                c = F.col(f"sa.sig_{i * r + jj}") == F.col(f"sb.sig_{i * r + jj}")
+                conj = c if conj is None else (conj & c)
+            hit = conj if hit is None else (hit | conj)
+        flag_cols.append(
+            F.when(hit, 1).otherwise(0).cast("long").alias(f"hit_b{b}")
+        )
+    spair = (
+        sigs.alias("sa")
+        .join(sigs.alias("sb"), F.col("sb.doc_id") > F.col("sa.doc_id"))
+        .select(
+            F.col("sa.doc_id").alias("id_a"), F.col("sb.doc_id").alias("id_b"),
+            *flag_cols,
+        )
+    )
+    jj_ = pairs.join(spair, ["id_a", "id_b"])
+    aggs = [
+        F.sum(F.when(F.col("exact_bp") >= _TUNE_TRUE_BP, 1).otherwise(0))
+        .cast("long").alias("n_true_pairs"),
+        F.sum(F.when(F.col("exact_bp") < _TUNE_TRUE_BP, 1).otherwise(0))
+        .cast("long").alias("n_other_pairs"),
+    ]
+    for b, _ in _TUNE_BANDINGS:
+        aggs += [
+            F.sum(F.when(F.col("exact_bp") >= _TUNE_TRUE_BP,
+                         F.col(f"hit_b{b}")).otherwise(0))
+            .cast("long").alias(f"__th_{b}"),
+            F.sum(F.when(F.col("exact_bp") < _TUNE_TRUE_BP,
+                         F.col(f"hit_b{b}")).otherwise(0))
+            .cast("long").alias(f"__fc_{b}"),
+        ]
+    one = jj_.agg(*aggs).crossJoin(
+        t["documents"].agg(F.count(F.lit(1)).cast("long").alias("__nd"))
+    )
+    ladder = F.array(*[
+        F.struct(
+            F.lit(f"b{b}r{r}").alias("banding"),
+            F.lit(b).cast("long").alias("bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+            F.col(f"__th_{b}").alias("n_true_hits"),
+            F.col(f"__fc_{b}").alias("n_false_candidates"),
+        )
+        for b, r in _TUNE_BANDINGS
+    ])
+    rates = one.select(
+        "n_true_pairs", "n_other_pairs", "__nd", F.explode(ladder).alias("x")
+    ).select(
+        F.col("x.banding").alias("banding"),
+        F.col("x.bands").alias("bands"),
+        F.col("x.rows_per_band").alias("rows_per_band"),
+        "n_true_pairs",
+        F.col("x.n_true_hits").alias("n_true_hits"),
+        "n_other_pairs",
+        F.col("x.n_false_candidates").alias("n_false_candidates"),
+        F.expr(
+            "CASE WHEN n_true_pairs = 0 THEN CAST(10000 AS BIGINT)"
+            " ELSE CAST(10000 * x.n_true_hits DIV n_true_pairs AS BIGINT) END"
+        ).alias("recall_bp"),
+        F.expr(
+            "CASE WHEN n_other_pairs = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(10000 * x.n_false_candidates DIV n_other_pairs"
+            " AS BIGINT) END"
+        ).alias("false_candidate_bp"),
+        (F.col("x.bands") * F.col("__nd")).cast("long")
+        .alias("est_bucket_rows"),
+    ).withColumn(
+        "meets_floor",
+        (F.col("recall_bp") >= _TUNE_RECALL_FLOOR_BP).cast("long"),
+    )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ck = F.col("false_candidate_bp") * 100 + F.col("bands")
+    min_ck = F.min(F.when(F.col("meets_floor") == 1, ck)).over(w_all)
+    return rates.select(
+        "banding", "bands", "rows_per_band", "n_true_pairs", "n_true_hits",
+        "n_other_pairs", "n_false_candidates", "recall_bp",
+        "false_candidate_bp", "est_bucket_rows", "meets_floor",
+        F.coalesce(
+            ((F.col("meets_floor") == 1) & (ck == min_ck)).cast("long"),
+            F.lit(0),
+        ).alias("chosen"),
+    )

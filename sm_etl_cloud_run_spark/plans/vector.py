@@ -2570,6 +2570,13 @@ def multimodal_frame_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     the task); one row per clip, no shuffle. Real MPEG decode stays
     behind the honest UnsupportedMediaError boundary — the Spark-side
     contract (batch shape, per-pair cost, output schema) is what runs.
+
+    Kernel vectorization (VERDICT r10 item 6): frame synthesis, encode,
+    decode, and the MAD reduction run batched across ALL the batch's
+    docs via numpy and the byte-identity-pinned
+    encode_bmp_batch/decode_bmp_batch twins (tests/test_codecs); the
+    length-prefixed container is still packed and re-parsed per clip —
+    that IS the contract under test. Parity stays bit-identical.
     """
     import struct
 
@@ -2579,46 +2586,67 @@ def multimodal_frame_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"].select("doc_id")
 
     def kernel(batches):
-        from ..functions.codecs import decode_bmp, encode_bmp
+        from ..functions.codecs import decode_bmp_batch, encode_bmp_batch
 
         base = np.arange(64, dtype=np.int64).reshape(8, 8)
-
-        def frame_bmp(d: int, f: int) -> bytes:
-            gray = (
-                (d * _AQC_K + (f // _SCUT_SCENE_LEN) * _SCUT_JUMP
-                 + f * _SCUT_DRIFT + base) % 256
-            ).astype(np.uint8)
-            return encode_bmp(np.stack([gray, gray, gray], axis=-1))
+        fidx = np.arange(_FS_FRAMES, dtype=np.int64)[:, None, None]
+        out_schema = {"doc_id": "int64", "n_frames": "int64",
+                      "n_cuts": "int64", "first_cut_frame": "Int64",
+                      "total_mad": "int64"}
 
         for pdf in batches:
-            rows = {"doc_id": [], "n_frames": [], "n_cuts": [],
-                    "first_cut_frame": [], "total_mad": []}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                frames = [frame_bmp(d, f) for f in range(_FS_FRAMES)]
-                payload = struct.pack("<I", len(frames)) + b"".join(
-                    struct.pack("<I", len(fb)) + fb for fb in frames
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            n_docs = len(ids)
+            if n_docs == 0:
+                yield pd.DataFrame(
+                    {c: pd.Series(dtype=t_) for c, t_ in out_schema.items()}
                 )
+                continue
+            gray = (
+                (ids[:, None, None, None] * _AQC_K
+                 + (fidx // _SCUT_SCENE_LEN) * _SCUT_JUMP
+                 + fidx * _SCUT_DRIFT + base) % 256
+            ).astype(np.uint8)  # (docs, frames, 8, 8)
+            frames = encode_bmp_batch(
+                np.stack([gray, gray, gray], axis=-1)
+                .reshape(n_docs * _FS_FRAMES, 8, 8, 3)
+            )
+            payloads = []
+            for i in range(n_docs):
+                fbs = frames[i * _FS_FRAMES:(i + 1) * _FS_FRAMES]
+                payloads.append(
+                    struct.pack("<I", len(fbs)) + b"".join(
+                        struct.pack("<I", len(fb)) + fb for fb in fbs
+                    )
+                )
+            parsed, counts = [], []
+            for payload in payloads:
                 (n,) = struct.unpack_from("<I", payload, 0)
-                off, decoded = 4, []
+                off = 4
                 for _ in range(n):
                     (ln,) = struct.unpack_from("<I", payload, off)
-                    decoded.append(
-                        decode_bmp(payload[off + 4 : off + 4 + ln])[:, :, 0]
-                        .astype(np.int64)
-                    )
+                    parsed.append(payload[off + 4 : off + 4 + ln])
                     off += 4 + ln
-                mads = [
-                    int(np.abs(decoded[f + 1] - decoded[f]).sum())
-                    for f in range(n - 1)
-                ]
-                cuts = [f + 1 for f, m in enumerate(mads) if m > _SCUT_THRESH]
-                rows["doc_id"].append(d)
-                rows["n_frames"].append(n)
-                rows["n_cuts"].append(len(cuts))
-                rows["first_cut_frame"].append(cuts[0] if cuts else None)
-                rows["total_mad"].append(sum(mads))
-            yield pd.DataFrame(rows)
+                counts.append(n)
+            assert counts == [_FS_FRAMES] * n_docs  # container roundtrip
+            decoded = (
+                decode_bmp_batch(parsed)[:, :, :, 0]
+                .astype(np.int64)
+                .reshape(n_docs, _FS_FRAMES, 8, 8)
+            )
+            mads = np.abs(decoded[:, 1:] - decoded[:, :-1]).sum(axis=(2, 3))
+            is_cut = mads > _SCUT_THRESH
+            n_cuts = is_cut.sum(axis=1).astype(np.int64)
+            first = np.where(n_cuts > 0, is_cut.argmax(axis=1) + 1, 0)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "n_frames": np.full(n_docs, _FS_FRAMES, dtype=np.int64),
+                "n_cuts": n_cuts,
+                "first_cut_frame": pd.array(
+                    [int(f) if f else None for f in first], dtype="Int64"
+                ),
+                "total_mad": mads.sum(axis=1).astype(np.int64),
+            })
 
     return docs.mapInPandas(
         kernel,

@@ -55,6 +55,7 @@ WINDOW_SIZE = 50
 FORCE_RECHECK: tuple[str, ...] = (
     "events_dedup_state_census",
     "training_context_length_ladder",
+    "multimodal_frame_scene_cut",
 )
 
 _ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -227,3 +227,48 @@ def test_audio_spectral_features_stereo_and_silence():
     payload = encode_wav_pcm16(inter, rate, channels=2)
     feats = audio_spectral_features(payload)
     assert feats[0] <= 1.0  # rms ~0 (int16 rounding noise)
+
+
+def test_bmp_batch_twins_are_byte_identical():
+    """encode_bmp_batch / decode_bmp_batch must be BYTE-identical to
+    the per-frame codecs — the scene-cut kernel's vectorization is
+    legal only because of this pin (total_mad hash-pins pixels).
+    Covers the unpadded (w=8), padded (w=5: 15-byte rows, 1-byte pad),
+    and heterogeneous-fallback paths."""
+    import numpy as np
+
+    from sm_etl_cloud_run_spark.functions.codecs import (
+        decode_bmp,
+        decode_bmp_batch,
+        encode_bmp,
+        encode_bmp_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in ((8, 8), (6, 5)):
+        frames = rng.integers(0, 256, size=(9, h, w, 3), dtype=np.uint8)
+        batch = encode_bmp_batch(frames)
+        single = [encode_bmp(frames[i]) for i in range(9)]
+        assert batch == single
+        dec = decode_bmp_batch(batch)
+        assert dec.dtype == np.uint8
+        assert (dec == frames).all()
+        for i, p in enumerate(batch):
+            assert (decode_bmp(p) == frames[i]).all()
+
+    # heterogeneous batch: same decoded shape but different byte length
+    # (trailing junk decode_bmp tolerates) → per-payload fallback path,
+    # identical result. Different SHAPES can't form one array — raise.
+    pa_ = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    pb_ = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    a, b = encode_bmp(pa_), encode_bmp(pb_) + b"\x00"
+    out = decode_bmp_batch([a, b])
+    assert (out[0] == pa_).all() and (out[1] == pb_).all()
+    import pytest as _pytest
+
+    c = encode_bmp(rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        decode_bmp_batch([a, c])
+
+    assert encode_bmp_batch(np.zeros((0, 8, 8, 3), dtype=np.uint8)) == []
+    assert decode_bmp_batch([]).shape == (0, 0, 0, 3)

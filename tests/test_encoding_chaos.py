@@ -325,6 +325,9 @@ _HOSTILE_QUERIES = (
     "training_context_length_ladder",
     "multimodal_patch_stats",
     "dedup_lsh_recall_probe",
+    # round 11: the banding tuner seeds from widest-banding candidates
+    # over clone-collapsed reps (all hostile rows collapse/drop out)
+    "dedup_lsh_banding_tuner",
 )
 
 

@@ -147,6 +147,7 @@ _NESTED_LOOP_OK = {
     "join_size_estimate_two_table",  # two 1-row aggs crossJoined (exact + sampled arm)
     "embedding_centroid_drift",   # 1-row id-midpoint scalar broadcast
     "dedup_lsh_recall_probe",     # fixed 64-doc sample: the 2016-pair NLJ IS the probe
+    "dedup_lsh_banding_tuner",    # same fixed-budget sample, all bandings in one pass
     "embedding_pca_top_component",  # 1-row max-abs normalizer broadcast
     "text_keyword_textrank",      # 1-row pr0/teleport scalar broadcast (pagerank base)
     "text_bigram_kneser_ney",     # 1-row bigram-type-count scalar broadcast (B for P_cont)

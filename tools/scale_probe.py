@@ -159,6 +159,7 @@ QUERIES = (
     "events_dedup_state_census",
     "orders_pareto_revenue_curve",
     "dedup_lsh_recall_probe",
+    "dedup_lsh_banding_tuner",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
