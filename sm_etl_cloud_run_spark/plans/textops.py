@@ -2865,7 +2865,11 @@ def dedup_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TUNE_BANDINGS = ((1, 8), (2, 4), (4, 2), (8, 1))
 _TUNE_TRUE_BP = 8000          # a pair is a TRUE near-dup at J >= 0.80
 _TUNE_RECALL_FLOOR_BP = 9000  # require >= 90% measured recall on those
-_LBT_SEED_PAIRS = 16          # widest-banding candidate pairs seeding the sample
+# seed pairs: stratified by signature agreement (n_match) so the sample
+# covers the S-curve knee, not just the n_match=8 saturation zone — 4
+# pairs per stratum for n_match in 8..5 (est J ~1.0 down to ~0.6)
+_LBT_SEED_PER_STRATUM = 4
+_LBT_SEED_MIN_MATCH = 5
 
 
 def _tune_flag_sql(b: int, r: int) -> str:
@@ -2878,7 +2882,11 @@ def _tune_flag_sql(b: int, r: int) -> str:
     return " OR ".join(terms)
 
 
-def _lbt_oracle() -> str:
+def _lbt_ctes() -> str:
+    """The shared WITH-body (sample seeding -> exact labels -> per-
+    banding scores -> decision) used by BOTH the tuner oracle and the
+    tuned-pairs oracle, ending in a `decision` CTE with the tuner's
+    full output columns."""
     flags = ",\n         ".join(
         f"CAST({_tune_flag_sql(b, r)} AS BIGINT) AS hit_b{b}"
         for b, r in _TUNE_BANDINGS
@@ -2906,7 +2914,7 @@ def _lbt_oracle() -> str:
               AS BIGINT) AS n_false_candidates
   FROM j""")
     return f"""
-WITH {_shingle_cte()},
+{_shingle_cte()},
 eligible AS MATERIALIZED (
   SELECT s.doc_id, list_distinct(s.shingles) AS sset, s.shingles, d.text
   FROM sh s JOIN documents d ON d.doc_id = s.doc_id
@@ -2925,11 +2933,23 @@ cand8 AS (
   FROM bands8 a JOIN bands8 b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ),
+seedc AS (
+  SELECT c.id_a, c.id_b,
+         ({" + ".join(f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES))})
+           AS n_match
+  FROM cand8 c
+  JOIN rsig sa ON sa.doc_id = c.id_a
+  JOIN rsig sb ON sb.doc_id = c.id_b
+),
 seedp AS (
-  SELECT id_a, id_b FROM cand8
-  ORDER BY md5(CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR)),
-           id_a, id_b
-  LIMIT {_LBT_SEED_PAIRS}
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           ROW_NUMBER() OVER (
+             PARTITION BY n_match
+             ORDER BY md5(CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR)),
+                      id_a, id_b) AS rn
+    FROM seedc WHERE n_match >= {_LBT_SEED_MIN_MATCH}
+  ) WHERE rn <= {_LBT_SEED_PER_STRATUM}
 ),
 seedd AS (
   SELECT DISTINCT doc_id FROM (
@@ -2996,55 +3016,72 @@ dec AS (
          CAST(r.recall_bp >= {_TUNE_RECALL_FLOOR_BP} AS BIGINT) AS meets_floor
   FROM rates r
   CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents) nd
-)
-SELECT banding, bands, rows_per_band, n_true_pairs, n_true_hits,
-       n_other_pairs, n_false_candidates, recall_bp, false_candidate_bp,
-       est_bucket_rows, meets_floor,
-       CAST(COALESCE(
-         meets_floor = 1 AND false_candidate_bp * 100 + bands =
-           MIN(CASE WHEN meets_floor = 1
-                    THEN false_candidate_bp * 100 + bands END) OVER (),
-         FALSE) AS BIGINT) AS chosen
-FROM dec
+),
+decision AS (
+  SELECT banding, bands, rows_per_band, n_true_pairs, n_true_hits,
+         n_other_pairs, n_false_candidates, recall_bp, false_candidate_bp,
+         est_bucket_rows, meets_floor,
+         CAST(COALESCE(
+           meets_floor = 1 AND false_candidate_bp * 100 + bands =
+             MIN(CASE WHEN meets_floor = 1
+                      THEN false_candidate_bp * 100 + bands END) OVER (),
+           FALSE) AS BIGINT) AS chosen
+  FROM dec
+)"""
+
+
+def _lbt_oracle() -> str:
+    return f"""
+WITH {_lbt_ctes()}
+SELECT * FROM decision
 """
 
 
-@register("dedup_lsh_banding_tuner", oracle=_lbt_oracle(),
-          description="evidence-based banding pick: measured recall and "
-                      "false-candidate rate per candidate (bands, rows) on "
-                      "a near-dup-seeded fixed probe sample; cheapest "
-                      "banding meeting the recall floor is flagged chosen")
-def dedup_lsh_banding_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Makes the banding choice EVIDENCE-BASED (VERDICT r10 item 4):
-    `dedup_lsh_recall_probe` measures the S-curve at the production
-    banding only; this scores EVERY candidate banding of the signature
-    pool (b x r = NUM_HASHES: 1x8 / 2x4 / 4x2 / 8x1) on a fixed probe
-    sample, with every pair exact-Jaccard-labelled. Because a blind
-    md5-rank sample contains ~zero true near-dup pairs (2016 of n²/2
-    pairs), the sample is SEEDED: the first `_LBT_SEED_PAIRS` candidate
-    pairs (md5 pair-rank) found at the WIDEST banding (8x1 — a J>=0.8
-    pair escapes a single-hash collision with prob (1-J)^8 < 3e-6, so
-    the seed set is an unbiased stand-in for the true-pair population)
-    over clone-collapsed reps, then md5-rank fill to `_LRP_PROBES`
-    docs. Per banding: measured recall on true near-dups (J >= 0.80),
-    measured false-candidate rate on the rest, and the planner's
-    bucket-row cost (bands x corpus docs — the rows the banded shuffle
-    materializes). The `chosen` row is the cheapest banding — fewest
-    false candidates, ties to fewer bands (less shuffle) — whose
-    MEASURED recall clears the 90% floor; an empty true-pair sample
-    passes the floor vacuously on both engines.
+def _bands_sql_for(b: int, r: int, src: str = "rsig") -> str:
+    selects = []
+    for i in range(b):
+        parts = " || '|' || ".join(f"sig_{i * r + j}" for j in range(r))
+        selects.append(f"SELECT doc_id, {i} AS band, md5({parts}) AS bucket FROM {src}")
+    return "\nUNION ALL\n".join(selects)
 
-    A banding (b, r) makes a pair a candidate iff some band's r
-    signature slots all agree — evaluated as a pure boolean expression
-    over the pair join of the 64 sampled signatures, so all four
-    bandings are scored in ONE pass with zero extra shuffles.
 
-    Shape at 100 TB: clone-collapse then one signature pass over reps
-    (both shared with the production dedup path); the seed enumeration
-    is the bounded-diagnostic pair join at (8,1) over DISTINCT-text
-    reps (the dedup_lsh_pairs discipline); the fill is a TakeOrdered;
-    everything after is 64-doc-sized. The decision windows run over
-    the 4-row ladder.
+def _ltp_oracle() -> str:
+    band_ctes, pair_arms = [], []
+    for b, r in _TUNE_BANDINGS:
+        band_ctes.append(f"bands_t{b} AS (\n{_bands_sql_for(b, r)}\n)")
+        pair_arms.append(f"""
+  SELECT 'b{b}r{r}' AS banding, a.doc_id AS id_a, bb.doc_id AS id_b
+  FROM bands_t{b} a JOIN bands_t{b} bb
+    ON a.band = bb.band AND a.bucket = bb.bucket AND a.doc_id < bb.doc_id""")
+    return f"""
+WITH {_lbt_ctes()},
+{", ".join(band_ctes)},
+allpairs AS (
+  SELECT DISTINCT banding, id_a, id_b FROM ({" UNION ALL ".join(pair_arms)})
+),
+chosenrow AS (SELECT banding FROM decision WHERE chosen = 1)
+SELECT p.banding, p.id_a, p.id_b
+FROM allpairs p JOIN chosenrow c ON c.banding = p.banding
+"""
+
+
+def _banding_tuner_core(t) -> tuple[DataFrame, DataFrame]:
+    """(rsig, decision): signatures over clone-collapsed reps and the
+    4-row banding decision table — shared by `dedup_lsh_banding_tuner`
+    (which returns the table) and `dedup_lsh_pairs_tuned` (which acts
+    on its `chosen` row).
+
+    Sample construction: a blind md5-rank sample contains ~zero true
+    near-dup pairs (2016 of n²/2 pairs), so the sample is SEEDED from
+    the candidate set at the WIDEST banding (8x1 — a J>=0.8 pair
+    escapes a single-hash collision with prob (1-J)^8 < 3e-6, so the
+    widest band-join sees essentially every true pair). Seeds are
+    STRATIFIED by signature agreement — `_LBT_SEED_PER_STRATUM` pairs
+    per n_match level down to `_LBT_SEED_MIN_MATCH` (est J ~1.0 down
+    to ~0.6) — so the sample covers the S-curve's knee instead of only
+    its n_match=8 saturation zone (a saturated sample scores every
+    banding at 100% recall and the floor stops discriminating); then
+    md5-rank fill to `_LRP_PROBES` docs.
     """
     from pyspark.sql.window import Window
 
@@ -3052,7 +3089,6 @@ def dedup_lsh_banding_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_shingles
     from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
 
-    t = load_tables(spark, sf_dir)
     eligible = t["documents"].select(
         "doc_id", "text",
         F.array_distinct(word_shingles(F.col("text"), SHINGLE_K)).alias("sset"),
@@ -3065,22 +3101,35 @@ def dedup_lsh_banding_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps, text_col="text", id_col="doc_id",
         num_hashes=NUM_HASHES, shingle_k=SHINGLE_K,
     ))  # feeds the widest-banding seed join AND the sample's flag arm
+    cand8 = lsh_candidate_pairs(
+        rsig, id_col="doc_id", num_hashes=NUM_HASHES, bands=NUM_HASHES
+    )
+    n_match = None
+    for i in range(NUM_HASHES):
+        term = F.when(
+            F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1
+        ).otherwise(0)
+        n_match = term if n_match is None else (n_match + term)
+    seedc = (
+        cand8.join(rsig.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(rsig.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .select("id_a", "id_b", n_match.alias("n_match"))
+    )
+    w_stratum = Window.partitionBy("n_match").orderBy(
+        F.md5(F.concat(F.col("id_a").cast("string"), F.lit(":"),
+                       F.col("id_b").cast("string"))),
+        F.col("id_a"), F.col("id_b"),
+    )
     seedp = (
-        lsh_candidate_pairs(
-            rsig, id_col="doc_id", num_hashes=NUM_HASHES, bands=NUM_HASHES
-        )
-        .orderBy(
-            F.md5(F.concat(F.col("id_a").cast("string"), F.lit(":"),
-                           F.col("id_b").cast("string"))),
-            F.col("id_a"), F.col("id_b"),
-        )
-        .limit(_LBT_SEED_PAIRS)
+        seedc.where(F.col("n_match") >= _LBT_SEED_MIN_MATCH)
+        .withColumn("rn", F.row_number().over(w_stratum))
+        .where(F.col("rn") <= _LBT_SEED_PER_STRATUM)
     )
     seedd = persist_tracked(
         seedp.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
         .distinct()
     )
-    n_seed = seedd.count()  # parameter-sized scalar (<= 2 * seed pairs)
+    n_seed = seedd.count()  # parameter-sized scalar
     fill = (
         reps.join(seedd, "doc_id", "left_anti")
         .select("doc_id")
@@ -3195,7 +3244,7 @@ def dedup_lsh_banding_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ck = F.col("false_candidate_bp") * 100 + F.col("bands")
     min_ck = F.min(F.when(F.col("meets_floor") == 1, ck)).over(w_all)
-    return rates.select(
+    decision = rates.select(
         "banding", "bands", "rows_per_band", "n_true_pairs", "n_true_hits",
         "n_other_pairs", "n_false_candidates", "recall_bp",
         "false_candidate_bp", "est_bucket_rows", "meets_floor",
@@ -3203,4 +3252,86 @@ def dedup_lsh_banding_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("meets_floor") == 1) & (ck == min_ck)).cast("long"),
             F.lit(0),
         ).alias("chosen"),
+    )
+    return rsig, decision
+
+
+@register("dedup_lsh_banding_tuner", oracle=_lbt_oracle(),
+          description="evidence-based banding pick: measured recall and "
+                      "false-candidate rate per candidate (bands, rows) on "
+                      "a stratified near-dup-seeded probe sample; cheapest "
+                      "banding meeting the recall floor is flagged chosen")
+def dedup_lsh_banding_tuner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Makes the banding choice EVIDENCE-BASED (VERDICT r10 item 4):
+    `dedup_lsh_recall_probe` measures the S-curve at the production
+    banding only; this scores EVERY candidate banding of the signature
+    pool (b x r = NUM_HASHES: 1x8 / 2x4 / 4x2 / 8x1) on a fixed
+    stratified probe sample (:func:`_banding_tuner_core`), with every
+    pair exact-Jaccard-labelled. Per banding: measured recall on true
+    near-dups (J >= 0.80), measured false-candidate rate on the rest,
+    and the planner's bucket-row cost (bands x corpus docs — the rows
+    the banded shuffle materializes). The `chosen` row is the cheapest
+    banding — fewest false candidates, ties to fewer bands (less
+    shuffle) — whose MEASURED recall clears the 90% floor; an empty
+    true-pair sample passes the floor vacuously on both engines. On
+    the synthetic corpus the verdicts differ by SF (sf0.001 → 2x4 at
+    100% measured recall; sf0.01 → 4x2, because 2x4 measures 89%) —
+    exactly the data-dependence a theoretical S-curve cannot see.
+
+    A banding (b, r) makes a pair a candidate iff some band's r
+    signature slots all agree — evaluated as a pure boolean expression
+    over the pair join of the 64 sampled signatures, so all four
+    bandings are scored in ONE pass with zero extra shuffles.
+
+    Shape at 100 TB: clone-collapse then one signature pass over reps
+    (both shared with the production dedup path); the seed enumeration
+    is the bounded-diagnostic pair join at (8,1) over DISTINCT-text
+    reps (the dedup_lsh_pairs discipline) with a 9-group stratum
+    window; the fill is a TakeOrdered; everything after is
+    64-doc-sized. The decision windows run over the 4-row ladder.
+    """
+    t = load_tables(spark, sf_dir)
+    _, decision = _banding_tuner_core(t)
+    return decision
+
+
+@register("dedup_lsh_pairs_tuned", oracle=_ltp_oracle(),
+          description="near-dup candidate pairs at the banding the tuner "
+                      "chose: the decision table acted on, not just printed")
+def dedup_lsh_pairs_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acts on the tuner's verdict — the batch twin of what
+    `plan_watermark_delay` does for the streaming operators: run
+    :func:`_banding_tuner_core`, read the `chosen` row (ladder-sized,
+    collected driver-side like every planner in this repo), and
+    enumerate LSH candidate pairs over the clone-collapsed reps at
+    THAT banding via the production `lsh_candidate_pairs` path. Every
+    row carries the winning banding label so downstream exact-verify
+    stages know which operating point produced their candidates.
+
+    Refusal semantics: when NO banding clears the measured-recall
+    floor the result is EMPTY (the planner refuses to pick a least-bad
+    rung — the plan_watermark_delay contract), and the oracle's
+    chosen-row join yields the same empty relation.
+
+    Shape at 100 TB: the tuner's fixed-budget sample plus ONE banded
+    bucket join at the chosen operating point — the same cost as
+    running dedup_lsh_pairs once, but at a banding justified by
+    measured recall instead of folklore.
+    """
+    from ..operators.dedup import lsh_candidate_pairs
+
+    t = load_tables(spark, sf_dir)
+    rsig, decision = _banding_tuner_core(t)
+    chosen = [r for r in decision.collect() if r["chosen"] == 1]
+    if not chosen:
+        return spark.createDataFrame(
+            [], "banding string, id_a long, id_b long"
+        )
+    b = int(chosen[0]["bands"])
+    r = int(chosen[0]["rows_per_band"])
+    return lsh_candidate_pairs(
+        rsig, id_col="doc_id", num_hashes=NUM_HASHES, bands=b
+    ).select(
+        F.lit(f"b{b}r{r}").alias("banding"),
+        F.col("id_a"), F.col("id_b"),
     )

@@ -328,6 +328,7 @@ _HOSTILE_QUERIES = (
     # round 11: the banding tuner seeds from widest-banding candidates
     # over clone-collapsed reps (all hostile rows collapse/drop out)
     "dedup_lsh_banding_tuner",
+    "dedup_lsh_pairs_tuned",
 )
 
 

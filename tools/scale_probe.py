@@ -160,6 +160,7 @@ QUERIES = (
     "orders_pareto_revenue_curve",
     "dedup_lsh_recall_probe",
     "dedup_lsh_banding_tuner",
+    "dedup_lsh_pairs_tuned",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
