@@ -333,3 +333,34 @@ def test_dedup_state_census_property(spark, occs, d):
     assert got["n_suppressed"] == len(occs) - len(intervals)
     assert got["peak_state"] == peak
     assert got["truncated_keys"] == len(truncated)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),   # n frames
+    st.integers(min_value=1, max_value=9),   # height
+    st.integers(min_value=1, max_value=9),   # width (odd widths hit row padding)
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_batch_twin_property(n, h, w, seed):
+    """encode_bmp_batch / decode_bmp_batch are byte- and pixel-identical
+    to the per-frame codecs for EVERY (n, h, w) — including widths whose
+    3-byte rows need BMP 4-byte padding. Pure numpy property (no Spark
+    job), so a full hypothesis sweep is cheap."""
+    import numpy as np
+
+    from sm_etl_cloud_run_spark.functions.codecs import (
+        decode_bmp,
+        decode_bmp_batch,
+        encode_bmp,
+        encode_bmp_batch,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    batch = encode_bmp_batch(frames)
+    assert batch == [encode_bmp(frames[i]) for i in range(n)]
+    dec = decode_bmp_batch(batch)
+    assert dec.shape == (n, h, w, 3) and dec.dtype == np.uint8
+    assert (dec == frames).all()
+    assert all((decode_bmp(p) == frames[i]).all() for i, p in enumerate(batch))

@@ -1105,3 +1105,71 @@ def test_near_dedup_planned_watermark_matches_dedup_census(spark, tmp_path):
     assert surv == {1, 3, 4, 5}
     assert planned.isStreaming is False  # batch twin returned for a batch frame
     assert {r["doc_id"] for r in planned.collect()} == surv
+
+
+def test_near_dedup_planned_watermark_full_stream_readmits(spark, tmp_path):
+    """The FULL planned near-dedup driven as a real stream: history
+    prices the horizon (same fixture as the census-pin test → 30 s
+    rung), the streaming docs frame goes through
+    near_dedup_with_planned_watermark, and the survivor set includes
+    doc 6 — the re-admission the batch twin structurally cannot emit
+    (its first-claimant rule is global). This is the stream-only
+    semantics of the horizon, asserted on the operator the planner
+    actually returns rather than on its claims stage."""
+    from sm_etl_cloud_run_spark.streaming.stream_ops import (
+        near_dedup_with_planned_watermark,
+    )
+
+    base_t = dt.datetime(2024, 6, 1, 9, 0)
+
+    def ts(s: int) -> dt.datetime:
+        return base_t + dt.timedelta(seconds=s)
+
+    t1 = "alpha beta gamma delta epsilon"
+    t2 = "zeta eta theta iota kappa"
+    t3 = "lam mu nu xi omicron"
+    t4 = "pi rho sigma tau upsilon"
+    bands, num_hashes = 2, 4
+    arrival = [
+        (1, 0, t1), (2, 5, t1), (3, 10, t2),
+        (4, 70, t3), (5, 50, t4), (6, 100, t1),
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    hist = spark.createDataFrame([(d, ts(s), x) for d, s, x in arrival], schema)
+
+    src = str(tmp_path / "planned_near_docs")
+    os.makedirs(src)
+    stream_in = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    label, d_us, out = near_dedup_with_planned_watermark(
+        stream_in, hist, max_dropped_bp=0,
+        delays_us=(("5s", 5_000_000), ("30s", 30_000_000)),
+        bands=bands, num_hashes=num_hashes,
+        emit_window="10 seconds",
+    )
+    assert (label, d_us) == ("30s", 30_000_000)
+    assert out.isStreaming is True
+
+    sentinel = [(99, ts(1000), "sentinel text rolls the watermark on"),
+                (98, ts(1001), "second sentinel advances once more so")]
+    q = out.writeStream.outputMode("append").format("memory") \
+        .queryName("planned_near_full_out").start()
+    try:
+        for d, s, x in arrival + sentinel:
+            spark.createDataFrame(
+                [(d, ts(s) if isinstance(s, int) else s, x)], schema
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        got = {
+            r["doc_id"]
+            for r in spark.sql(
+                "SELECT doc_id FROM planned_near_full_out WHERE doc_id < 90"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    # doc 2 suppressed (both bands claimed by doc 1); doc 6 RE-ADMITTED
+    # (its bands evicted once the watermark passed first + D)
+    assert got == {1, 3, 4, 5, 6}
