@@ -34,7 +34,7 @@ _PACK_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, doc_id % {_N_SHARDS} AS shard,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE array_length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              ELSE array_length(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, shard, n_tokens,
@@ -69,7 +69,10 @@ def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("doc_id") % _N_SHARDS).alias("shard"),
         F.when(F.trim("text") == "", F.lit(0))
-        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        # spelled-out whitespace class == Java \s exactly (bit-identical
+        # here), but NOT RE2 \s: RE2 omits vertical tab \x0B, so the
+        # oracle uses the same explicit class (ADVICE r11 item 2)
+        .otherwise(F.size(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")))
         .alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
@@ -366,7 +369,7 @@ def _ctx_ladder_oracle() -> str:
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens
   FROM documents
 ),
 arms AS ({" UNION ALL ".join(arms)})
@@ -402,7 +405,10 @@ def training_context_length_ladder(spark: SparkSession, sf_dir: str) -> DataFram
     t = load_tables(spark, sf_dir)
     toks = t["documents"].select(
         F.when(F.trim("text") == "", F.lit(0))
-        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        # spelled-out whitespace class == Java \s exactly (bit-identical
+        # here), but NOT RE2 \s: RE2 omits vertical tab \x0B, so the
+        # oracle uses the same explicit class (ADVICE r11 item 2)
+        .otherwise(F.size(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")))
         .cast("long").alias("n_tokens")
     )
     aggs = [

@@ -47,15 +47,21 @@ WINDOW_SIZE = 50
 
 # Hand-maintained: queries whose implementation changed since their
 # last driver-green row. Emptied each round once the change is green.
-# Round 11 start: the round-10 forced rows (train pair +
-# census/tradeoff pair) all landed hash-green in CORRECTNESS_r10, so
-# the tuple is emptied per VERDICT r10 item 1 — the generated window
-# now covers the full r3-age backlog. Entries added below as round-11
-# work touches implementations.
+# Round 12 start: the round-11 forced rows (census / ctx-ladder /
+# scene-cut) all landed hash-green in CORRECTNESS_r11, so the tuple
+# was emptied per VERDICT r11 item 1 — the generated window now
+# covers the r4/r5 backlog. Entries added below as round-12 work
+# touches implementations.
 FORCE_RECHECK: tuple[str, ...] = (
-    "events_dedup_state_census",
+    # fused 1-task sample pair pass + data-derived cache partitioning
+    # (VERDICT r11 item 2) — results bit-identical, plan reshaped
+    "dedup_lsh_banding_tuner",
+    "dedup_lsh_pairs_tuned",
+    # explicit whitespace class [ \t\n\x0B\f\r]+ on BOTH engines
+    # (ADVICE r11 item 2) — Spark side bit-identical (class == Java \s),
+    # oracle side now splits on \x0B too
+    "training_pack_sequences",
     "training_context_length_ladder",
-    "multimodal_frame_scene_cut",
 )
 
 _ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

@@ -212,19 +212,29 @@ def hostile_docs_dir(tmp_path_factory):
             # any query whose two sides disagree on the tokenizer
             # (regex vs single-space) diverges on this row; both
             # conventions are parity-safe only when used on BOTH sides.
+            # 900006: VERTICAL TAB between tokens — ADVICE r11: Java
+            # regex \s includes \x0B but RE2's \s does not, so a
+            # `\s+`-split pair of engines disagrees on n_tokens for
+            # this row; both sides now spell the class explicitly
+            # ([ \t\n\x0B\f\r]+) and this row pins that convention.
             "doc_id": pa.array(
-                [900001, 900002, 900003, None, 900004, 900005], pa.int64()
+                [900001, 900002, 900003, None, 900004, 900005, 900006],
+                pa.int64(),
             ),
             "text": pa.array(
                 ["", "   ", None, "stray row", "ab" * 35 + " tail",
-                 "multi  space\ttab\nnewline  run"],
+                 "multi  space\ttab\nnewline  run",
+                 "vertical\x0Btab token run"],
                 pa.string(),
             ),
-            "lang": pa.array(["en", "en", None, "en", "en", "en"], pa.string()),
-            "source": pa.array(
-                ["web", "web", "web", "web", "web", "web"], pa.string()
+            "lang": pa.array(
+                ["en", "en", None, "en", "en", "en", "en"], pa.string()
             ),
-            "n_chars": pa.array([0, 3, None, 9, 75, 29], pa.int64()),
+            "source": pa.array(
+                ["web", "web", "web", "web", "web", "web", "web"],
+                pa.string(),
+            ),
+            "n_chars": pa.array([0, 3, None, 9, 75, 29, 22], pa.int64()),
         }
     )
     pq.write_table(
@@ -323,6 +333,10 @@ _HOSTILE_QUERIES = (
     # tranche 2: the SFT ladder counts coalesced-empty docs as
     # 0-token (pure pad) rows; patchify needs only doc_id
     "training_context_length_ladder",
+    # round 12: pack_sequences shares the ladder's explicit
+    # whitespace-class tokenizer — enrolled with the \x0B row (900006)
+    # that pins the Java-vs-RE2 \s convention on both queries
+    "training_pack_sequences",
     "multimodal_patch_stats",
     "dedup_lsh_recall_probe",
     # round 11: the banding tuner seeds from widest-banding candidates
