@@ -3349,3 +3349,74 @@ def dedup_lsh_pairs_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(f"b{b}r{r}").alias("banding"),
         F.col("id_a"), F.col("id_b"),
     )
+
+
+def _ltg_oracle() -> str:
+    band_ctes, group_arms = [], []
+    for b, r in _TUNE_BANDINGS:
+        # each bands_t CTE is read twice per arm (bucket reps + member
+        # join) — MATERIALIZED, or DuckDB inlines the whole signature
+        # pipeline once per reference
+        band_ctes.append(
+            f"bands_g{b} AS MATERIALIZED (\n{_bands_sql_for(b, r)}\n)"
+        )
+        group_arms.append(f"""
+  SELECT 'b{b}r{r}' AS banding, m.doc_id,
+         CAST(MIN(rp.bucket_rep) AS BIGINT) AS group_rep
+  FROM bands_g{b} m
+  JOIN (SELECT band, bucket, CAST(MIN(doc_id) AS BIGINT) AS bucket_rep
+        FROM bands_g{b} GROUP BY band, bucket) rp
+    ON m.band = rp.band AND m.bucket = rp.bucket
+  GROUP BY 1, 2""")
+    return f"""
+WITH {_lbt_ctes()},
+{", ".join(band_ctes)},
+allgroups AS ({" UNION ALL ".join(group_arms)}),
+chosenrow AS (SELECT banding FROM decision WHERE chosen = 1)
+SELECT g.banding, g.doc_id, g.group_rep
+FROM allgroups g JOIN chosenrow c ON c.banding = g.banding
+"""
+
+
+@register("dedup_lsh_groups_tuned", oracle=_ltg_oracle(),
+          description="LSH dedup cluster assignment at the banding the "
+                      "tuner chose: the evidence-based operating point on "
+                      "the LINEAR production dedup path")
+def dedup_lsh_groups_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extends the tuner's verdict to the path 100 TB dedup actually
+    routes through (VERDICT r11 item 3): `dedup_lsh_pairs_tuned` acts
+    on `chosen` for PAIR ENUMERATION — the bounded diagnostic — but
+    production dedup uses the group-assignment form
+    (:func:`~..operators.dedup.lsh_dedup_groups`), linear in docs x
+    bands and immune to O(c²) clone-cluster blowup (the clone-collapse
+    gate's own recommendation). This runs that linear form over the
+    clone-collapsed reps at the banding the measured-recall tuner
+    chose, labelling every row with the winning banding.
+
+    Refusal semantics: identical to `dedup_lsh_pairs_tuned` — when NO
+    banding clears the measured-recall floor the result is EMPTY (the
+    plan_watermark_delay contract), mirrored by the oracle's
+    chosen-row join.
+
+    Shape at 100 TB: the tuner's fixed-budget sample (64 docs forever)
+    plus ONE banded bucket min-propagation at the chosen operating
+    point — two keyed shuffles (bucket reps, doc regroup), never a
+    pair explosion.
+    """
+    from ..operators.dedup import lsh_dedup_groups
+
+    t = load_tables(spark, sf_dir)
+    rsig, decision = _banding_tuner_core(t)
+    chosen = [r for r in decision.collect() if r["chosen"] == 1]
+    if not chosen:
+        return spark.createDataFrame(
+            [], "banding string, doc_id long, group_rep long"
+        )
+    b = int(chosen[0]["bands"])
+    r = int(chosen[0]["rows_per_band"])
+    return lsh_dedup_groups(
+        rsig, id_col="doc_id", num_hashes=NUM_HASHES, bands=b
+    ).select(
+        F.lit(f"b{b}r{r}").alias("banding"),
+        F.col("doc_id"), F.col("group_rep"),
+    )

@@ -967,24 +967,34 @@ def near_dedup_with_planned_watermark(
     )
 
     ladder = _CENSUS_DELAYS_US if delays_us is None else delays_us
-    drops = watermark_tradeoff_table(
-        history.select(
-            F.col(id_col).alias("event_id"),
-            F.col(id_col).alias("user_id"),
-            F.unix_micros(F.col(ts_col)).alias("tsu"),
-        ),
-        ladder,
-    ).collect()
     claims = near_dedup_band_claims(
         history, id_col=id_col, ts_col=ts_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-    ).select(
-        F.col("__band_key").alias("k"),
-        F.unix_micros(F.col(ts_col)).alias("tsu"),
     )
+    # Completeness is priced over docs that actually CLAIM bands
+    # (ADVICE r11 item 3): a doc shorter than shingle_k words emits no
+    # claims, never enters the operator, and never advances the claims
+    # stream's watermark — counting its lateness would inflate
+    # dropped_bp and push the planner to a wider rung than the
+    # operator needs. The distinct (doc, tsu) slice of the claim
+    # relation is exactly the operator's own event stream.
+    drops = watermark_tradeoff_table(
+        claims.select(
+            F.col(id_col).alias("event_id"),
+            F.col(id_col).alias("user_id"),
+            F.unix_micros(F.col(ts_col)).alias("tsu"),
+        ).distinct(),
+        ladder,
+    ).collect()
     priced = {
         r["delay"]: r
-        for r in dedup_state_census(claims, ladder).collect()
+        for r in dedup_state_census(
+            claims.select(
+                F.col("__band_key").alias("k"),
+                F.unix_micros(F.col(ts_col)).alias("tsu"),
+            ),
+            ladder,
+        ).collect()
     }
     merged = [
         {
@@ -1007,3 +1017,85 @@ def near_dedup_with_planned_watermark(
         **near_dedup_kwargs,
     )
     return label, d, out
+
+
+def plan_near_dedup_banding(
+    history: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[str, int, int]:
+    """Choose the near-dedup BANDING from measured recall on a batch
+    history slice: runs the LSH banding tuner
+    (:func:`~..plans.textops._banding_tuner_core` — stratified
+    near-dup-seeded probe sample, exact-Jaccard labels, every candidate
+    banding of the 8-hash signature pool scored in one pass) and
+    returns the chosen ``(banding_label, bands, rows_per_band)``.
+
+    Refusal contract: raises ``ValueError`` when NO banding clears the
+    measured-recall floor — the same loud refusal as
+    :func:`plan_watermark_delay`; a streaming operator must not start
+    on a banding the evidence says loses >10% of true near-dups.
+
+    The tuner is hardwired to the production signature pool
+    (textops.NUM_HASHES = 8, SHINGLE_K = 3); callers running a
+    different pool must size their own sample.
+    """
+    from ..plans.textops import _banding_tuner_core
+
+    docs = history.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    _, decision = _banding_tuner_core({"documents": docs})
+    chosen = [r for r in decision.collect() if r["chosen"] == 1]
+    if not chosen:
+        raise ValueError(
+            "no LSH banding clears the measured-recall floor on this "
+            "history slice — refusing to plan streaming near-dedup on "
+            "an operating point the evidence rejects (raise the "
+            "signature budget or relax the floor)"
+        )
+    row = chosen[0]
+    return row["banding"], int(row["bands"]), int(row["rows_per_band"])
+
+
+def near_dedup_with_tuned_plan(
+    docs: DataFrame,
+    history: DataFrame,
+    *,
+    max_dropped_bp: int,
+    max_peak_state: int | None = None,
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    delays_us: tuple[tuple[str, int], ...] | None = None,
+    **near_dedup_kwargs,
+) -> tuple[str, str, int, DataFrame]:
+    """:func:`near_dedup_with_planned_watermark` with BOTH knobs
+    evidence-based (VERDICT r11 item 4): the banding comes from the
+    measured-recall tuner on the history slice
+    (:func:`plan_near_dedup_banding`), and the watermark horizon is
+    then priced at THAT banding — the state the census prices is one
+    store entry per distinct band key in horizon, and the band-key
+    cardinality is exactly what the banding determines, so pricing the
+    horizon at a hardcoded 4x2 while streaming at the tuned banding
+    would cost-model a different operator than the one running.
+
+    Returns ``(banding_label, delay_label, d_us, stream_df)``. Either
+    planner refuses loudly: no banding above the recall floor or no
+    rung under the drop/state bars raises instead of degrading.
+    """
+    from ..plans.textops import NUM_HASHES, SHINGLE_K
+
+    banding, b, _r = plan_near_dedup_banding(
+        history, id_col=id_col, text_col=text_col
+    )
+    label, d, out = near_dedup_with_planned_watermark(
+        docs, history,
+        max_dropped_bp=max_dropped_bp, max_peak_state=max_peak_state,
+        id_col=id_col, ts_col=ts_col, text_col=text_col,
+        delays_us=delays_us,
+        num_hashes=NUM_HASHES, bands=b, shingle_k=SHINGLE_K,
+        **near_dedup_kwargs,
+    )
+    return banding, label, d, out

@@ -343,6 +343,9 @@ _HOSTILE_QUERIES = (
     # over clone-collapsed reps (all hostile rows collapse/drop out)
     "dedup_lsh_banding_tuner",
     "dedup_lsh_pairs_tuned",
+    # round 12: the tuned GROUP assignment shares the tuner core (all
+    # hostile rows clone-collapse/drop out before the group pass)
+    "dedup_lsh_groups_tuned",
 )
 
 

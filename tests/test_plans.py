@@ -864,3 +864,28 @@ def test_ivf_recall_curve_monotone_with_exact_anchor():
     assert [r[0] for r in rows] == [1, 2, 4]
     assert rows[0][3] <= rows[1][3] <= rows[2][3]
     assert rows[2][3] == 10000
+
+
+def test_tuner_refusal_empties_all_three_tuned_plans(spark, sf_dir, monkeypatch):
+    """The tuner family's refusal contract, executable: with the
+    measured-recall floor raised past the 10000 bp maximum, NO banding
+    can clear it — the decision table must flag nothing chosen, and
+    BOTH downstream consumers (pair enumeration and the linear group
+    assignment) must return EMPTY relations with their non-refusal
+    schemas rather than picking a least-bad banding (the
+    plan_watermark_delay contract)."""
+    from sm_etl_cloud_run_spark.plans import textops
+
+    monkeypatch.setattr(textops, "_TUNE_RECALL_FLOOR_BP", 10001)
+    decision = textops.dedup_lsh_banding_tuner(spark, sf_dir).collect()
+    assert len(decision) == 4
+    assert all(r["chosen"] == 0 for r in decision)
+    assert all(r["meets_floor"] == 0 for r in decision)
+
+    pairs = textops.dedup_lsh_pairs_tuned(spark, sf_dir)
+    assert pairs.columns == ["banding", "id_a", "id_b"]
+    assert pairs.count() == 0
+
+    groups = textops.dedup_lsh_groups_tuned(spark, sf_dir)
+    assert groups.columns == ["banding", "doc_id", "group_rep"]
+    assert groups.count() == 0

@@ -1173,3 +1173,113 @@ def test_near_dedup_planned_watermark_full_stream_readmits(spark, tmp_path):
     # doc 2 suppressed (both bands claimed by doc 1); doc 6 RE-ADMITTED
     # (its bands evicted once the watermark passed first + D)
     assert got == {1, 3, 4, 5, 6}
+
+
+def test_near_dedup_tuned_plan_prices_census_at_chosen_banding(spark, tmp_path):
+    """BOTH near-dedup knobs evidence-based (VERDICT r11 item 4): the
+    banding comes from the measured-recall tuner on the history slice
+    and the watermark horizon is priced at THAT banding. The fixture
+    forces a choice that DIFFERS from the hardcoded 4x2 default: its
+    one true near-dup pair (J = 16/18 = 0.888, last word swapped)
+    agrees on ALL 8 minhash sigs, so every banding measures 100%
+    recall and the cheapest-key rule (false_bp*100 + bands) picks 1x8.
+    Pins, at the tuned (b1r8, 30s) operating point: (1) the census's
+    exact admission/suppression/peak-state counts; (2) a REAL stream
+    of the claims stage admitting exactly those claims; (3) the
+    claimless-doc completeness contract (ADVICE r11 item 3): a
+    2-word doc (no shingles, no claims) that is 60s late no longer
+    inflates dropped_bp, so a zero-drop bar still plans — the old
+    all-docs pricing would have refused every rung; (4) the tuner's
+    own refusal propagates loudly."""
+    import pytest
+
+    from sm_etl_cloud_run_spark.plans import textops
+    from sm_etl_cloud_run_spark.plans.events_queries import dedup_state_census
+    from sm_etl_cloud_run_spark.streaming.stream_ops import (
+        near_dedup_band_claims,
+        near_dedup_with_tuned_plan,
+        plan_near_dedup_banding,
+    )
+
+    base_t = dt.datetime(2024, 6, 1, 9, 0)
+
+    def ts(s: int) -> dt.datetime:
+        return base_t + dt.timedelta(seconds=s)
+
+    stem = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau")
+    tA1 = stem + " upsilonbase"   # 20 words, 18 shingles
+    tA2 = stem + " phi"           # near-dup: J = 16/18, all 8 sigs agree
+    tB = ("one two three four five six seven eight nine ten eleven "
+          "twelve thirteen fourteen fifteen")
+    tC = ("red orange yellow green blue indigo violet crimson teal "
+          "maroon ochre cyan magenta amber jade")
+    tD = ("north south east west up down left right forward backward "
+          "inward outward clockwise widdershins zenith")
+    # doc_id IS arrival order; doc 5 is 20s late (event 50 after 70);
+    # doc 6 re-claims A's band past first + 2D; doc 7 has NO shingles
+    # (2 words) and is 60s late — claimless, so it must not price.
+    arrival = [
+        (1, 0, tA1), (2, 5, tA2), (3, 10, tB),
+        (4, 70, tC), (5, 50, tD), (6, 100, tA1), (7, 40, "too short"),
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    hist = spark.createDataFrame([(d, ts(s), x) for d, s, x in arrival], schema)
+
+    ladder = (("5s", 5_000_000), ("30s", 30_000_000))
+    banding, label, d_us, planned = near_dedup_with_tuned_plan(
+        hist, hist, max_dropped_bp=0, delays_us=ladder,
+    )
+    assert banding == "b1r8"  # evidence picked NOT the 4x2 default
+    assert (label, d_us) == ("30s", 30_000_000)
+    assert planned is not None
+
+    # census at the TUNED banding: 1 band -> one key per doc; A's key
+    # occurs at {0, 5, 100} -> 2 lifecycles (5 suppressed inside 30s,
+    # 100 > 0 + 30 re-admits); B/C/D once; doc 7 claims nothing.
+    claims = near_dedup_band_claims(
+        hist, bands=1, num_hashes=8
+    ).select(F.col("__band_key").alias("k"), F.unix_micros("ts").alias("tsu"))
+    census = dedup_state_census(claims, (("30s", 30_000_000),)).collect()[0]
+    assert census["n_events"] == 6
+    assert census["n_intervals"] == 5
+    assert census["n_suppressed"] == 1
+    # A[0,30) overlaps B[10,40) -> 2; D[50,80) overlaps C[70,100) -> 2
+    assert census["peak_state"] == 2
+
+    # (2) REAL stream of the claims stage at (b1r8, 30s) == census
+    src = str(tmp_path / "tuned_near_docs")
+    os.makedirs(src)
+    sentinel = [(99, ts(1000), "sentinel text rolls the watermark on"),
+                (98, ts(1001), "second sentinel advances once more so")]
+    claims_stream = near_dedup_band_claims(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        bands=1, num_hashes=8,
+    ).withWatermark("ts", "30 seconds").dropDuplicatesWithinWatermark(
+        ["__band_key"]
+    )
+    q = claims_stream.writeStream.outputMode("append").format("memory") \
+        .queryName("tuned_claims_out").start()
+    try:
+        for d, s, x in arrival + sentinel:
+            spark.createDataFrame(
+                [(d, ts(s) if isinstance(s, int) else s, x)], schema
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        got = spark.sql(
+            "SELECT doc_id FROM tuned_claims_out WHERE doc_id < 90"
+        ).collect()
+        assert len(got) == census["n_intervals"]
+        assert sorted(r["doc_id"] for r in got) == [1, 3, 4, 5, 6]
+    finally:
+        q.stop()
+
+    # (4) tuner refusal propagates loudly through the streaming planner
+    orig = textops._TUNE_RECALL_FLOOR_BP
+    textops._TUNE_RECALL_FLOOR_BP = 10001
+    try:
+        with pytest.raises(ValueError, match="measured-recall floor"):
+            plan_near_dedup_banding(hist)
+    finally:
+        textops._TUNE_RECALL_FLOOR_BP = orig
