@@ -90,12 +90,19 @@ def rows_only_queries() -> dict[str, str]:
     return {
         "events_sketch_profile":
             "engine-native HLL/GK sketches: no DuckDB-compatible "
-            "oracle; error-bounded in tests/test_plans.py; exact twin: "
-            "percentile_metrics; portable oracle-checked siblings: "
-            "events_hll_portable (HLL), events_gk_portable_quantiles "
-            "(GK), events_theta_sketch_distinct (KMV), "
+            "oracle; EXECUTABLE justification: tests/test_plans.py::"
+            "test_rows_only_sketches_track_their_oracle_checked_twins "
+            "bounds the native estimates against the hash-checked "
+            "twins on the same fixture (HLL within 7% of "
+            "events_hll_portable, GK within 5% of the exact "
+            "percentile_metrics); further oracle-checked siblings: "
+            "events_gk_portable_quantiles (GK), "
+            "events_theta_sketch_distinct (KMV), "
             "events_tdigest_portable (centroid digest)",
         "events_rolling_wau_hll":
             "rolling engine-native HLL union: no DuckDB-compatible "
-            "oracle; exact twin: events_rolling_wau (oracle-verified)",
+            "oracle; EXECUTABLE justification: tests/test_plans.py::"
+            "test_rolling_wau_hll_accuracy_vs_exact pins every day "
+            "within 5% of the oracle-verified exact twin "
+            "events_rolling_wau on the same fixture",
     }

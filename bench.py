@@ -27,6 +27,22 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     spark = get_spark("bench")
 
+    # Bench-session-only (VERDICT r11 item 5): the adjudicated
+    # parameter-sized windows (decision tables, decile cumsums — all
+    # top-k-bounded or ladder-sized, audited in test_scale_plans)
+    # each emit a "No Partition Defined for Window operation" WARN,
+    # burying the timing lines under dozens of repeats. Silence that
+    # ONE logger here; every other warning stays visible, and driver /
+    # parity sessions stay vanilla.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployment: warnings are cosmetic, keep going
+
     # Warmup: run each query once at the smallest SF so whole-stage
     # codegen JIT compilation (measured ~4s for the widest plans) isn't
     # charged to the measured run — the steady-state number is what a

@@ -889,3 +889,36 @@ def test_tuner_refusal_empties_all_three_tuned_plans(spark, sf_dir, monkeypatch)
     groups = textops.dedup_lsh_groups_tuned(spark, sf_dir)
     assert groups.columns == ["banding", "doc_id", "group_rep"]
     assert groups.count() == 0
+
+
+def test_rows_only_sketches_track_their_oracle_checked_twins(spark):
+    """Executable justification for the registry's rows-only entries
+    (VERDICT r11 item 6), referenced by name from
+    __spark_entry__.rows_only_queries(): the engine-native sketch
+    estimates are recomputed against their ORACLE-CHECKED registry
+    twins on the same fixture with asserted bounds — so "the native
+    row is safe because the portable twin is hash-checked" is a test,
+    not prose. events_sketch_profile's HLL++ users land within 7% of
+    events_hll_portable (both estimate the same exact count: native
+    rsd 2%, portable's err_bp is hash-checked), and its GK percentiles
+    within 5% of the exact percentile_metrics twin. The rolling-WAU
+    native row is pinned by test_rolling_wau_hll_accuracy_vs_exact
+    against its oracle-verified exact twin events_rolling_wau."""
+    from sm_etl_cloud_run_spark.plans import get
+
+    sf = "/root/testdata/sf0.01"
+    native = {r["event_type"]: r
+              for r in get("events_sketch_profile").fn(spark, sf).collect()}
+    hll = {r["event_type"]: r
+           for r in get("events_hll_portable").fn(spark, sf).collect()}
+    pct = {r["event_type"]: r
+           for r in get("percentile_metrics").fn(spark, sf).collect()}
+    assert set(native) == set(hll) == set(pct)
+    for et, n in native.items():
+        h, p = hll[et], pct[et]
+        assert abs(n["approx_users"] - h["hll_users"]) \
+            <= max(2, 0.07 * h["exact_users"]), (et, n, h)
+        assert abs(n["approx_median"] - p["median_value"]) \
+            <= max(0.5, abs(0.05 * p["median_value"])), (et, n, p)
+        assert abs(n["approx_p90"] - p["p90_value"]) \
+            <= max(0.5, abs(0.05 * p["p90_value"])), (et, n, p)
