@@ -3420,3 +3420,383 @@ def dedup_lsh_groups_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(f"b{b}r{r}").alias("banding"),
         F.col("doc_id"), F.col("group_rep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline at tuned settings
+# ---------------------------------------------------------------------------
+
+# gate thresholds: chosen so every SQL-decidable stage is non-trivial
+# on the synthetic corpus (token floor cuts the short tail, the lang
+# gate drops the 'de'-marker docs, the quality gate cuts low-TTR /
+# stopword-heavy docs) — all integer-exact on both engines
+_CUR_MIN_TOKENS = 20
+_CUR_TARGET_LANG = "en"
+_CUR_MIN_TTR_BP = 3500     # type-token ratio floor, basis points
+_CUR_MAX_STOP_BP = 1500    # stopword-ratio ceiling, basis points
+_CUR_STAGES = (
+    "ingest", "length_gate", "lang_gate", "quality_gate",
+    "exact_dedup", "near_dedup_tuned", "decontaminate",
+)
+
+
+def _cur_flags_ctes() -> str:
+    """The shared WITH-body computing the per-doc survival flags
+    f1..f6 (ends in a `flags6` CTE) — used by BOTH the funnel oracle
+    (`curation_pipeline_tuned`) and the row-level verdict oracle
+    (`curation_doc_verdicts`), so the two reports can never drift."""
+    langs = sorted(_LANG_MARKERS)
+    score_cols = ",\n         ".join(
+        "CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ("
+        + ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+        + f"))) AS BIGINT) AS s_{lang}"
+        for lang in langs
+    )
+    m = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred = (
+        "CASE "
+        + " ".join(f"WHEN s_{l} = {m} THEN '{l}'" for l in langs[:-1])
+        + f" ELSE '{langs[-1]}' END"
+    )
+    ssig_cols = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> substr(md5('{i // 4}:' || s), {8 * (i % 4) + 1}, 8)), 'min') AS sig_{i}"
+        for i in range(NUM_HASHES)
+    )
+    band_ctes, group_arms = [], []
+    for b, r in _TUNE_BANDINGS:
+        band_ctes.append(
+            f"bands_c{b} AS MATERIALIZED (\n{_bands_sql_for(b, r, src='ssig')}\n)"
+        )
+        group_arms.append(f"""
+  SELECT 'b{b}r{r}' AS banding, m.doc_id,
+         CAST(MIN(rp.bucket_rep) AS BIGINT) AS group_rep
+  FROM bands_c{b} m
+  JOIN (SELECT band, bucket, CAST(MIN(doc_id) AS BIGINT) AS bucket_rep
+        FROM bands_c{b} GROUP BY band, bucket) rp
+    ON m.band = rp.band AND m.bucket = rp.bucket
+  GROUP BY 1, 2""")
+    return f"""{_lbt_ctes()},
+base AS MATERIALIZED (
+  SELECT doc_id, text,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(string_split(trim(text), ' '), w -> w IN ({", ".join(f"'{w}'" for w in _STOPWORDS)}))) AS BIGINT) AS n_stop,
+         {score_cols},
+         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+  FROM documents
+),
+flags3 AS MATERIALIZED (
+  SELECT doc_id, n_tokens, fp,
+         CAST(n_tokens >= {_CUR_MIN_TOKENS} AS BIGINT) AS f1,
+         CAST(n_tokens >= {_CUR_MIN_TOKENS}
+              AND {pred} = '{_CUR_TARGET_LANG}' AS BIGINT) AS f2,
+         CAST(n_tokens >= {_CUR_MIN_TOKENS}
+              AND {pred} = '{_CUR_TARGET_LANG}'
+              AND 10000 * n_distinct // n_tokens >= {_CUR_MIN_TTR_BP}
+              AND 10000 * n_stop // n_tokens <= {_CUR_MAX_STOP_BP}
+              AS BIGINT) AS f3
+  FROM base
+),
+keep4 AS (
+  SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+  FROM flags3 WHERE f3 = 1 GROUP BY fp
+),
+flags4 AS MATERIALIZED (
+  SELECT f.*, CAST(k.doc_id IS NOT NULL AS BIGINT) AS f4
+  FROM flags3 f LEFT JOIN keep4 k ON k.doc_id = f.doc_id
+),
+ssh AS (
+  SELECT s.doc_id, s.shingles
+  FROM sh s JOIN flags4 v ON v.doc_id = s.doc_id AND v.f4 = 1
+  WHERE len(s.shingles) > 0
+),
+ssig AS MATERIALIZED (SELECT doc_id, {ssig_cols} FROM ssh),
+{", ".join(band_ctes)},
+chosenrow AS (SELECT banding FROM decision WHERE chosen = 1),
+allgroups AS ({" UNION ALL ".join(group_arms)}),
+dupm AS (
+  SELECT DISTINCT g.doc_id
+  FROM allgroups g JOIN chosenrow c ON c.banding = g.banding
+  WHERE g.doc_id <> g.group_rep
+),
+flags5 AS (
+  SELECT f.*, CAST(f.f4 = 1 AND dm.doc_id IS NULL AS BIGINT) AS f5
+  FROM flags4 f LEFT JOIN dupm dm ON dm.doc_id = f.doc_id
+),
+exd AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+bench_set AS (SELECT DISTINCT s FROM exd WHERE doc_id < 10),
+contam AS (
+  SELECT e.doc_id FROM exd e JOIN bench_set b ON e.s = b.s
+  WHERE e.doc_id >= 10
+  GROUP BY 1 HAVING COUNT(*) >= {_CONTAM_MIN_OVERLAP}
+),
+flags6 AS (
+  SELECT f.*, CAST(f.f5 = 1 AND f.doc_id >= 10 AND c.doc_id IS NULL
+                   AS BIGINT) AS f6
+  FROM flags5 f LEFT JOIN contam c ON c.doc_id = f.doc_id
+)"""
+
+
+def _cur_oracle() -> str:
+    stage_rows = ",\n    ".join(
+        f"(CAST({i} AS BIGINT), '{s}')" for i, s in enumerate(_CUR_STAGES)
+    )
+    return f"""
+WITH {_cur_flags_ctes()},
+funnel AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0, CAST(SUM(n_tokens) AS BIGINT) AS tok0,
+         {", ".join(f"CAST(SUM(f{i}) AS BIGINT) AS n{i}, CAST(SUM(f{i} * n_tokens) AS BIGINT) AS tok{i}" for i in range(1, 7))}
+  FROM flags6
+),
+stages(stage_idx, stage) AS (VALUES
+    {stage_rows}
+)
+SELECT s.stage_idx, s.stage,
+       CASE s.stage_idx {" ".join(f"WHEN {i} THEN n{max(i - 1, 0)}" for i in range(7))} END AS docs_in,
+       CASE s.stage_idx {" ".join(f"WHEN {i} THEN n{i}" for i in range(7))} END AS docs_out,
+       CASE s.stage_idx {" ".join(f"WHEN {i} THEN n{max(i - 1, 0)} - n{i}" for i in range(7))} END AS removed,
+       CASE s.stage_idx {" ".join(f"WHEN {i} THEN tok{i}" for i in range(7))} END AS tokens_out
+FROM stages s CROSS JOIN funnel
+"""
+
+
+def _cur_verdicts_oracle() -> str:
+    return f"""
+WITH {_cur_flags_ctes()}
+SELECT doc_id, n_tokens,
+       CASE WHEN f6 = 1 THEN 'kept'
+            WHEN f5 = 1 THEN 'decontaminate'
+            WHEN f4 = 1 THEN 'near_dedup_tuned'
+            WHEN f3 = 1 THEN 'exact_dedup'
+            WHEN f2 = 1 THEN 'quality_gate'
+            WHEN f1 = 1 THEN 'lang_gate'
+            ELSE 'length_gate' END AS verdict
+FROM flags6
+"""
+
+
+def _curation_flags_df(spark: SparkSession, t) -> DataFrame:
+    """Per-doc survival flags f1..f6 (+ n_tokens) — the Spark twin of
+    `_cur_flags_ctes()`, shared by the funnel report and the row-level
+    verdict list so the two can never drift. ONE corpus scan computes
+    every gate signal; the stage sets come back as keyed equi-joins on
+    doc_id (exact-dedup reps, tuned-LSH dup members, contamination
+    hits — each aggregate-sized or smaller)."""
+    from ..functions.text import word_shingles
+    from ..operators.dedup import lsh_dedup_groups
+
+    docs = t["documents"]
+    toks = tokens(F.col("text"))
+    sw_stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+
+    def _marker_hits(markers: tuple[str, ...]):
+        # closure factory: a default-arg lambda would read as a
+        # TWO-parameter (element, index) higher-order-function lambda
+        sw = F.array(*[F.lit(w) for w in markers])
+        return F.size(
+            F.filter(toks, lambda w: F.array_contains(sw, w))
+        ).cast("long")
+
+    scores = {
+        lang: _marker_hits(markers)
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    langs = sorted(_LANG_MARKERS)
+    m = F.greatest(*[scores[l] for l in langs])
+    pred = F
+    for lang in langs[:-1]:
+        pred = pred.when(scores[lang] == m, F.lit(lang))
+    pred = pred.otherwise(F.lit(langs[-1]))
+
+    base = docs.select(
+        "doc_id", "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.filter(toks, lambda w: F.array_contains(sw_stop, w)))
+        .cast("long").alias("n_stop"),
+        pred.alias("pred_lang"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    ttr_bp = F.expr("CAST(10000 * n_distinct DIV n_tokens AS BIGINT)")
+    stop_bp = F.expr("CAST(10000 * n_stop DIV n_tokens AS BIGINT)")
+    f1 = F.col("n_tokens") >= _CUR_MIN_TOKENS
+    f2 = f1 & (F.col("pred_lang") == _CUR_TARGET_LANG)
+    f3 = f2 & (ttr_bp >= _CUR_MIN_TTR_BP) & (stop_bp <= _CUR_MAX_STOP_BP)
+    flagged = persist_tracked(base.select(
+        "doc_id", "text", "n_tokens", "fp",
+        f1.cast("long").alias("f1"),
+        f2.cast("long").alias("f2"),
+        f3.cast("long").alias("f3"),
+    ))
+
+    keep4 = (
+        flagged.where(F.col("f3") == 1)
+        .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("__k4"))
+    )
+    flagged = persist_tracked(
+        flagged.join(keep4, "doc_id", "left")
+        .withColumn("f4", F.col("__k4").isNotNull().cast("long"))
+        .drop("__k4")
+    )
+
+    _, decision = _banding_tuner_core(t)
+    chosen = [r for r in decision.collect() if r["chosen"] == 1]
+    if chosen:
+        b = int(chosen[0]["bands"])
+        surv4 = flagged.where(F.col("f4") == 1).select("doc_id", "text")
+        ssig = minhash_signatures(
+            surv4, text_col="text", id_col="doc_id",
+            num_hashes=NUM_HASHES, shingle_k=SHINGLE_K,
+        )
+        dup_ids = (
+            lsh_dedup_groups(
+                ssig, id_col="doc_id", num_hashes=NUM_HASHES, bands=b
+            )
+            .where(F.col("group_rep") != F.col("doc_id"))
+            .select("doc_id", F.lit(1).alias("__d5"))
+        )
+    else:  # refusal: the stage is a no-op, mirrored by the oracle's
+        # empty chosen-row join
+        dup_ids = spark.createDataFrame([], "doc_id long, __d5 int")
+    flagged = flagged.join(dup_ids, "doc_id", "left").withColumn(
+        "f5", ((F.col("f4") == 1) & F.col("__d5").isNull()).cast("long")
+    ).drop("__d5")
+
+    exd = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), SHINGLE_K))
+        ).alias("s"),
+    )
+    bench = exd.where(F.col("doc_id") < 10).select("s").distinct()
+    contam = (
+        exd.where(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("__ns"))
+        .where(F.col("__ns") >= _CONTAM_MIN_OVERLAP)
+        .select("doc_id", F.lit(1).alias("__c6"))
+    )
+    return flagged.join(contam, "doc_id", "left").withColumn(
+        "f6",
+        ((F.col("f5") == 1) & (F.col("doc_id") >= 10)
+         & F.col("__c6").isNull()).cast("long"),
+    ).drop("__c6")
+
+
+@register("curation_pipeline_tuned", oracle=_cur_oracle(),
+          description="end-to-end training-data curation funnel at tuned "
+                      "settings: length -> lang -> quality -> exact dedup -> "
+                      "tuner-chosen LSH near-dedup -> decontamination")
+def curation_pipeline_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition the registry's curation operators exist FOR,
+    run end-to-end at evidence-based settings: a document either
+    survives all six gates into the training set or the funnel says
+    exactly which stage removed it. Complements (does not duplicate)
+    `corpus_filter_funnel` (repetition-rule ablation) and
+    `corpus_curation_pipeline` (repetition -> exact dedup -> sequence
+    packing): this is the NEAR-dedup composition, with the LSH stage
+    running at the banding `dedup_lsh_banding_tuner` chose from
+    measured recall. Stages (each applied to the previous stage's
+    survivors):
+
+    1. length_gate   — >= _CUR_MIN_TOKENS whitespace tokens;
+    2. lang_gate     — stopword-profile argmax == target language
+                       (`text_lang_id` semantics, tie -> lexicographic);
+    3. quality_gate  — integer-exact TTR floor + stopword-ratio
+                       ceiling in basis points (the `text_quality_score`
+                       signals, composed as a gate without its
+                       float rounding);
+    4. exact_dedup   — keep MIN doc_id per normalized-content
+                       fingerprint (`dedup_exact` semantics);
+    5. near_dedup_tuned — LSH group assignment over the SURVIVORS at
+                       the banding `dedup_lsh_banding_tuner` chose from
+                       measured recall; keep group reps; docs too short
+                       to shingle carry no near-dup evidence and pass.
+                       On tuner refusal the stage is a no-op on BOTH
+                       engines (the plan_watermark_delay contract:
+                       refuse, don't guess);
+    6. decontaminate — drop the eval holdout (doc_id < 10) and any
+                       survivor sharing >= _CONTAM_MIN_OVERLAP distinct
+                       shingles with it (`text_contamination_check`).
+
+    Output: one row per stage with docs_in/docs_out/removed and
+    tokens_out — the ladder-sized curation report (7 rows), every cell
+    a BIGINT so the hash gate is exact.
+
+    Shape at 100 TB: ONE corpus scan computes every per-doc gate
+    signal (tokens, lang scores, quality ints, fingerprint); the
+    stage sets come back as keyed equi-joins on doc_id (exact-dedup
+    reps, tuned-LSH dup members, contamination hits — each
+    aggregate-sized or smaller); the tuner rides its fixed 64-doc
+    sample; near-dedup is the linear group-assignment form over
+    survivors (two keyed shuffles, never a pair explosion); the bench
+    side of decontamination is a broadcast semi-join. The funnel
+    itself is ONE aggregate over the flag columns exploded into 7
+    rows — no per-stage rescans.
+    """
+    t = load_tables(spark, sf_dir)
+    flagged = _curation_flags_df(spark, t)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("n_tokens").cast("long").alias("tok0"),
+    ]
+    for i in range(1, 7):
+        aggs += [
+            F.sum(f"f{i}").cast("long").alias(f"n{i}"),
+            F.sum(F.col(f"f{i}") * F.col("n_tokens")).cast("long")
+            .alias(f"tok{i}"),
+        ]
+    one = flagged.agg(*aggs)
+    ladder = F.array(*[
+        F.struct(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.col(f"n{max(i - 1, 0)}").alias("docs_in"),
+            F.col(f"n{i}").alias("docs_out"),
+            F.col(f"tok{i}").alias("tokens_out"),
+        )
+        for i, s in enumerate(_CUR_STAGES)
+    ])
+    return one.select(F.explode(ladder).alias("x")).select(
+        F.col("x.stage_idx").alias("stage_idx"),
+        F.col("x.stage").alias("stage"),
+        F.col("x.docs_in").alias("docs_in"),
+        F.col("x.docs_out").alias("docs_out"),
+        (F.col("x.docs_in") - F.col("x.docs_out")).alias("removed"),
+        F.col("x.tokens_out").alias("tokens_out"),
+    )
+
+
+@register("curation_doc_verdicts", oracle=_cur_verdicts_oracle(),
+          description="row-level curation verdicts: per document, 'kept' or "
+                      "the exact stage that removed it — the keep-list plus "
+                      "removal provenance the funnel report summarizes")
+def curation_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational artifact of `curation_pipeline_tuned`: where the
+    funnel aggregates counts, this returns the per-document decision —
+    `kept` for training-set members, otherwise the FIRST stage that
+    removed the doc (length_gate / lang_gate / quality_gate /
+    exact_dedup / near_dedup_tuned / decontaminate). Downstream
+    consumers join the keep-list to the corpus for training reads and
+    audit the removals by reason; both reports derive from ONE shared
+    flag computation (`_curation_flags_df` / `_cur_flags_ctes`) so
+    they cannot disagree.
+
+    Shape at 100 TB: identical to the funnel's (the flags ARE the
+    work); the verdict is a flag-ordered CASE over the per-doc flag
+    row — no extra shuffle, output linear in docs like any per-doc
+    scoring query.
+    """
+    t = load_tables(spark, sf_dir)
+    flagged = _curation_flags_df(spark, t)
+    verdict = (
+        F.when(F.col("f6") == 1, F.lit("kept"))
+        .when(F.col("f5") == 1, F.lit("decontaminate"))
+        .when(F.col("f4") == 1, F.lit("near_dedup_tuned"))
+        .when(F.col("f3") == 1, F.lit("exact_dedup"))
+        .when(F.col("f2") == 1, F.lit("quality_gate"))
+        .when(F.col("f1") == 1, F.lit("lang_gate"))
+        .otherwise(F.lit("length_gate"))
+    )
+    return flagged.select("doc_id", "n_tokens", verdict.alias("verdict"))

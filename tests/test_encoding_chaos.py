@@ -185,6 +185,13 @@ def test_embedding_double_arrival_keeps_oracle_parity(spark, embedding_double_di
     assert not problems, f"{qname} on double-encoded embeddings: {problems}"
 
 
+# 24 all-distinct tokens, exactly two 'en'-marker hits (the, and) and
+# zero marker hits for any other language profile
+_CLONE_TEXT = ("the quick brown fox jumps over seven lazy dogs while bright "
+               "morning sun rises beyond tall green hills and cold rivers "
+               "run quietly north")
+
+
 @pytest.fixture(scope="module")
 def hostile_docs_dir(tmp_path_factory):
     """documents with empty-text, whitespace-only, and NULL-text rows
@@ -218,23 +225,38 @@ def hostile_docs_dir(tmp_path_factory):
             # this row; both sides now spell the class explicitly
             # ([ \t\n\x0B\f\r]+) and this row pins that convention.
             "doc_id": pa.array(
-                [900001, 900002, 900003, None, 900004, 900005, 900006],
+                [900001, 900002, 900003, None, 900004, 900005, 900006,
+                 900007, 900008],
                 pa.int64(),
             ),
+            # 900007/900008: an exact CLONE PAIR that passes the
+            # curation funnel's length/lang/quality gates (24 tokens,
+            # 2 'en' stopword hits = 833 bp, all-distinct tokens) — the
+            # synthetic corpus has no gate-passing exact clones, so
+            # this pair is what makes curation_pipeline_tuned's
+            # exact-dedup stage removal arithmetic observable
+            # (test_curation_exact_dedup_stage_removes_hostile_clone).
             "text": pa.array(
                 ["", "   ", None, "stray row", "ab" * 35 + " tail",
                  "multi  space\ttab\nnewline  run",
-                 "vertical\x0Btab token run"],
+                 "vertical\x0Btab token run",
+                 _CLONE_TEXT, _CLONE_TEXT],
                 pa.string(),
             ),
             "lang": pa.array(
-                ["en", "en", None, "en", "en", "en", "en"], pa.string()
-            ),
-            "source": pa.array(
-                ["web", "web", "web", "web", "web", "web", "web"],
+                ["en", "en", None, "en", "en", "en", "en", "en", "en"],
                 pa.string(),
             ),
-            "n_chars": pa.array([0, 3, None, 9, 75, 29, 22], pa.int64()),
+            "source": pa.array(
+                ["web", "web", "web", "web", "web", "web", "web", "web",
+                 "web"],
+                pa.string(),
+            ),
+            "n_chars": pa.array(
+                [0, 3, None, 9, 75, 29, 22, len(_CLONE_TEXT),
+                 len(_CLONE_TEXT)],
+                pa.int64(),
+            ),
         }
     )
     pq.write_table(
@@ -346,6 +368,13 @@ _HOSTILE_QUERIES = (
     # round 12: the tuned GROUP assignment shares the tuner core (all
     # hostile rows clone-collapse/drop out before the group pass)
     "dedup_lsh_groups_tuned",
+    # round 12: the curation funnel tokenizes/fingerprints/shingles the
+    # coalesced-empty hostile rows through every stage — and the
+    # hostile clones make the exact-dedup stage remove > 0 docs (the
+    # synthetic corpus has no exact clones, so this fixture is the one
+    # place that stage's removal arithmetic is exercised)
+    "curation_pipeline_tuned",
+    "curation_doc_verdicts",
 )
 
 
@@ -353,6 +382,24 @@ _HOSTILE_QUERIES = (
 def test_empty_text_rows_keep_oracle_parity(spark, hostile_docs_dir, qname):
     problems = _oracle_compare(spark, hostile_docs_dir, qname)
     assert not problems, f"{qname} with empty-text rows: {problems}"
+
+
+def test_curation_exact_dedup_stage_removes_hostile_clone(
+    spark, hostile_docs_dir
+):
+    """The executable half of the clone-pair fixture comment: with the
+    gate-passing 900007/900008 clones present, the curation funnel's
+    exact-dedup stage removes at least one document (on the clean
+    synthetic corpus that stage's removal is honestly zero)."""
+    from sm_etl_cloud_run_spark.plans import textops
+
+    rows = {
+        r["stage"]: r
+        for r in textops.curation_pipeline_tuned(
+            spark, hostile_docs_dir
+        ).collect()
+    }
+    assert rows["exact_dedup"]["removed"] >= 1
 
 
 @pytest.fixture(scope="module")

@@ -148,6 +148,8 @@ _NESTED_LOOP_OK = {
     "embedding_centroid_drift",   # 1-row id-midpoint scalar broadcast
     "dedup_lsh_recall_probe",     # fixed 64-doc sample: the 2016-pair NLJ IS the probe
     "dedup_lsh_banding_tuner",    # same fixed-budget sample, all bandings in one pass
+    "curation_pipeline_tuned",    # embeds the tuner core's fixed-budget sample pass
+    "curation_doc_verdicts",      # same shared flag computation (tuner sample pass)
     "embedding_pca_top_component",  # 1-row max-abs normalizer broadcast
     "text_keyword_textrank",      # 1-row pr0/teleport scalar broadcast (pagerank base)
     "text_bigram_kneser_ney",     # 1-row bigram-type-count scalar broadcast (B for P_cont)
@@ -889,6 +891,76 @@ def test_tuner_refusal_empties_all_three_tuned_plans(spark, sf_dir, monkeypatch)
     groups = textops.dedup_lsh_groups_tuned(spark, sf_dir)
     assert groups.columns == ["banding", "doc_id", "group_rep"]
     assert groups.count() == 0
+
+
+def test_curation_funnel_invariants(spark, sf_dir):
+    """curation_pipeline_tuned's 7-row report is a real funnel: stages
+    chain (docs_in[k] == docs_out[k-1]), removals are non-negative and
+    consistent, token counts shrink with the doc set, and every
+    SQL-decidable gate is non-trivial on the synthetic corpus (the
+    exact-dedup stage's removal arithmetic is exercised by the hostile
+    clone fixture in test_encoding_chaos instead — this corpus has no
+    exact clones, so its row is honestly zero)."""
+    from sm_etl_cloud_run_spark.plans import textops
+
+    rows = sorted(
+        textops.curation_pipeline_tuned(spark, sf_dir).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == list(textops._CUR_STAGES)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["docs_in"] == prev["docs_out"]
+        assert cur["tokens_out"] <= prev["tokens_out"]
+    for r in rows:
+        assert r["removed"] == r["docs_in"] - r["docs_out"] >= 0
+        assert r["tokens_out"] >= 0
+    removed = {r["stage"]: r["removed"] for r in rows}
+    for stage in ("length_gate", "lang_gate", "quality_gate",
+                  "near_dedup_tuned", "decontaminate"):
+        assert removed[stage] > 0, (stage, removed)
+    assert removed["exact_dedup"] == 0  # no exact clones in this corpus
+
+
+def test_curation_verdicts_reconcile_with_funnel(spark, sf_dir):
+    """The two curation reports derive from one shared flag
+    computation — executable proof: per-stage verdict counts equal the
+    funnel's removed column, and 'kept' equals the last stage's
+    docs_out."""
+    from sm_etl_cloud_run_spark.plans import textops
+
+    funnel = {r["stage"]: r
+              for r in textops.curation_pipeline_tuned(spark, sf_dir).collect()}
+    verd = {r["verdict"]: r["count"]
+            for r in textops.curation_doc_verdicts(spark, sf_dir)
+            .groupBy("verdict").count().collect()}
+    assert verd.get("kept", 0) == funnel["decontaminate"]["docs_out"]
+    for stage in ("length_gate", "lang_gate", "quality_gate",
+                  "exact_dedup", "near_dedup_tuned", "decontaminate"):
+        assert verd.get(stage, 0) == funnel[stage]["removed"], stage
+    assert sum(verd.values()) == funnel["ingest"]["docs_in"]
+
+
+def test_curation_near_dedup_stage_noop_on_tuner_refusal(
+    spark, sf_dir, monkeypatch
+):
+    """The pipeline inherits the tuner family's refusal contract: with
+    the measured-recall floor unreachable, the near-dedup stage must
+    become a NO-OP (refuse to dedup at an unjustified banding, don't
+    pick a least-bad one) while every other stage is untouched."""
+    from sm_etl_cloud_run_spark.plans import textops
+
+    base = {r["stage"]: r
+            for r in textops.curation_pipeline_tuned(spark, sf_dir).collect()}
+    monkeypatch.setattr(textops, "_TUNE_RECALL_FLOOR_BP", 10001)
+    refused = {r["stage"]: r
+               for r in textops.curation_pipeline_tuned(spark, sf_dir).collect()}
+    nd = refused["near_dedup_tuned"]
+    assert nd["removed"] == 0
+    assert nd["docs_out"] == nd["docs_in"] == base["near_dedup_tuned"]["docs_in"]
+    for s in ("ingest", "length_gate", "lang_gate", "quality_gate",
+              "exact_dedup"):
+        assert refused[s] == base[s], s
+    assert base["near_dedup_tuned"]["removed"] > 0  # the no-op is observable
 
 
 def test_rows_only_sketches_track_their_oracle_checked_twins(spark):

@@ -162,6 +162,7 @@ QUERIES = (
     "dedup_lsh_banding_tuner",
     "dedup_lsh_pairs_tuned",
     "dedup_lsh_groups_tuned",
+    "curation_pipeline_tuned",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
