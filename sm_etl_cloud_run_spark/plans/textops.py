@@ -3634,7 +3634,11 @@ def _curation_flags_df(spark: SparkSession, t) -> DataFrame:
         .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(1).alias("__k4"))
     )
-    flagged = persist_tracked(
+    # no second persist: caching this join would duplicate the corpus
+    # text in executor memory; its two consumers (survivor signatures,
+    # the final flag relation) each re-derive it from the ONE cached
+    # flag relation plus a doc_id-keyed join
+    flagged = (
         flagged.join(keep4, "doc_id", "left")
         .withColumn("f4", F.col("__k4").isNotNull().cast("long"))
         .drop("__k4")
