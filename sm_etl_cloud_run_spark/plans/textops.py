@@ -3622,12 +3622,13 @@ def _curation_flags_df(spark: SparkSession, t) -> DataFrame:
     f1 = F.col("n_tokens") >= _CUR_MIN_TOKENS
     f2 = f1 & (F.col("pred_lang") == _CUR_TARGET_LANG)
     f3 = f2 & (ttr_bp >= _CUR_MIN_TTR_BP) & (stop_bp <= _CUR_MAX_STOP_BP)
-    flagged = persist_tracked(base.select(
+    flagged3 = persist_tracked(base.select(
         "doc_id", "text", "n_tokens", "fp",
         f1.cast("long").alias("f1"),
         f2.cast("long").alias("f2"),
         f3.cast("long").alias("f3"),
     ))
+    flagged = flagged3
 
     keep4 = (
         flagged.where(F.col("f3") == 1)
@@ -3667,7 +3668,10 @@ def _curation_flags_df(spark: SparkSession, t) -> DataFrame:
         "f5", ((F.col("f4") == 1) & F.col("__d5").isNull()).cast("long")
     ).drop("__d5")
 
-    exd = docs.select(
+    # shingle off the CACHED flag relation (it carries text) instead of
+    # re-scanning the corpus parquet a third time; flagged3, not the
+    # joined chain, so the explode doesn't drag the stage joins along
+    exd = flagged3.select(
         "doc_id",
         F.explode(
             F.array_distinct(word_shingles(F.col("text"), SHINGLE_K))

@@ -163,6 +163,7 @@ QUERIES = (
     "dedup_lsh_pairs_tuned",
     "dedup_lsh_groups_tuned",
     "curation_pipeline_tuned",
+    "curation_doc_verdicts",
 )
 
 # key columns to offset per copy so multiplied fact rows stay distinct
