@@ -885,14 +885,21 @@ def _qt_fit(
     score pass. K more steps cost a 64×64 driver multiply, not a job.
     Collects are parameter-sized: B² + B + 1 statistic rows, then
     K+1 accuracy rows."""
+    from pyspark.sql.window import Window
+
     from ..cache import persist_tracked
     from ..functions.text import tokens
 
     t = load_tables(spark, sf_dir)
+    # project ONLY (doc_id, term) into the explode — `lang` rode along
+    # unused (guide §2.3: project before the expansion); and tokenize
+    # ONCE: n_tok is the sum of the per-bucket counts, so the former
+    # separate `nt = tok.groupBy(doc_id).count()` pass re-ran the whole
+    # scan+split+explode a second time for a number `bc` already holds
+    # (r12: featurize 2 corpus passes → 1, bit-identical x).
     tok = t["documents"].select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    nt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
     bc = (
         tok.select(
             "doc_id",
@@ -908,8 +915,12 @@ def _qt_fit(
         F.when(F.col("lang") == "en", F.lit(_QT_Y)).otherwise(F.lit(0))
         .cast("long").alias("y"),
     )
+    # n_tok via a doc-partitioned window over the ≤_QT_B-rows-per-doc
+    # bucket aggregate (pigeonhole-bounded — operators/windows.py
+    # policy) instead of a join against a recomputed token count
+    w_doc = Window.partitionBy("doc_id")
     feat = persist_tracked(
-        bc.join(nt, "doc_id")
+        bc.withColumn("n_tok", F.sum("cnt").over(w_doc))
         .join(lab, "doc_id")
         .select(
             "doc_id", "b",
@@ -917,33 +928,55 @@ def _qt_fit(
             "y",
         )
     )
-    n_docs = lab.count()  # 1-scalar collect, parameter-sized
-    den = n_docs * _QT_C
 
     # sufficient statistics — the only corpus-sized jobs besides the
-    # featurize and the final all-steps score pass (B²+B+1 rows total)
+    # featurize and the final all-steps score pass (B²+B+1 rows total).
+    # All statistic branches ride ONE tagged-union job (guide §2.6:
+    # independent aggregates submitted as one action back-fill each
+    # other's stragglers; r12 change — was 3-4 sequential collects,
+    # each a full barrier). Values are bit-identical: the branches are
+    # the same aggregates, only collected together.
     fa = feat.select("doc_id", F.col("b").alias("b1"), F.col("x").alias("x1"))
     fb = feat.select("doc_id", F.col("b").alias("b2"), F.col("x").alias("x2"))
-    gram = {
-        (r["b1"], r["b2"]): r["m"]
-        for r in fa.join(fb, "doc_id")
+    gram_df = (
+        fa.join(fb, "doc_id")
         .groupBy("b1", "b2")
-        .agg(F.sum(F.col("x1") * F.col("x2")).cast("long").alias("m"))
-        .collect()  # ≤ B² = 4096 rows
-    }
-    cvec = {
-        r["b"]: r["c"]
-        for r in feat.groupBy("b")
-        .agg(F.sum(F.col("y") * F.col("x")).cast("long").alias("c"))
-        .collect()  # ≤ B rows
-    }
-    yy = 0
+        .agg(F.sum(F.col("x1") * F.col("x2")).cast("long").alias("v"))
+        .select(F.lit("g").alias("tag"), "b1", F.col("b2").alias("k2"), "v")
+    )  # ≤ B² = 4096 rows
+    cvec_df = (
+        feat.groupBy("b")
+        .agg(F.sum(F.col("y") * F.col("x")).cast("long").alias("v"))
+        .select(F.lit("c").alias("tag"), F.col("b").alias("b1"),
+                F.lit(0).cast("long").alias("k2"), "v")
+    )  # ≤ B rows
+    ndocs_df = lab.agg(F.count(F.lit(1)).cast("long").alias("v")).select(
+        F.lit("n").alias("tag"), F.lit(0).cast("long").alias("b1"),
+        F.lit(0).cast("long").alias("k2"), "v",
+    )  # 1 row — same count the former lab.count() barrier returned
+    stats = gram_df.unionByName(cvec_df).unionByName(ndocs_df)
     if with_metrics:
-        yy = (
+        yy_df = (
             feat.select("doc_id", "y").distinct()
-            .agg(F.sum(F.col("y") * F.col("y")).cast("long").alias("yy"))
-            .collect()[0]["yy"] or 0
+            .agg(F.sum(F.col("y") * F.col("y")).cast("long").alias("v"))
+            .select(F.lit("y").alias("tag"), F.lit(0).cast("long").alias("b1"),
+                    F.lit(0).cast("long").alias("k2"), "v")
         )  # 1 row; docs with no features never entered the score relation
+        stats = stats.unionByName(yy_df)
+    gram: dict[tuple[int, int], int] = {}
+    cvec: dict[int, int] = {}
+    yy = 0
+    n_docs = 0
+    for r in stats.collect():  # ≤ B² + B + 2 rows, one job
+        if r["tag"] == "g":
+            gram[(r["b1"], r["k2"])] = r["v"]
+        elif r["tag"] == "c":
+            cvec[r["b1"]] = r["v"]
+        elif r["tag"] == "n":
+            n_docs = r["v"]
+        else:
+            yy = r["v"] or 0
+    den = n_docs * _QT_C
 
     w = {b: 0 for b in range(_QT_B)}
     wsteps: list[dict[int, int]] = [dict(w)]

@@ -412,18 +412,31 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grp = lsh_dedup_groups(sigs, id_col="doc_id", num_hashes=NUM_HASHES, bands=LSH_BANDS)
     m = grp.join(t["documents"].select("doc_id", "n_chars"), "doc_id")
-    agg = m.groupBy("group_rep").agg(
+    # r12 (guide §2.4): the election used to be aggregate → join-back →
+    # second aggregate → left join (two extra group_rep shuffles and a
+    # join just to find "min doc_id among the max-n_chars members").
+    # A single min(struct(-n_chars, doc_id)) aggregate computes the
+    # same winner — struct comparison orders by -n_chars first (so max
+    # n_chars wins), then doc_id (so the min-id tiebreak) — and NULL
+    # n_chars members are excluded exactly like the former equi-join on
+    # n_chars = canonical_n_chars (a NULL never equi-matched; an
+    # all-NULL group yields NULL canonical_doc_id on both forms).
+    # Plan: 4 Exchanges + 2 joins → 2 Exchanges + 0 joins after `m`.
+    elect = F.min(
+        F.when(
+            F.col("n_chars").isNotNull(),
+            F.struct(
+                (-F.col("n_chars")).alias("neg_chars"),
+                F.col("doc_id").alias("doc_id"),
+            ),
+        )
+    )
+    return m.groupBy("group_rep").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.max("n_chars").cast("long").alias("canonical_n_chars"),
         F.sum("n_chars").cast("long").alias("total_chars"),
-    )
-    canon = (
-        m.join(agg.select("group_rep", "canonical_n_chars"), "group_rep")
-        .where(F.col("n_chars") == F.col("canonical_n_chars"))
-        .groupBy("group_rep")
-        .agg(F.min("doc_id").cast("long").alias("canonical_doc_id"))
-    )
-    return agg.join(canon, "group_rep", "left").select(
+        elect.getField("doc_id").cast("long").alias("canonical_doc_id"),
+    ).select(
         "group_rep", "canonical_doc_id", "canonical_n_chars", "n_members",
         (F.col("n_members") - 1).cast("long").alias("n_dupes_removed"),
         (F.col("total_chars") - F.col("canonical_n_chars")).cast("long")

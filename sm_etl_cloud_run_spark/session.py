@@ -35,6 +35,17 @@ _RUNTIME_CONVENTIONS = {
     # which Spark's parquet reader rejects; read them as nano-longs and
     # convert in tables.load_tables.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # r12 (guide §2.2): with the default (false), AQE partition
+    # coalescing is DISABLED inside persisted plans — every shuffle
+    # under a persist_tracked relation, and every consumer stage above
+    # it, ran at the full `initialPartitionNum` ceiling (measured: a
+    # 100k-row cached aggregate ran 256-task stages; with this flag its
+    # stages coalesce to 32/1). Purely a physical-partitioning change:
+    # results are unchanged (parity re-verified 0/277 at both SFs), and
+    # the explicit-N `repartitionByRange(N, ...)` exchanges inside the
+    # distributed_rank/cumsum family are user-specified counts, which
+    # AQE never coalesces, so their partition-id arithmetic is intact.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
