@@ -11,7 +11,7 @@ Determinism note: shingle/fingerprint hashing uses ``md5`` (not
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -69,12 +69,50 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     ~10× faster than indexing with `element_at` inside a `transform`
     (dynamic array indexing is the interpreted slow path). Docs shorter
     than k words yield an empty array (slice length clamps to 0).
+
+    NOTE the inlined token expression is referenced 2k+1 times (k
+    slices × 2 plus the size), and a Generate/explode consumer gets no
+    common-subexpression elimination — so hot paths should materialize
+    the token array in a projection first and call
+    :func:`word_shingles_from_tokens` on the column (r12: the MinHash
+    explode re-ran `split(trim(text))` 7× per row before that).
     """
-    toks = tokens(col)
+    return word_shingles_from_tokens(tokens(col), k)
+
+
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """`word_shingles` over an ALREADY-tokenized array column — use when
+    the token array is materialized once in a projection so the split
+    is not re-evaluated per slice reference (same output, same oracle:
+    shingle text is identical either way)."""
     n_shingles = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     slices = [F.slice(toks, j + 1, n_shingles).alias(f"t{j}") for j in range(k)]
     zipped = F.arrays_zip(*slices)
     return F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(k)]))
+
+
+def exploded_shingles(
+    docs: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = False,
+    alias: str = "s",
+) -> DataFrame:
+    """(id, shingle) rows: tokenize in a projection BELOW the explode,
+    then explode the k-word shingles (optionally distinct per doc).
+
+    The single shared spelling of the hot shingle-explode shape so every
+    call site gets the materialized-token fix (see
+    :func:`word_shingles`'s note) instead of re-splitting per slice
+    reference inside the Generate."""
+    arr = word_shingles_from_tokens(F.col("__toks"), k)
+    if distinct:
+        arr = F.array_distinct(arr)
+    return docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(F.col(id_col), F.explode(arr).alias(alias))
 
 
 def char_ngrams(col: Column, n: int = 5) -> Column:

@@ -31,7 +31,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import doc_fingerprint, word_shingles
+from ..functions.text import (
+    doc_fingerprint,
+    tokens,
+    word_shingles,
+    word_shingles_from_tokens,
+)
 
 
 def exact_dedup(df: DataFrame, subset: Sequence[str]) -> DataFrame:
@@ -86,8 +91,16 @@ def minhash_signatures(
     Docs shorter than `shingle_k` words produce no shingles and drop out
     (they can't near-dup match anyway).
     """
+    # Materialize the token array in its own projection below the
+    # explode (r12, guide §1.3): the shingle generator references the
+    # token expression 2k+1 times and Generate gets no
+    # common-subexpression elimination, so `split(trim(text))` was
+    # evaluated repeatedly per row. Same shingles, ~10% faster.
     exploded = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__sh")
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.explode(word_shingles_from_tokens(F.col("__toks"), shingle_k)).alias("__sh"),
     )
     if hash_fn == "xxhash64":
         return exploded.groupBy(id_col).agg(
@@ -306,7 +319,12 @@ def ngram_jaccard_pairs(
     biased estimate of the raw one.
     """
     shingled = df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("sh")
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles_from_tokens(F.col("__toks"), shingle_k))
+        ).alias("sh"),
     )
     if max_df is not None:
         kept = (
@@ -368,8 +386,12 @@ def ngram_containment_pairs(
     pair hash-agg, all map-side-combined; no windows, no Python.
     """
     shingled = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("sh"),
+        F.explode(
+            F.array_distinct(word_shingles_from_tokens(F.col("__toks"), shingle_k))
+        ).alias("sh"),
     )
     if max_df is not None:
         kept = (
@@ -450,19 +472,29 @@ def winnowing_fingerprints(
     Plan: posexplode keeps shingle order, one window pass per doc (the
     only shuffle, on the doc id), distinct minima per doc. Tail windows
     shorter than `window` are excluded (standard winnowing uses full
-    windows only).
+    windows only). The shingle count is derived closed-form from the
+    materialized token array (r12): the former `count(*) over
+    (partition by doc)` was a SECOND WindowExec pass over every row for
+    a number `greatest(size(toks) - (k-1), 0)` already gives. The
+    shingle transform stays INLINE in the Generate on purpose — giving
+    it an attribute alias makes InferFiltersFromGenerate push a
+    `size(<whole transform>) > 0` copy to the scan, doubling the
+    per-row shingle work (measured on the plan).
     """
     from pyspark.sql.window import Window as W
 
     hashed = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
-        F.posexplode(word_shingles(F.col(text_col), shingle_k)).alias("pos", "__sh"),
-    ).select(id_col, "pos", F.substring(F.md5("__sh"), 1, 8).alias("__h"))
+        F.greatest(F.size("__toks") - (shingle_k - 1), F.lit(0)).alias("__n"),
+        F.posexplode(word_shingles_from_tokens(F.col("__toks"), shingle_k)).alias(
+            "pos", "__sh"
+        ),
+    ).select(id_col, "__n", "pos", F.substring(F.md5("__sh"), 1, 8).alias("__h"))
     w_min = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    w_all = W.partitionBy(id_col)
     return (
         hashed.withColumn("__wmin", F.min("__h").over(w_min))
-        .withColumn("__n", F.count(F.lit(1)).over(w_all))
         .where(F.col("pos") <= F.col("__n") - window)
         .select(F.col(id_col), F.col("__wmin").alias("fingerprint"))
         .distinct()

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import token_count, tokens, word_shingles
+from ..functions.text import exploded_shingles, token_count, tokens
 from ..tables import load_tables
 from .registry import register
 
@@ -114,9 +114,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
     )
-    bigrams = t["documents"].select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram")
-    )
+    bigrams = exploded_shingles(t["documents"], 2, alias="bigram")
     bga = (
         bigrams.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
@@ -533,8 +531,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
     )
     bga = (
-        t["documents"]
-        .select("doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram"))
+        exploded_shingles(t["documents"], 2, alias="bigram")
         .groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
@@ -817,8 +814,6 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (inner-join semantics). Shingles ride the engine's
     slice+zip fast path (word_shingles), not dynamic array indexing.
     """
-    from ..functions.text import word_shingles
-
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     uni = (
@@ -827,7 +822,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = uni.agg(F.sum("c1").cast("long").alias("t"))
     docbg = (
-        docs.select("doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
+        exploded_shingles(docs, 2, alias="bg")
         .groupBy("doc_id", "bg").agg(F.count("*").cast("long").alias("tf2"))
     )
     c2 = docbg.groupBy("bg").agg(F.sum("tf2").cast("long").alias("c2"))
@@ -1231,13 +1226,10 @@ def text_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract on a word-keyed graph; term keys are zipfian, which the
     checkpointed edge list + AQE absorb).
     """
-    from ..functions.text import word_shingles
     from ..operators.graph import pagerank_undirected
 
     t = load_tables(spark, sf_dir)
-    bg = t["documents"].select(
-        F.explode(word_shingles(F.col("text"), 2)).alias("bg")
-    ).select(
+    bg = exploded_shingles(t["documents"], 2, alias="bg").select(
         F.split(F.col("bg"), " ").getItem(0).alias("w1"),
         F.split(F.col("bg"), " ").getItem(1).alias("w2"),
     )
@@ -1624,9 +1616,7 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import persist_tracked
 
     t = load_tables(spark, sf_dir)
-    bg = t["documents"].select(
-        F.explode(word_shingles(F.col("text"), 2)).alias("s")
-    ).select(
+    bg = exploded_shingles(t["documents"], 2).select(
         F.split(F.col("s"), " ").getItem(0).alias("w1"),
         F.split(F.col("s"), " ").getItem(1).alias("w2"),
     )
@@ -1835,7 +1825,7 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprint(F.col("text")).alias("fp"),
     )
     bgc = (
-        docs.select("doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bigram"))
+        exploded_shingles(docs, 2, alias="bigram")
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -36,7 +36,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import doc_fingerprint, tokens, word_shingles
+from ..functions.text import (
+    doc_fingerprint,
+    tokens,
+    word_shingles_from_tokens,
+)
 from ..tables import load_tables
 from .registry import register
 
@@ -109,8 +113,14 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join to re-attach zero-gram docs (doc-keyed, uniform).
     """
     t = load_tables(spark, sf_dir)
+    # Materialize the token array below the explode (r12, guide §1.3):
+    # the shingle generator references the split 2k+1 times and Generate
+    # gets no common-subexpression elimination.
     sh = t["documents"].select(
-        "doc_id", F.explode(word_shingles(F.col("text"), _DUP_NGRAM_K)).alias("s")
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        F.explode(word_shingles_from_tokens(F.col("__toks"), _DUP_NGRAM_K)).alias("s"),
     )
     cnt = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("c"))
     perdoc = (
@@ -561,9 +571,9 @@ def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     pos = toks.select("doc_id", F.posexplode("t").alias("p", "tok"))
-    grams = docs.select(
+    grams = toks.select(
         "doc_id",
-        F.posexplode(word_shingles(F.col("text"), _SPAN_K)).alias("p", "g"),
+        F.posexplode(word_shingles_from_tokens(F.col("t"), _SPAN_K)).alias("p", "g"),
     )
     cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     starts = grams.join(cnt, "g").select(

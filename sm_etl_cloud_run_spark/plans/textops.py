@@ -884,13 +884,10 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingles with a benchmark set (here: doc_id < 10 stands in
     for the eval corpus). The benchmark shingle set is tiny relative to
     the corpus -> broadcast semi-side; the corpus never self-joins."""
-    from ..functions.text import word_shingles
+    from ..functions.text import exploded_shingles
 
     t = load_tables(spark, sf_dir)
-    ex = t["documents"].select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), SHINGLE_K))).alias("s"),
-    )
+    ex = exploded_shingles(t["documents"], SHINGLE_K, distinct=True)
     bench_set = ex.where(F.col("doc_id") < 10).select("s").distinct()
     return (
         ex.where(F.col("doc_id") >= 10)
@@ -976,14 +973,11 @@ def training_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame
     dedup_minhash_accuracy. All aggregates beyond the join are suite-
     or eval-doc-sized.
     """
-    from ..functions.text import word_shingles
+    from ..functions.text import exploded_shingles
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    ex = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), SHINGLE_K))).alias("s"),
-    )
+    ex = exploded_shingles(docs, SHINGLE_K, distinct=True)
     rare = (
         ex.where(F.col("doc_id") >= 25)
         .groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
@@ -1364,14 +1358,10 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram→first-doc aggregate (vocabulary-sized), join back, integer-bp
     fraction. Same scale shape as TF-IDF.
     """
-    from ..functions.text import word_shingles
+    from ..functions.text import exploded_shingles
 
     t = load_tables(spark, sf_dir)
-    grams = (
-        t["documents"]
-        .select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("bg"))
-        .distinct()
-    )
+    grams = exploded_shingles(t["documents"], 3, alias="bg").distinct()
     firsts = grams.groupBy("bg").agg(F.min("doc_id").cast("long").alias("first_doc"))
     return (
         grams.join(firsts, "bg")
@@ -1564,8 +1554,6 @@ def minhash_accuracy(
     exchange and the now-small side goes broadcast, which cannot reuse
     the shuffle — there the persist wins (6.9 s vs 8.3 s).
     """
-    from ..functions.text import word_shingles
-
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     sigs = minhash_signatures(
@@ -1608,15 +1596,16 @@ def minhash_accuracy(
         .select("id_a", "id_b", n_match.cast("long").alias("n_match"))
     )
 
+    from ..functions.text import exploded_shingles
+
     cand_docs = (
         cand.select(F.col("id_a").alias("doc_id"))
         .union(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    shingled = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), SHINGLE_K))).alias("sh"),
-    ).join(cand_docs, "doc_id", "left_semi")
+    shingled = exploded_shingles(docs, SHINGLE_K, distinct=True, alias="sh").join(
+        cand_docs, "doc_id", "left_semi"
+    )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -2677,14 +2666,10 @@ def text_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    from ..functions.text import word_shingles
+    from ..functions.text import exploded_shingles
 
     t = load_tables(spark, sf_dir)
-    ex = t["documents"].select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), SHINGLE_K)))
-        .alias("s"),
-    )
+    ex = exploded_shingles(t["documents"], SHINGLE_K, distinct=True)
     dfs = ex.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
     bucket = F.when(F.col("df") <= _SDF_LADDER[0][1], _SDF_LADDER[0][0])
     for name, hi in _SDF_LADDER[1:]:
