@@ -126,6 +126,25 @@ def minhash_signatures(
     )
 
 
+def _ensure_persisted(df: DataFrame) -> DataFrame:
+    """Persist `df` (tracked) unless the caller already persisted it
+    (e.g. the banding tuner passes its own cached signature relation).
+
+    r12: the old comment in `lsh_candidate_pairs` claimed the branches
+    share one ReusedExchange — true under sort-merge self-joins, but
+    AQE now plans the band join and the signature re-joins as
+    BROADCAST joins, whose build sides are separate BroadcastExchanges
+    over different projections: the captured plan computed the full
+    scan→shingle→md5→aggregate signature pipeline FOUR times.
+    """
+    sl = df.storageLevel
+    if sl.useMemory or sl.useDisk:
+        return df
+    from ..cache import persist_tracked
+
+    return persist_tracked(df)
+
+
 def _band_buckets(
     signatures: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
@@ -168,10 +187,12 @@ def lsh_candidate_pairs(
     matching signature components.
     """
     # Signatures feed four plan branches (two band sides + two sig
-    # re-joins). No explicit cache: the branches share an identical
-    # aggregate subplan, so Spark's ReusedExchange computes it once —
-    # measured faster than InMemoryRelation here. At warehouse scale the
-    # signature table would be persisted as its own artifact instead.
+    # re-joins); persist once so the shingle+md5+aggregate pipeline runs
+    # once instead of four times (see _ensure_persisted — the former
+    # ReusedExchange sharing no longer applies under AQE broadcast
+    # planning). At warehouse scale the signature table would be
+    # persisted as its own artifact instead.
+    signatures = _ensure_persisted(signatures)
     bands_df = _band_buckets(signatures, id_col, num_hashes, bands)
 
     a = bands_df.alias("a")
@@ -222,7 +243,12 @@ def lsh_dedup_groups(
 
     Returns (id, group_rep); rows with id == group_rep are the keepers.
     """
-    bands_df = _band_buckets(signatures, id_col, num_hashes, bands)
+    # bands_df feeds two branches (the bucket-rep aggregate and the
+    # join-back); persist so the signature pipeline runs once (r12 —
+    # see _ensure_persisted).
+    bands_df = _ensure_persisted(
+        _band_buckets(signatures, id_col, num_hashes, bands)
+    )
     reps = bands_df.groupBy("band", "bucket").agg(F.min(id_col).alias("bucket_rep"))
     return (
         bands_df.join(reps, ["band", "bucket"])

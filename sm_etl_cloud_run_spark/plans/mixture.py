@@ -106,41 +106,60 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate on the k-gram key and one join back — both uniform-key
     shuffles (md5-distributed text makes the grams near-unique keys).
 
-    Plan at 100 TB: explode (amplification ≤ token count), map-side
-    combined count on the gram key, join gram→count back to the
-    exploded side (AQE handles the zipfian head: boilerplate grams are
-    exactly the skewed ones), one doc-keyed aggregate, broadcast-free
-    left join to re-attach zero-gram docs (doc-keyed, uniform).
+    Plan at 100 TB (r12 rewrite, guide §2.3/§2.4): a gram with corpus
+    count 1 occurs in exactly ONE document, so per-doc duplicated
+    occurrences = n_ngrams − (#corpus-singleton grams owned by the
+    doc), and n_ngrams itself is closed-form from the token count
+    (`greatest(size(toks) − (k−1), 0)`). That means ONE explode, one
+    map-side-combined gram aggregate carrying `min(doc_id)` (the owner
+    is well-defined only for singletons, which are the only rows
+    used), one tiny doc-keyed aggregate over the singleton slice, and
+    a broadcast re-attach — the exploded relation is never joined and
+    never shuffled a second time (the old shape exploded the corpus
+    TWICE and hash-joined vocab→exploded rows before a doc-keyed
+    shuffle of every occurrence).
     """
     t = load_tables(spark, sf_dir)
-    # Materialize the token array below the explode (r12, guide §1.3):
-    # the shingle generator references the split 2k+1 times and Generate
-    # gets no common-subexpression elimination.
     sh = t["documents"].select(
         "doc_id", tokens(F.col("text")).alias("__toks")
     ).select(
         "doc_id",
         F.explode(word_shingles_from_tokens(F.col("__toks"), _DUP_NGRAM_K)).alias("s"),
     )
-    cnt = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    perdoc = (
-        sh.join(cnt, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
-            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_ngrams"),
-        )
+    gc = sh.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.min("doc_id").alias("__d"),
     )
+    singles = (
+        gc.where(F.col("c") == 1)
+        .groupBy(F.col("__d").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_single"))
+    )
+    base = t["documents"].select(
+        "doc_id",
+        F.greatest(
+            F.size(tokens(F.col("text"))) - (_DUP_NGRAM_K - 1), F.lit(0)
+        ).cast("long").alias("n_ngrams"),
+    )
+    # `base` carries EVERY doc_id, so it doubles as the left-join spine
+    # the old shape re-scanned `documents` a third time for. Zero-gram
+    # docs get n_ngrams = 0 → dup_bp's 0/0 division is NULL → coalesce
+    # 0 → keep = 1, exactly the old left-join-miss values.
     dup_bp = F.coalesce(
         F.floor(10000.0 * F.col("n_dup_ngrams") / F.col("n_ngrams")), F.lit(0)
     ).cast("long")
     return (
-        t["documents"].select("doc_id")
-        .join(perdoc, "doc_id", "left")
+        base.join(singles, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias("n_ngrams"),
-            F.coalesce(F.col("n_dup_ngrams"), F.lit(0)).cast("long").alias("n_dup_ngrams"),
+            "n_ngrams",
+            (F.col("n_ngrams") - F.coalesce(F.col("n_single"), F.lit(0)))
+            .cast("long").alias("n_dup_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_dup_ngrams",
             dup_bp.alias("dup_ngram_bp"),
             F.when(dup_bp <= _MAX_DUP_NGRAM_BP, 1).otherwise(0).cast("long").alias("keep"),
         )
