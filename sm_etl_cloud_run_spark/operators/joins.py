@@ -59,16 +59,35 @@ def range_join(
 ) -> DataFrame:
     """J1 general form: broadcast interval join date ∈ [start, end].
 
-    `attach` maps period columns to output names. The dim is broadcast →
-    BroadcastNestedLoopJoin; acceptable only because the dim is small
-    (one row per month/quadrimester). Reference: utilitarios/datas.py:65-91.
+    `attach` maps period columns to output names. The dim is broadcast;
+    intervals stay ARBITRARY (overlap allowed), matching the reference's
+    per-value interval lookup. Reference: utilitarios/datas.py:65-91.
+
+    r12 (guide §8 — decide with small rows, then attach): the interval
+    predicate depends only on the DATE value, so the nested loop runs
+    over the fact's DISTINCT dates (a tiny map-side-combined aggregate:
+    thousands of rows at any scale), producing a (date → period) map
+    that equi-joins back onto the fact as a BroadcastHashJoin. The fact
+    side is never nested-loop-scanned: per-row cost drops from
+    O(|periods|) comparisons to one hash probe. Semantics are identical
+    to the direct NLJ: a date matching k intervals yields k map rows
+    (same row multiplication), a date matching none is absent from the
+    inner map and left-joins to NULL attach.
     """
     p = periods
     if extra_dim_filter is not None:
         p = p.where(extra_dim_filter)
-    cond = (date_col >= p[start_col]) & (date_col <= p[end_col])
-    keep = [fact[c] for c in fact.columns] + [p[src].alias(dst) for src, dst in attach.items()]
-    return fact.join(F.broadcast(p), cond, "left").select(*keep)
+    f = fact.withColumn("__d", date_col)
+    dates = f.select("__d").distinct()
+    cond = (F.col("__d") >= p[start_col]) & (F.col("__d") <= p[end_col])
+    date_map = dates.join(p, cond, "inner").select(
+        "__d", *[p[src].alias(f"__iv_{dst}") for src, dst in attach.items()]
+    )
+    joined = f.join(F.broadcast(date_map), "__d", "left")
+    keep = [f[c] for c in fact.columns] + [
+        F.col(f"__iv_{dst}").alias(dst) for dst in attach.values()
+    ]
+    return joined.select(*keep)
 
 
 def period_equi_join(

@@ -313,9 +313,20 @@ def pq_train_codebook(
     parameter-sized. Chain calls for more Lloyd's rounds — the
     between-rounds sync is a parameter-sized collect, the Lloyd's
     barrier, exactly as in kmeans_embedding_clusters.
-    """
-    from functools import reduce
 
+    r12 (guide §2.4 / §6): the per-subspace assignments used to be a
+    `num_subspaces`-way UNION of selects over the same input — the
+    plan scanned and decoded the embedding column once PER SUBSPACE.
+    Now one scan emits an array of (m, cw, __sv) structs and a single
+    explode fans out the subspaces: same rows into the aggregate,
+    (num_subspaces − 1) fewer scans. The struct array stays INLINE in
+    the Generate: with a non-cheap generator child
+    InferFiltersFromGenerate does not fire, so the assignment
+    expressions are evaluated exactly once per row — aliasing the array
+    to an attribute first makes the rule push a `size(<whole assignment
+    expression>) > 0` copy down to the scan (the step-4 shingle trap,
+    observed again here: per-row work doubles).
+    """
     dim = len(code_vecs[0])
     sub = dim // num_subspaces
 
@@ -334,13 +345,16 @@ def pq_train_codebook(
         ]
         cw = -F.array_max(F.array(*pairs))["neg_k"]
         per_m.append(
-            embeddings.select(
+            F.struct(
                 F.lit(m).cast("int").alias("m"),
                 cw.cast("long").alias("cw"),
                 sv.alias("__sv"),
             )
         )
-    assigned = reduce(DataFrame.unionByName, per_m)
+    assigned = (
+        embeddings.select(F.explode(F.array(*per_m)).alias("__s"))
+        .select("__s.m", "__s.cw", "__s.__sv")
+    )
     dims = assigned.select(
         "m", "cw", F.posexplode("__sv").alias("pos0", "x")
     ).groupBy("m", "cw", (F.col("pos0") + 1).cast("int").alias("pos")).agg(
@@ -409,19 +423,30 @@ def knn_join_lsh(
     anywhere. The scale path of :func:`knn_join_topk`: at 100 TB the
     bucket column is the stored partition key and each query probes
     ~1/2^h of the corpus; recall is traded via the hyperplane count.
+
+    r12 (guide §1.2 step 2): squared norms are hoisted BELOW the join —
+    computed once per corpus row / query row instead of once per
+    candidate pair, cutting the interpreted higher-order-function work
+    per pair from three fixed-point dots to one (the a·b dot). Same
+    arithmetic (round(dot/(√sqa·√sqb), 6)) on the same fixed-point
+    values → bit-identical cosine.
     """
     from pyspark.sql.window import Window
 
     b_emb = embeddings.withColumn(
         "__bucket", hyperplane_lsh_bucket(F.col(vec_col), hyperplanes)
-    )
+    ).withColumn("__sq_e", _fixed_point_sq_norm(F.col(vec_col)))
     b_q = queries.withColumn(
         "__bucket", hyperplane_lsh_bucket(F.col(qvec_col), hyperplanes)
-    )
+    ).withColumn("__sq_q", _fixed_point_sq_norm(F.col(qvec_col)))
     cand = b_emb.join(F.broadcast(b_q), "__bucket").where(F.col(id_col) != F.col(qid_col))
     scored = cand.select(
         qid_col, id_col,
-        cosine_similarity(F.col(vec_col), F.col(qvec_col)).alias("cosine"),
+        F.round(
+            _fixed_point_dot(F.col(vec_col), F.col(qvec_col)).cast("double")
+            / (F.sqrt(F.col("__sq_e").cast("double")) * F.sqrt(F.col("__sq_q").cast("double"))),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (

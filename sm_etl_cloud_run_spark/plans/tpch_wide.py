@@ -61,12 +61,20 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(_cents("l_extendedprice")).alias("cost_cents"))
     )
-    w = Window.partitionBy("l_partkey")
+    # r12 (guide §2.4): the correlated min is a single-pass election —
+    # min(struct(cost, suppkey)) is lexicographic "min cost, then min
+    # suppkey among the tied" (both longs, non-null), exactly the old
+    # window-min → filter → re-aggregate chain. Drops the Sort+Window
+    # pass and lets the per-part aggregate partially combine map-side
+    # before its exchange (the window form shuffled every cost row).
     best = (
-        cost.withColumn("min_cost", F.min("cost_cents").over(w))
-        .where(F.col("cost_cents") == F.col("min_cost"))
-        .groupBy("l_partkey")
-        .agg(F.min("l_suppkey").alias("s_suppkey"), F.min("cost_cents").alias("cost_cents"))
+        cost.groupBy("l_partkey")
+        .agg(F.min(F.struct("cost_cents", "l_suppkey")).alias("__m"))
+        .select(
+            "l_partkey",
+            F.col("__m.l_suppkey").alias("s_suppkey"),
+            F.col("__m.cost_cents").alias("cost_cents"),
+        )
     )
     parts = t["part"].where(F.col("p_size") == 50)
     return (

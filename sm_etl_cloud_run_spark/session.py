@@ -46,6 +46,15 @@ _RUNTIME_CONVENTIONS = {
     # distributed_rank/cumsum family are user-specified counts, which
     # AQE never coalesces, so their partition-id arithmetic is intact.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # r12 negative result (guide §3.1, §9), recorded so it isn't re-tried
+    # blindly: `spark.sql.join.preferSortMergeJoin=false` +
+    # `spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=128m`
+    # (shuffled-hash instead of sort-merge for the census chain joins —
+    # the registry's only SMJs) measured 4.9 → 3.1 s on COLD runs but a
+    # consistent ~5% LOSS in the bench's hot-cache steady state (the
+    # build-side hashing re-runs every pass, while SMJ reads the cached
+    # sorted runs). On a real cluster with cold inputs the flags are
+    # worth re-measuring; they are results-identical either way.
 }
 
 
