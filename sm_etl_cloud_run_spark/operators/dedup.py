@@ -495,35 +495,39 @@ def winnowing_fingerprints(
     ≥ window + k - 1 tokens while storing ~2/(window+1) of the hashes —
     the partial-copy detector whole-document fingerprints can't be.
 
-    Plan: posexplode keeps shingle order, one window pass per doc (the
-    only shuffle, on the doc id), distinct minima per doc. Tail windows
-    shorter than `window` are excluded (standard winnowing uses full
-    windows only). The shingle count is derived closed-form from the
-    materialized token array (r12): the former `count(*) over
-    (partition by doc)` was a SECOND WindowExec pass over every row for
-    a number `greatest(size(toks) - (k-1), 0)` already gives. The
-    shingle transform stays INLINE in the Generate on purpose — giving
-    it an attribute alias makes InferFiltersFromGenerate push a
-    `size(<whole transform>) > 0` copy to the scan, doubling the
-    per-row shingle work (measured on the plan).
+    Plan (r12, guide §2.4 — remove shuffles outright): winnowing is a
+    strictly PER-DOCUMENT computation, so it runs entirely on the
+    row's arrays — hash the shingle array once (`__hs`, materialized as
+    its own projection so the per-window lambdas reference a cheap
+    attribute instead of re-hashing), take each full window's
+    `array_min`, `array_distinct` the minima (per-doc distinct == the
+    old global DISTINCT, since doc_id is in the key), and explode. The
+    former shape exploded every shingle, shuffled the corpus on doc_id
+    for a window-min pass, then shuffled AGAIN for the distinct: two
+    exchanges and a sort, all for per-row work. Zero exchanges now.
+    Tail windows shorter than `window` are excluded (standard
+    winnowing uses full windows only): the sequence is guarded to
+    empty when n < window — `sequence(0, n-window)` would otherwise
+    DESCEND for negative spans.
     """
-    from pyspark.sql.window import Window as W
-
     hashed = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     ).select(
         F.col(id_col),
-        F.greatest(F.size("__toks") - (shingle_k - 1), F.lit(0)).alias("__n"),
-        F.posexplode(word_shingles_from_tokens(F.col("__toks"), shingle_k)).alias(
-            "pos", "__sh"
-        ),
-    ).select(id_col, "__n", "pos", F.substring(F.md5("__sh"), 1, 8).alias("__h"))
-    w_min = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    return (
-        hashed.withColumn("__wmin", F.min("__h").over(w_min))
-        .where(F.col("pos") <= F.col("__n") - window)
-        .select(F.col(id_col), F.col("__wmin").alias("fingerprint"))
-        .distinct()
+        F.transform(
+            word_shingles_from_tokens(F.col("__toks"), shingle_k),
+            lambda s: F.substring(F.md5(s), 1, 8),
+        ).alias("__hs"),
+    )
+    n = F.size("__hs")
+    idx = F.when(n >= window, F.sequence(F.lit(0), n - window)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wmins = F.transform(
+        idx, lambda i: F.array_min(F.slice(F.col("__hs"), i + 1, window))
+    )
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(wmins)).alias("fingerprint")
     )
 
 

@@ -282,8 +282,15 @@ def training_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     total. (An approx-quantile threshold would also scale but is not
     oracle-exact at the boundary; the distributed rank is both.)
     """
+    from ..cache import persist_tracked
+
     t = load_tables(spark, sf_dir)
-    tf = (
+    # r12: tf feeds cs, ct AND the per-doc scoring join; without a
+    # persist the scan→explode→md5-bucket→aggregate pipeline ran once
+    # per consumer (5 scans / 5 Generates in the captured plan).
+    # ≤ |docs| × B rows (B = 64 buckets) — doc-table-sized, not
+    # token-stream-sized.
+    tf = persist_tracked(
         t["documents"]
         .select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term"))
         .select(

@@ -805,8 +805,14 @@ def mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate: two 1-row scalar broadcasts (whitelisted) and one
     window OVER () on parameter-sized rows.
     """
+    from ..cache import persist_tracked
+
     t = load_tables(spark, sf_dir)
-    dtf = (
+    # r12: dtf feeds THREE plan branches (uni → tot/logp and the term
+    # join); without a persist the scan→explode→aggregate pipeline ran
+    # once per branch (6 scans / 6 Generates in the captured plan).
+    # |domains × vocab|-sized — bounded by the vocab, not the corpus.
+    dtf = persist_tracked(
         t["documents"]
         .select("lang", "source", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("lang", "source", "term")

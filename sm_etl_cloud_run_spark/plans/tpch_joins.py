@@ -424,18 +424,28 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL keys are dropped on BOTH engines: a NULL can never
     # equi-match in the exact join, and on the Spark side a NULL hash
     # position would poison map_from_entries (null map key)
-    keys = (
+    # r12 (guide §2.4): the k hash functions used to be a k-way unionAll
+    # of selects over `keys` — the customer scan + distinct aggregate ran
+    # once PER HASH, plus a 4th time for the exact semi-check below.
+    # One persisted distinct relation + an inline explode of the k
+    # (word, mask) structs runs it once (the array stays inline in the
+    # Generate — the step-9 InferFiltersFromGenerate trap).
+    from ..cache import persist_tracked
+
+    keys = persist_tracked(
         t["customer"]
         .where((F.col("c_mktsegment") == _BLOOM_SEGMENT) & F.col("c_custkey").isNotNull())
         .select("c_custkey").distinct()
     )
-    bits = None
+    _pairs = []
     for i in range(_BLOOM_HASHES):
         pos = _bloom_pos_spark("c_custkey", i)
-        part = keys.select(
+        _pairs.append(F.struct(
             _bloom_word(pos).alias("word_idx"), _bloom_mask(pos).alias("mask")
-        )
-        bits = part if bits is None else bits.unionAll(part)
+        ))
+    bits = keys.select(F.explode(F.array(*_pairs)).alias("__b")).select(
+        "__b.word_idx", "__b.mask"
+    )
     # the whole bitset rides ONE 1-row map broadcast (m/32 entries,
     # parameter-sized): element_at lookups replace three separate
     # broadcast-hash joins — measured 1.29 s -> ~0.6 s in bench
