@@ -2604,6 +2604,11 @@ def events_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").alias("target_rank"),
         )
     )
+    # r12 negative result: counting from the relation distributed_rank
+    # already persisted (instead of this re-scan) measured SLOWER —
+    # the count pass prunes to the single user_id parquet column, while
+    # the cache holds (user_id, event_id, rn, total). The re-scan is
+    # the right shape at every scale; kept.
     c = (
         t["events"].alias("e")
         .crossJoin(F.broadcast(bd))

@@ -94,11 +94,21 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
     though the array filter is an interpreted HigherOrderFunction —
     the explode fan-out dominates, and it shrinks with query length,
     not corpus size.
+
+    r12: `base` feeds three branches (corpus stats, tf, df) and is
+    persisted so the scan+tokenize+filter pass runs once instead of
+    three times. It is already the lightweight proxy (doc_id, dl,
+    query-term hits — no token arrays), so the cache is doc-table-sized
+    metadata, not the corpus.
     """
-    base = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
-        "doc_id",
-        F.size("toks").cast("long").alias("dl"),
-        F.filter("toks", lambda x: x.isin(*_QUERY_TERMS)).alias("hits"),
+    from ..cache import persist_tracked
+
+    base = persist_tracked(
+        docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.filter("toks", lambda x: x.isin(*_QUERY_TERMS)).alias("hits"),
+        )
     )
     corpus = base.agg(
         F.count("*").cast("long").alias("n_docs"),

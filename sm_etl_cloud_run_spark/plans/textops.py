@@ -2114,12 +2114,17 @@ def dedup_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands on |sources| rows. Zipfian domains are the skew risk and
     ride AQE skew-join like the other term-keyed joins.
     """
+    from ..cache import persist_tracked
+
     t = load_tables(spark, sf_dir)
-    fp = t["documents"].select(
+    # r12: fp feeds the group-size aggregate AND the join back; persist
+    # the (doc_id, src, f) metadata relation (~50 B/doc) so the
+    # scan+md5 pass runs once instead of twice.
+    fp = persist_tracked(t["documents"].select(
         "doc_id",
         F.coalesce(F.col("source"), F.lit("<none>")).alias("src"),
         F.md5(F.substring(F.col("text"), 1, _DOMAIN_FP_CHARS)).alias("f"),
-    )
+    ))
     g = fp.groupBy("f").agg(
         F.count(F.lit(1)).alias("c"), F.countDistinct("src").alias("s")
     )
