@@ -390,15 +390,26 @@ def knn_join_topk(
     query's top-k. At scale the window's exchange hashes on qid; with
     |queries| ≫ cores the keys are uniform, and the rank filter stops
     feeding rows past k at the sort (window top-k pushdown).
+
+    r12: squared norms are hoisted below the join (once per corpus row
+    / query row instead of once per pair — same arithmetic,
+    bit-identical cosine; the knn_join_lsh change, applied to the exact
+    form).
     """
     from pyspark.sql.window import Window
 
-    pairs = embeddings.crossJoin(F.broadcast(queries)).where(
+    e_n = embeddings.withColumn("__sq_e", _fixed_point_sq_norm(F.col(vec_col)))
+    q_n = queries.withColumn("__sq_q", _fixed_point_sq_norm(F.col(qvec_col)))
+    pairs = e_n.crossJoin(F.broadcast(q_n)).where(
         F.col(id_col) != F.col(qid_col)
     )
     scored = pairs.select(
         qid_col, id_col,
-        cosine_similarity(F.col(vec_col), F.col(qvec_col)).alias("cosine"),
+        F.round(
+            _fixed_point_dot(F.col(vec_col), F.col(qvec_col)).cast("double")
+            / (F.sqrt(F.col("__sq_e").cast("double")) * F.sqrt(F.col("__sq_q").cast("double"))),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (

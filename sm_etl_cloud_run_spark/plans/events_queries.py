@@ -590,6 +590,14 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     window math (moving averages, anomaly z-scores) needs the dense
     grid, and a 100 TB events table generates it without ever
     collecting timestamps to the driver."""
+    # r12 negative result: fusing the bounds pass and the purchase
+    # histogram into ONE all-events aggregate (+persist, bounds from its
+    # min/max) measured consistently SLOWER (0.36-0.44 → 0.52-0.55 s
+    # noop A/B) — the bounds pass prunes to the single ts column and
+    # the histogram's event_type filter prunes rows before the
+    # aggregate, while the fused form aggregates every row and pays a
+    # cache materialization. Two cheap pruned passes beat one fat one;
+    # kept as-is.
     t = load_tables(spark, sf_dir)
     bounds = t["events"].agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),

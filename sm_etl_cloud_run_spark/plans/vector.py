@@ -74,16 +74,32 @@ LIMIT {_TOPK}
 @register("knn_brute_force", oracle=_KNN_ORACLE, bench=True,
           description="exact cosine top-k against a query vector (ANN baseline)")
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _fixed_point_dot, _fixed_point_sq_norm
+
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     qid = _seed_rows(emb, 1)[0]["vec_id"]
-    q = emb.where(F.col("vec_id") == qid).select(F.col("embedding").alias("qv"))
+    # r12: the query's squared norm is hoisted onto the 1-row broadcast
+    # side — the old cosine_similarity recomputed it per corpus row
+    # (3 interpreted HOF dots per row → 2). Same arithmetic on the same
+    # fixed-point values, bit-identical cosine.
+    q = emb.where(F.col("vec_id") == qid).select(
+        F.col("embedding").alias("qv"),
+        _fixed_point_sq_norm(F.col("embedding")).alias("__sqq"),
+    )
     scored = (
         emb.where(F.col("vec_id") != qid)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            cosine_similarity(F.col("embedding"), F.col("qv")).alias("cosine"),
+            F.round(
+                _fixed_point_dot(F.col("embedding"), F.col("qv")).cast("double")
+                / (
+                    F.sqrt(_fixed_point_sq_norm(F.col("embedding")).cast("double"))
+                    * F.sqrt(F.col("__sqq").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(_TOPK)
