@@ -62,6 +62,25 @@ FORCE_RECHECK: tuple[str, ...] = (
     # oracle side now splits on \x0B too
     "training_pack_sequences",
     "training_context_length_ladder",
+    # r12 optimization rewrites whose EXPRESSION TREE changed (parity-
+    # verified 0-diff at both SFs in-session; listed per this tuple's
+    # convention so the driver re-greens them this round). Pure-persist
+    # additions (doremi/dsir/bm25/domain_rollup) are deliberately NOT
+    # listed — caching is transparent to results and the slots are
+    # better spent on the r4/r5 backlog rotation.
+    "text_dup_ngram_fraction",        # singleton-gram identity rewrite
+    "text_winnowing_fingerprints",    # all-array zero-exchange form
+    "text_winnowing_overlap_pairs",   # consumes the rewritten operator
+    "q2_min_cost_supplier",           # min(struct) election
+    "j1_period_range_join",           # distinct-date proxy decide
+    "pq_codebook_train",              # single-scan inline explode
+    "knn_graph_lsh",                  # norm hoist below the join
+    "knn_graph_brute",                # norm hoist (knn_join_topk)
+    "knn_brute_force",                # query-norm hoist
+    "quality_classifier_train",       # fused stats collect (_qt_fit)
+    "quality_classifier_train_auc",   # shares _qt_fit
+    "dedup_cluster_canonical",        # single-pass election + cached bands
+    "dedup_minhash_signatures",       # tokens materialized below explode
 )
 
 _ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")
