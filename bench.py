@@ -85,18 +85,21 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
             samples[name].append(time.perf_counter() - t0)
+        # r13 (VERDICT r12 "What's wrong" #1): release the query-scoped
+        # caches BETWEEN passes. Spark's CacheManager matches re-built
+        # plans by canonicalized form, so with release only at the end,
+        # passes 2/3 of every query with a persist_tracked intermediate
+        # read pass 1's materialized InMemoryRelation and min(ts)
+        # reported a cache-read time, not the pipeline (e.g.
+        # dedup_minhash_signatures at 0.24 s was a cache hit). Releasing
+        # per PASS keeps within-pass sharing (a query's own multi-branch
+        # persists still work — they are the optimization) while every
+        # pass recomputes from the parquet inputs, so min-of-3 is now a
+        # compute time. Within-pass retention is bounded (~30
+        # aggregate-sized relations); the per-query sweep belongs to
+        # unbounded session loops (tools/check_parity.py keeps it).
+        release_tracked()
     calibration.append(_calibrate())
-    # Query-scoped caches (distributed_rank inputs, edge lists) are
-    # released AFTER all passes, not per query: Spark's CacheManager
-    # matches re-built plans by canonicalized form, so passes 2/3 reuse
-    # pass 1's persisted relations — the hot steady state a repeated
-    # analytic query sees, and the state every recorded floor was
-    # measured in (releasing per query re-cooled every pass and tripped
-    # the guard 3.2x on training_dsir_sample with zero code change).
-    # One pass's worth of caches is ~30 aggregate-sized relations —
-    # bounded; the per-query sweep belongs to unbounded session loops
-    # (tools/check_parity.py keeps it).
-    release_tracked()
 
     timings = {name: round(min(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)

@@ -523,8 +523,18 @@ def winnowing_fingerprints(
     idx = F.when(n >= window, F.sequence(F.lit(0), n - window)).otherwise(
         F.array().cast("array<int>")
     )
+    # r13 (guide §1.2 step 2 — per-task work): least(element_at...)
+    # instead of array_min(slice(...)): the slice allocated a
+    # window-sized array per position before scanning it; least over
+    # direct element loads skips the allocation (~15% on the isolated
+    # A/B, rows bit-identical). Expression size is linear in `window`
+    # — fine for winnowing's small windows; hashes are never NULL so
+    # least == array_min here.
     wmins = F.transform(
-        idx, lambda i: F.array_min(F.slice(F.col("__hs"), i + 1, window))
+        idx,
+        lambda i: F.least(
+            *[F.element_at(F.col("__hs"), i + F.lit(j + 1)) for j in range(window)]
+        ),
     )
     return hashed.select(
         F.col(id_col), F.explode(F.array_distinct(wmins)).alias("fingerprint")

@@ -56,6 +56,7 @@ def range_join(
     end_col: str = "data_fim",
     attach: dict[str, str],
     extra_dim_filter: Column | None = None,
+    dates: DataFrame | None = None,
 ) -> DataFrame:
     """J1 general form: broadcast interval join date ∈ [start, end].
 
@@ -73,12 +74,27 @@ def range_join(
     to the direct NLJ: a date matching k intervals yields k map rows
     (same row multiplication), a date matching none is absent from the
     inner map and left-joins to NULL attach.
+
+    `dates` (r13, guide §2.4): optional caller-supplied single-column
+    ``__d`` relation that MUST equal ``fact.select(date_col).distinct()``
+    — for callers that already derive their period dim from the same
+    distinct-date pass, sharing one persisted relation instead of
+    scanning the fact again. Supersets are also safe (extra dates just
+    add unmatched map rows the left join never probes).
     """
+    # ADVICE r12: __d / __iv_* are reserved temp names (withColumn would
+    # silently overwrite a caller's column), and date_col must be
+    # coarse-grained (date-typed) for the distinct-decide proxy to stay
+    # small — a raw timestamp would make the "tiny" date map fact-sized.
+    assert "__d" not in fact.columns, "range_join: fact must not have a __d column"
+    assert not any(c.startswith("__iv_") for c in fact.columns), \
+        "range_join: fact must not have __iv_* columns"
     p = periods
     if extra_dim_filter is not None:
         p = p.where(extra_dim_filter)
     f = fact.withColumn("__d", date_col)
-    dates = f.select("__d").distinct()
+    if dates is None:
+        dates = f.select("__d").distinct()
     cond = (F.col("__d") >= p[start_col]) & (F.col("__d") <= p[end_col])
     date_map = dates.join(p, cond, "inner").select(
         "__d", *[p[src].alias(f"__iv_{dst}") for src, dst in attach.items()]

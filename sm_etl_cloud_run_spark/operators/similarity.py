@@ -41,6 +41,138 @@ def cosine_similarity(a: Column, b: Column, *, round_to: int = 6) -> Column:
     return F.round(dot / (na * nb), round_to)
 
 
+# ---------------------------------------------------------------------------
+# Arrow/numpy twins of the fixed-point expressions (r13, guide §4.2):
+# the zip_with/aggregate higher-order functions run INTERPRETED on the
+# JVM (no whole-stage codegen), so each 64-dim dot costs ~three orders
+# of magnitude more than the same arithmetic on an Arrow batch in
+# numpy. The twins below reproduce the expressions bit-for-bit
+# (byte-identity pinned in tests/test_similarity_arrow_twins.py on the
+# REAL driver data at every SF, the codecs harness convention) and are
+# what the k-NN query paths execute; the expression forms stay as the
+# oracle-parity reference.
+# ---------------------------------------------------------------------------
+
+
+def _np_half_up(x: np.ndarray) -> np.ndarray:
+    """Spark F.round(x, 0) for the magnitudes used here: HALF_UP (away
+    from zero). np.rint would be half-to-even."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def _np_round6(c: np.ndarray) -> np.ndarray:
+    """Exact JVM F.round(x, 6) semantics. Spark rounds the DECIMAL
+    SHORTEST REPRESENTATION (BigDecimal.valueOf → Double.toString) with
+    HALF_UP, while the fast binary path rounds the double itself — the
+    two diverge only when x·1e6 sits within ~1e-6 of a .5 boundary
+    (the shortest repr can then end exactly in the rounding digit 5
+    while the binary value is a hair below it). Fast-path everything,
+    re-do boundary rows through decimal.Decimal(repr(x)), which is the
+    same shortest-repr HALF_UP the JVM computes."""
+    y = c * 1e6
+    fast = _np_half_up(y) / 1e6
+    frac = np.abs(y - np.floor(y) - 0.5)
+    risky = np.where(frac < 1e-6)[0]
+    if len(risky):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        exp = Decimal("0.000001")
+        for i in risky:
+            fast[i] = float(
+                Decimal(repr(float(c[i]))).quantize(exp, rounding=ROUND_HALF_UP)
+            )
+    return fast
+
+
+def _np_stack64(v: pd.Series) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list<float> Series — the
+    explicit astype mirrors the expression path's per-element
+    x.cast('double') widening (float32 → float64 is exact)."""
+    return np.stack(v.to_numpy()).astype(np.float64)
+
+
+def _bucket_sq_pandas(hyperplanes: list[list[float]]):
+    """pandas twin of `hyperplane_lsh_bucket` + `_fixed_point_sq_norm`
+    in one batch pass: struct(bucket, sq). Bit-identical: each
+    hyperplane dot is Σ HALF_UP(x·h·1e9) summed exactly in float64
+    (≤ 64 terms of ≲1e12 ≪ 2^53), bucket bit i set when dot ≥ 0 —
+    matching the when(dot >= 0, 2^i).otherwise(0) expression."""
+    from pyspark.sql.functions import pandas_udf
+
+    H = np.asarray(hyperplanes, dtype=np.float64)  # (h, dim)
+    pows = (2 ** np.arange(len(hyperplanes))).astype(np.int64)
+    scale = _SCALE
+
+    @pandas_udf("bucket long, sq long")
+    def f(v: pd.Series) -> pd.DataFrame:
+        m = _np_stack64(v)
+        dots = _np_half_up(m[:, None, :] * H[None, :, :] * scale).sum(axis=2)
+        bucket = ((dots >= 0) * pows).sum(axis=1)
+        sq = _np_half_up(m * m * scale).sum(axis=1)
+        return pd.DataFrame({
+            "bucket": bucket.astype(np.int64),
+            "sq": sq.astype(np.int64),
+        })
+
+    return f
+
+
+def _sq_norm_pandas():
+    """pandas twin of `_fixed_point_sq_norm` alone."""
+    from pyspark.sql.functions import pandas_udf
+
+    scale = _SCALE
+
+    @pandas_udf("long")
+    def f(v: pd.Series) -> pd.Series:
+        m = _np_stack64(v)
+        return pd.Series(_np_half_up(m * m * scale).sum(axis=1).astype(np.int64))
+
+    return f
+
+
+def _pair_cosine_pandas():
+    """pandas twin of the hoisted-norm pair cosine:
+    round(fp_dot(a, b) / (√sqa · √sqb), 6) with exact JVM rounding."""
+    from pyspark.sql.functions import pandas_udf
+
+    scale = _SCALE
+
+    @pandas_udf("double")
+    def f(va: pd.Series, vb: pd.Series, sqa: pd.Series, sqb: pd.Series) -> pd.Series:
+        A, B = _np_stack64(va), _np_stack64(vb)
+        dot = _np_half_up(A * B * scale).sum(axis=1)
+        c = dot / (
+            np.sqrt(sqa.to_numpy().astype(np.float64))
+            * np.sqrt(sqb.to_numpy().astype(np.float64))
+        )
+        return pd.Series(_np_round6(c))
+
+    return f
+
+
+def _const_cosine_pandas(query_vec: list[float]):
+    """pandas twin of the knn_brute_force per-row cosine against a
+    CONSTANT query vector: computes the corpus row's sq norm, the dot,
+    and the exact-rounded cosine in one batch pass (was two interpreted
+    HOF dots per row)."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    scale = _SCALE
+    sqq = float(_np_half_up(q * q * scale).sum())
+
+    @pandas_udf("double")
+    def f(v: pd.Series) -> pd.Series:
+        m = _np_stack64(v)
+        dot = _np_half_up(m * q * scale).sum(axis=1)
+        na = _np_half_up(m * m * scale).sum(axis=1)
+        c = dot / (np.sqrt(na) * np.sqrt(sqq))
+        return pd.Series(_np_round6(c))
+
+    return f
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -314,52 +446,66 @@ def pq_train_codebook(
     between-rounds sync is a parameter-sized collect, the Lloyd's
     barrier, exactly as in kmeans_embedding_clusters.
 
-    r12 (guide §2.4 / §6): the per-subspace assignments used to be a
-    `num_subspaces`-way UNION of selects over the same input — the
-    plan scanned and decoded the embedding column once PER SUBSPACE.
-    Now one scan emits an array of (m, cw, __sv) structs and a single
-    explode fans out the subspaces: same rows into the aggregate,
-    (num_subspaces − 1) fewer scans. The struct array stays INLINE in
-    the Generate: with a non-cheap generator child
-    InferFiltersFromGenerate does not fire, so the assignment
-    expressions are evaluated exactly once per row — aliasing the array
-    to an attribute first makes the rule push a `size(<whole assignment
-    expression>) > 0` copy down to the scan (the step-4 shingle trap,
-    observed again here: per-row work doubles).
+    r12 (guide §2.4 / §6): one scan instead of a `num_subspaces`-way
+    UNION (the plan scanned and decoded the embedding column once PER
+    SUBSPACE). r13 (guide §4.2): the assignment + per-dimension partial
+    sums run as ONE Arrow batch pass in numpy — the per-row work was
+    K·num_subspaces interpreted HOF dots plus a ×dim posexplode into
+    the aggregate; now each batch emits at most num_subspaces·K·sub_dim
+    PARTIAL rows (map-side dense aggregation, guide §2.3) and the final
+    aggregate is parameter-sized. Bit-identical: the per-element
+    HALF_UP products are exact integers in float64 (≪ 2^53) summed in
+    int64, np.argmax's first-max tie rule IS the old
+    array_max(struct(dot, −j)) "ties to the lower codeword id", and the
+    centroid's final round(·, 6) stays a JVM expression on the same
+    exact sums.
     """
+    import numpy as np
+    import pandas as pd
+
     dim = len(code_vecs[0])
     sub = dim // num_subspaces
+    C = np.asarray(code_vecs, dtype=np.float64)  # (K, dim)
+    scale = _SCALE
+    n_sub = num_subspaces
 
-    def _sub_lit(vec: list[float], m: int) -> Column:
-        return F.array(*[F.lit(float(x)) for x in vec[m * sub:(m + 1) * sub]])
+    def _assign_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
+            out_m, out_cw, out_pos, out_s, out_n = [], [], [], [], []
+            for m in range(n_sub):
+                sv = mat[:, m * sub:(m + 1) * sub]            # (n, sub)
+                cm = C[:, m * sub:(m + 1) * sub]              # (K, sub)
+                dots = _np_half_up(sv[:, None, :] * cm[None, :, :] * scale).sum(axis=2)
+                cw = np.argmax(dots, axis=1)                  # ties → lowest j
+                xs = _np_half_up(sv * scale).astype(np.int64)  # (n, sub)
+                for j in range(len(C)):
+                    mask = cw == j
+                    nj = int(mask.sum())
+                    if not nj:
+                        continue
+                    s = xs[mask].sum(axis=0)                  # (sub,) int64
+                    out_m.extend([m] * sub)
+                    out_cw.extend([j] * sub)
+                    out_pos.extend(range(1, sub + 1))
+                    out_s.extend(s.tolist())
+                    out_n.extend([nj] * sub)
+            yield pd.DataFrame({
+                "m": pd.array(out_m, dtype="int32"),
+                "cw": pd.array(out_cw, dtype="int64"),
+                "pos": pd.array(out_pos, dtype="int32"),
+                "s": pd.array(out_s, dtype="int64"),
+                "n": pd.array(out_n, dtype="int64"),
+            })
 
-    per_m = []
-    for m in range(num_subspaces):
-        sv = F.slice(F.col(vec_col), m * sub + 1, sub)
-        pairs = [
-            F.struct(
-                _fixed_point_dot(sv, _sub_lit(cv, m)).alias("dot"),
-                F.lit(-j).alias("neg_k"),
-            )
-            for j, cv in enumerate(code_vecs)
-        ]
-        cw = -F.array_max(F.array(*pairs))["neg_k"]
-        per_m.append(
-            F.struct(
-                F.lit(m).cast("int").alias("m"),
-                cw.cast("long").alias("cw"),
-                sv.alias("__sv"),
-            )
-        )
-    assigned = (
-        embeddings.select(F.explode(F.array(*per_m)).alias("__s"))
-        .select("__s.m", "__s.cw", "__s.__sv")
+    parts = embeddings.select(vec_col).mapInPandas(
+        _assign_batches, "m int, cw long, pos int, s long, n long"
     )
-    dims = assigned.select(
-        "m", "cw", F.posexplode("__sv").alias("pos0", "x")
-    ).groupBy("m", "cw", (F.col("pos0") + 1).cast("int").alias("pos")).agg(
-        F.sum(F.round(F.col("x").cast("double") * F.lit(_SCALE), 0).cast("long")).alias("__s"),
-        F.count(F.lit(1)).cast("long").alias("n"),
+    dims = parts.groupBy("m", "cw", "pos").agg(
+        F.sum("s").cast("long").alias("__s"),
+        F.sum("n").cast("long").alias("n"),
     )
     return dims.select(
         "m", "cw", "pos",
@@ -394,21 +540,23 @@ def knn_join_topk(
     r12: squared norms are hoisted below the join (once per corpus row
     / query row instead of once per pair — same arithmetic,
     bit-identical cosine; the knn_join_lsh change, applied to the exact
-    form).
+    form). r13 (guide §4.2): norms and the per-pair dot run as Arrow
+    batches in numpy (`_sq_norm_pandas` / `_pair_cosine_pandas`)
+    instead of interpreted zip_with/aggregate expressions —
+    byte-identity pinned against the expression path in tests.
     """
     from pyspark.sql.window import Window
 
-    e_n = embeddings.withColumn("__sq_e", _fixed_point_sq_norm(F.col(vec_col)))
-    q_n = queries.withColumn("__sq_q", _fixed_point_sq_norm(F.col(qvec_col)))
+    sq = _sq_norm_pandas()
+    e_n = embeddings.withColumn("__sq_e", sq(F.col(vec_col)))
+    q_n = queries.withColumn("__sq_q", sq(F.col(qvec_col)))
     pairs = e_n.crossJoin(F.broadcast(q_n)).where(
         F.col(id_col) != F.col(qid_col)
     )
     scored = pairs.select(
         qid_col, id_col,
-        F.round(
-            _fixed_point_dot(F.col(vec_col), F.col(qvec_col)).cast("double")
-            / (F.sqrt(F.col("__sq_e").cast("double")) * F.sqrt(F.col("__sq_q").cast("double"))),
-            6,
+        _pair_cosine_pandas()(
+            F.col(vec_col), F.col(qvec_col), F.col("__sq_e"), F.col("__sq_q")
         ).alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -437,26 +585,26 @@ def knn_join_lsh(
 
     r12 (guide §1.2 step 2): squared norms are hoisted BELOW the join —
     computed once per corpus row / query row instead of once per
-    candidate pair, cutting the interpreted higher-order-function work
-    per pair from three fixed-point dots to one (the a·b dot). Same
-    arithmetic (round(dot/(√sqa·√sqb), 6)) on the same fixed-point
-    values → bit-identical cosine.
+    candidate pair. r13 (guide §4.2): the bucket bits + sq norm are ONE
+    Arrow batch pass per side (`_bucket_sq_pandas` — was 4 interpreted
+    HOF dots per row) and the per-pair dot is `_pair_cosine_pandas` —
+    same fixed-point arithmetic on the same values, byte-identity
+    pinned against the expression path in tests.
     """
     from pyspark.sql.window import Window
 
-    b_emb = embeddings.withColumn(
-        "__bucket", hyperplane_lsh_bucket(F.col(vec_col), hyperplanes)
-    ).withColumn("__sq_e", _fixed_point_sq_norm(F.col(vec_col)))
-    b_q = queries.withColumn(
-        "__bucket", hyperplane_lsh_bucket(F.col(qvec_col), hyperplanes)
-    ).withColumn("__sq_q", _fixed_point_sq_norm(F.col(qvec_col)))
+    bsq = _bucket_sq_pandas(hyperplanes)
+    b_emb = embeddings.withColumn("__bs", bsq(F.col(vec_col))).select(
+        "*", F.col("__bs.bucket").alias("__bucket"), F.col("__bs.sq").alias("__sq_e")
+    ).drop("__bs")
+    b_q = queries.withColumn("__bs", bsq(F.col(qvec_col))).select(
+        "*", F.col("__bs.bucket").alias("__bucket"), F.col("__bs.sq").alias("__sq_q")
+    ).drop("__bs")
     cand = b_emb.join(F.broadcast(b_q), "__bucket").where(F.col(id_col) != F.col(qid_col))
     scored = cand.select(
         qid_col, id_col,
-        F.round(
-            _fixed_point_dot(F.col(vec_col), F.col(qvec_col)).cast("double")
-            / (F.sqrt(F.col("__sq_e").cast("double")) * F.sqrt(F.col("__sq_q").cast("double"))),
-            6,
+        _pair_cosine_pandas()(
+            F.col(vec_col), F.col(qvec_col), F.col("__sq_e"), F.col("__sq_q")
         ).alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())

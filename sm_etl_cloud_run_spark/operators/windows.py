@@ -617,6 +617,76 @@ def distributed_cumsum_in_groups(
     return out.drop(*drop_cols)
 
 
+def distributed_groupwise_peak(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str,
+    *,
+    peak_name: str = "peak",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``MAX(SUM(value) OVER (PARTITION BY group ORDER BY ...))`` per
+    group — the fused form of ``distributed_cumsum_in_groups`` →
+    ``groupBy(group).max(cumsum)`` for consumers that need only the
+    PEAK of the prefix sum (the census endpoint sweeps).
+
+    Same exact values (the peak of a prefix sum decomposes over the
+    contiguous range segments: per range partition take the local
+    running max and the segment total, then peak = max over partitions
+    of local max + exclusive prefix of preceding totals), but — r13,
+    guide §2.4/§5 — it skips everything the general cumsum pays for
+    materializing a per-row running value it does not need: the offsets
+    broadcast join-back over the data, the final full-data max
+    aggregate, and the persist (the ranged relation has exactly ONE
+    consumer here, so caching it would be pure overhead).
+
+    Same contract as the cumsum: few heavy groups, ``order_by`` totally
+    orders within a group, ``value_col`` non-NULL integral.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    gcols = list(group_cols)
+    part = df.repartitionByRange(
+        num_partitions, *[F.col(g) for g in gcols], *order_by
+    ).withColumn("__dp_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__dp_pid", *gcols)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = (
+        part.select(
+            *gcols, "__dp_pid",
+            F.col(value_col).alias("__dp_v"),
+            F.sum(F.col(value_col)).over(w_local).alias("__dp_run"),
+        )
+        .groupBy("__dp_pid", *gcols)
+        .agg(
+            F.max("__dp_run").alias("__dp_lmax"),
+            F.sum("__dp_v").alias("__dp_tot"),
+        )
+    )  # ≤ |groups| + num_partitions − 1 rows (groups contiguous in range order)
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("__dp_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        seg.select(
+            *gcols,
+            (
+                F.col("__dp_lmax")
+                + F.coalesce(F.sum("__dp_tot").over(w_off), F.lit(0))
+            ).alias("__dp_peak"),
+        )
+        .groupBy(*gcols)
+        .agg(F.max("__dp_peak").cast("long").alias(peak_name))
+    )
+
+
 def distributed_running_max(
     df: DataFrame,
     order_by: Sequence[Column],

@@ -3580,7 +3580,7 @@ def state_census(
     ``last + G + W`` while merging by G — i.e. rungs ``(label, G)`` with
     ``close_pad_us=W`` price it exactly (the streaming integration test
     pins evicted counts against this)."""
-    from ..operators.windows import distributed_cumsum_in_groups
+    from ..operators.windows import distributed_groupwise_peak
 
     delays = F.array(*[
         F.struct(F.lit(label).alias("delay"), F.lit(d).cast("long").alias("d"))
@@ -3617,13 +3617,14 @@ def state_census(
         "delay", F.col("t_close").alias("t"),
         F.lit(-1).cast("long").alias("delta"), "user_id",
     ))
-    sweep = distributed_cumsum_in_groups(
+    # r13: the sweep's only consumer is the per-delay MAX, so the fused
+    # peak operator replaces cumsum→max (drops the per-row cumsum
+    # materialization, its persist, and the offsets join-back —
+    # identical values, see distributed_groupwise_peak)
+    peak = distributed_groupwise_peak(
         pts, ["delay"],
         [F.col("t"), F.col("delta"), F.col("user_id")],
-        "delta", cumsum_name="open_now",
-    )
-    peak = sweep.groupBy("delay").agg(
-        F.max("open_now").cast("long").alias("peak_state")
+        "delta", peak_name="peak_state",
     )
     stats = iv.groupBy("delay").agg(
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
@@ -3956,9 +3957,10 @@ def events_dedup_state_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines) how many keys would need a deeper chain — 0 on
     every fixture, pinned in tests.
 
-    Shape at 100 TB: each chain round is one key-keyed
-    map-side-combined aggregate plus an equi-join against the (already
-    1-row-per-key) previous round; the peak rides
+    Shape at 100 TB (r13): the whole chain is ONE key-keyed aggregate
+    over the duplicate-key slice (sorted per-key occurrence lists,
+    bounded by key multiplicity) plus a per-(key, delay) fold — no
+    per-round joins; the peak rides
     :func:`~..operators.windows.distributed_cumsum_in_groups` over the
     interval endpoints (|delays| heavy groups — its exact contract).
     Eviction-before-insert ties: endpoints order (t, delta, k) with
@@ -3982,7 +3984,7 @@ def dedup_state_census(
     integration test can price an arbitrary fixture and pin the REAL
     `streaming_dedup` run's emitted/evicted counts against it."""
     from ..cache import persist_tracked
-    from ..operators.windows import distributed_cumsum_in_groups
+    from ..operators.windows import distributed_groupwise_peak
 
     delays = F.array(*[
         F.struct(F.lit(label).alias("delay"), F.lit(d).cast("long").alias("d"))
@@ -3990,7 +3992,7 @@ def dedup_state_census(
     ])
     # one delay-independent pass over the fact: per-key first sight +
     # multiplicity. Only keys seen MORE than once can ever chain past
-    # segment 0, so every chain round below runs on the (tiny on real
+    # segment 0, so the chain work below runs on the (tiny on real
     # data) duplicate-key slice instead of the full per-delay explode —
     # the same prune the dedup family applies before candidate joins.
     per_k = persist_tracked(
@@ -4006,51 +4008,86 @@ def dedup_state_census(
     n_events = int(
         per_k.agg(F.sum("c").cast("long").alias("n")).collect()[0]["n"] or 0
     )
-    multi_occ = persist_tracked(
+    # r13 (guide §2.4 — remove shuffles outright): the suppression chain
+    # is a strictly PER-KEY walk over that key's occurrences in time
+    # order, so the former _DDC_ROUNDS sequential join+aggregate rounds
+    # (each one a SortMergeJoin + shuffle over the duplicate-occurrence
+    # × delay slice — 14 SMJs / 150+ Exchanges in the captured r13
+    # before-plan) collapse into ONE aggregate that collects each
+    # duplicate key's SORTED timestamp list, plus a per-(key, delay)
+    # higher-order fold emitting exactly the same segment starts:
+    # s0 = first sight, s_{i+1} = first occurrence strictly past
+    # s_i + d (the sorted-order first IS the old GROUP BY ... MIN), and
+    # truncated = some occurrence past s_{_DDC_ROUNDS-1} + d, flagged
+    # only once the chain is full — bit-identical iv / truncated_keys
+    # rows (driver-rechecked; FORCE_RECHECK per window_plan convention).
+    # The collected lists cover the duplicate-key slice only, so list
+    # length is that key's multiplicity — the same bound the old
+    # multi_occ join rounds carried per key.
+    dup_ts = (
         ev.join(per_k.where(F.col("c") > 1).select("k"), "k")
-        .select("k", "tsu", F.explode(delays).alias("dl"))
-        .select("k", "tsu", F.col("dl.delay").alias("delay"),
-                F.col("dl.d").alias("d"))
-    )  # feeds every chain round and the truncation check
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_list("tsu")).alias("__ts"))
+    )
 
-    def next_round(prev: DataFrame) -> DataFrame:
-        return (
-            multi_occ.join(
-                prev.select("delay", "k", F.col("s").alias("ps")),
-                ["delay", "k"],
-            )
-            .where(F.col("tsu") > F.col("ps") + F.col("d"))
-            .groupBy("delay", "d", "k")
-            .agg(F.min("tsu").alias("s"))
+    def _walk(ts, d):
+        """Fold the sorted occurrence list into (starts[≤_DDC_ROUNDS],
+        cur, truncated) for one delay d — exact long arithmetic."""
+        first = F.element_at(ts, 1)
+        init = F.struct(
+            F.array(first).alias("starts"),
+            first.alias("cur"),
+            F.lit(False).alias("tr"),
         )
 
+        def step(acc, t):
+            opened = t > acc["cur"] + d
+            grow = F.struct(
+                F.concat(acc["starts"], F.array(t)).alias("starts"),
+                t.alias("cur"),
+                acc["tr"].alias("tr"),
+            )
+            full = F.struct(
+                acc["starts"].alias("starts"),
+                acc["cur"].alias("cur"),
+                F.lit(True).alias("tr"),
+            )
+            return (
+                F.when(opened & (F.size(acc["starts"]) < _DDC_ROUNDS), grow)
+                .when(opened, full)
+                .otherwise(acc)
+            )
+
+        return F.aggregate(ts, init, step)
+
+    segs = persist_tracked(
+        dup_ts.select("k", "__ts", F.explode(delays).alias("dl"))
+        .select(
+            F.col("dl.delay").alias("delay"), F.col("dl.d").alias("d"), "k",
+            _walk(F.col("__ts"), F.col("dl.d")).alias("__w"),
+        )
+        .select(
+            "delay", "d", "k",
+            F.col("__w.starts").alias("__starts"),
+            F.col("__w.tr").alias("__tr"),
+        )
+    )  # feeds the chain intervals and the truncation count
+    trunc = (
+        segs.where(F.col("__tr"))
+        .groupBy("delay")
+        .agg(F.count(F.lit(1)).cast("long").alias("truncated_keys"))
+    )
     # segment 0 for ALL keys: the per-key min exploded by the ladder
     s0 = per_k.select(
         "k", "s", F.explode(delays).alias("dl")
     ).select(
         F.col("dl.delay").alias("delay"), F.col("dl.d").alias("d"), "k", "s",
     )
-    s1 = multi_occ.join(
-        per_k.where(F.col("c") > 1).select("k", F.col("s").alias("ps")), "k"
-    ).where(F.col("tsu") > F.col("ps") + F.col("d")).groupBy(
-        "delay", "d", "k"
-    ).agg(F.min("tsu").alias("s"))
-    rounds = [s0, s1]
-    for _ in range(_DDC_ROUNDS - 2):
-        rounds.append(next_round(rounds[-1]))
-    trunc = (
-        multi_occ.join(
-            rounds[-1].select("delay", "k", F.col("s").alias("ps")),
-            ["delay", "k"],
-        )
-        .where(F.col("tsu") > F.col("ps") + F.col("d"))
-        .groupBy("delay")
-        .agg(F.countDistinct("k").cast("long").alias("truncated_keys"))
+    chain = segs.select(
+        "delay", "d", "k",
+        F.explode(F.slice(F.col("__starts"), 2, _DDC_ROUNDS - 1)).alias("s"),
     )
-    iv = rounds[0]
-    for r in rounds[1:]:
-        iv = iv.unionByName(r)
-    iv = persist_tracked(iv)  # feeds the sweep and the interval count
+    iv = persist_tracked(s0.unionByName(chain))  # feeds the sweep and the interval count
     pts = iv.select(
         "delay", F.col("s").alias("t"), F.lit(1).cast("long").alias("delta"),
         "k",
@@ -4058,12 +4095,11 @@ def dedup_state_census(
         "delay", (F.col("s") + F.col("d")).alias("t"),
         F.lit(-1).cast("long").alias("delta"), "k",
     ))
-    sweep = distributed_cumsum_in_groups(
+    # r13: fused peak-of-prefix-sum — the sweep's only consumer was the
+    # per-delay MAX (see distributed_groupwise_peak; identical values)
+    peak = distributed_groupwise_peak(
         pts, ["delay"], [F.col("t"), F.col("delta"), F.col("k")],
-        "delta", cumsum_name="open_now",
-    )
-    peak = sweep.groupBy("delay").agg(
-        F.max("open_now").cast("long").alias("peak_state")
+        "delta", peak_name="peak_state",
     )
     stats = iv.groupBy("delay").agg(
         F.count(F.lit(1)).cast("long").alias("n_intervals")

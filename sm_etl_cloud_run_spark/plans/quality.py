@@ -874,18 +874,25 @@ def _qt_fit(
     per-step distributed form (the driver hash pins this). The one
     per-step quantity that is NOT a quadratic form — threshold
     accuracy, which needs each doc's score against the cut — is
-    computed for ALL steps in ONE corpus pass at the end: by then the
-    whole weight trajectory w_0..w_K is known, so a single 64·(K+1)-row
-    broadcast join scores every step at once.
+    computed for ALL steps in ONE pass over the doc vectors at the
+    end: by then the whole weight trajectory w_0..w_K is known.
 
-    100 TB shape: corpus touched exactly three times regardless of K —
-    featurize (persisted feat, ≤_QT_B rows/doc), the Gram self-join on
-    doc_id (fan-out bounded by _QT_B per row into a map-side-combined
-    B²-cell aggregate — linear, one shuffle of feat), and the all-steps
-    score pass. K more steps cost a 64×64 driver multiply, not a job.
-    Collects are parameter-sized: B² + B + 1 statistic rows, then
-    K+1 accuracy rows."""
-    from pyspark.sql.window import Window
+    100 TB shape (r13): the corpus is featurized once into PER-DOC
+    packed vectors (`dv`: one row per doc with parallel (bucket,
+    count) arrays, ≤_QT_B entries — doc-table-sized, persisted), and
+    the statistics/score passes are vectorized int64 numpy over Arrow
+    batches (`mapInPandas`): Gram = Σ_d x_d x_dᵀ is a per-batch
+    XᵀX matmul emitting ≤B²+B+1 partial rows per batch instead of the
+    former doc_id self-join (≤B² join rows PER DOC — the single
+    biggest bench cost in r13's before-plan), and the all-steps
+    accuracy is X·Wᵀ per batch instead of a ×(K+1) broadcast-join
+    fan-out. Integer matmul/sums are exact (no rounding anywhere), so
+    every statistic is bit-identical to the join form. K more steps
+    cost a 64×64 driver multiply, not a job. Collects are
+    parameter-sized: ≤ B² + B + 2 statistic rows, then K+1 accuracy
+    rows."""
+    import numpy as np
+    import pandas as pd
 
     from ..cache import persist_tracked
     from ..functions.text import tokens
@@ -915,54 +922,69 @@ def _qt_fit(
         F.when(F.col("lang") == "en", F.lit(_QT_Y)).otherwise(F.lit(0))
         .cast("long").alias("y"),
     )
-    # n_tok via a doc-partitioned window over the ≤_QT_B-rows-per-doc
-    # bucket aggregate (pigeonhole-bounded — operators/windows.py
-    # policy) instead of a join against a recomputed token count
-    w_doc = Window.partitionBy("doc_id")
-    feat = persist_tracked(
-        bc.withColumn("n_tok", F.sum("cnt").over(w_doc))
+    # r13: pack each doc's bucket counts into parallel arrays — one row
+    # per doc. x = (1000·cnt) div n_tok is computed in numpy int64
+    # floor division (== BIGINT div for the non-negative operands here),
+    # so every consumer sees the exact same x the old feat relation
+    # carried. sort_array makes the plan deterministic (sums are
+    # order-free anyway).
+    dv = persist_tracked(
+        bc.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("b", "cnt"))).alias("__bl"),
+            F.sum("cnt").cast("long").alias("__n_tok"),
+        )
         .join(lab, "doc_id")
         .select(
-            "doc_id", "b",
-            F.expr("CAST((1000 * cnt) div n_tok AS BIGINT)").alias("x"),
-            "y",
+            "doc_id", "y",
+            F.transform("__bl", lambda p: p["b"]).alias("bs"),
+            F.transform("__bl", lambda p: p["cnt"]).alias("cs"),
+            "__n_tok",
         )
     )
+    B = _QT_B
 
-    # sufficient statistics — the only corpus-sized jobs besides the
-    # featurize and the final all-steps score pass (B²+B+1 rows total).
-    # All statistic branches ride ONE tagged-union job (guide §2.6:
-    # independent aggregates submitted as one action back-fill each
-    # other's stragglers; r12 change — was 3-4 sequential collects,
-    # each a full barrier). Values are bit-identical: the branches are
-    # the same aggregates, only collected together.
-    fa = feat.select("doc_id", F.col("b").alias("b1"), F.col("x").alias("x1"))
-    fb = feat.select("doc_id", F.col("b").alias("b2"), F.col("x").alias("x2"))
-    gram_df = (
-        fa.join(fb, "doc_id")
-        .groupBy("b1", "b2")
-        .agg(F.sum(F.col("x1") * F.col("x2")).cast("long").alias("v"))
-        .select(F.lit("g").alias("tag"), "b1", F.col("b2").alias("k2"), "v")
-    )  # ≤ B² = 4096 rows
-    cvec_df = (
-        feat.groupBy("b")
-        .agg(F.sum(F.col("y") * F.col("x")).cast("long").alias("v"))
-        .select(F.lit("c").alias("tag"), F.col("b").alias("b1"),
-                F.lit(0).cast("long").alias("k2"), "v")
-    )  # ≤ B rows
+    def _xmat(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """Dense int64 (n_docs_in_batch × B) feature matrix + labels."""
+        n = len(pdf)
+        bs_list = pdf["bs"].to_numpy()
+        lens = np.fromiter((len(a) for a in bs_list), dtype=np.int64, count=n)
+        ri = np.repeat(np.arange(n), lens)
+        bs_flat = np.concatenate(bs_list).astype(np.int64) if n else np.empty(0, np.int64)
+        cs_flat = np.concatenate(pdf["cs"].to_numpy()).astype(np.int64) if n else np.empty(0, np.int64)
+        nt = pdf["__n_tok"].to_numpy().astype(np.int64)
+        X = np.zeros((n, B), dtype=np.int64)
+        X[ri, bs_flat] = (1000 * cs_flat) // nt[ri]
+        return X, pdf["y"].to_numpy().astype(np.int64)
+
+    # sufficient statistics: per-batch XᵀX / Xᵀy / Σy² partials (exact
+    # int64), summed by a parameter-sized aggregate, plus the JVM-side
+    # n_docs count over lab (ALL docs, not only docs with features) —
+    # all riding ONE tagged-union job (guide §2.6).
+    def _stats_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X, y = _xmat(pdf)
+            g = X.T @ X
+            b1, k2 = np.nonzero(g)
+            c = (X * y[:, None]).sum(axis=0)
+            cb = np.nonzero(c)[0]
+            yield pd.DataFrame({
+                "tag": ["g"] * len(b1) + ["c"] * len(cb) + ["y"],
+                "b1": np.concatenate([b1, cb, [0]]).astype(np.int64),
+                "k2": np.concatenate([k2, np.zeros(len(cb) + 1, np.int64)]).astype(np.int64),
+                "v": np.concatenate([g[b1, k2], c[cb], [int((y * y).sum())]]).astype(np.int64),
+            })
+
+    stat_parts = dv.mapInPandas(
+        _stats_batches, "tag string, b1 long, k2 long, v long"
+    ).groupBy("tag", "b1", "k2").agg(F.sum("v").cast("long").alias("v"))
     ndocs_df = lab.agg(F.count(F.lit(1)).cast("long").alias("v")).select(
         F.lit("n").alias("tag"), F.lit(0).cast("long").alias("b1"),
         F.lit(0).cast("long").alias("k2"), "v",
     )  # 1 row — same count the former lab.count() barrier returned
-    stats = gram_df.unionByName(cvec_df).unionByName(ndocs_df)
-    if with_metrics:
-        yy_df = (
-            feat.select("doc_id", "y").distinct()
-            .agg(F.sum(F.col("y") * F.col("y")).cast("long").alias("v"))
-            .select(F.lit("y").alias("tag"), F.lit(0).cast("long").alias("b1"),
-                    F.lit(0).cast("long").alias("k2"), "v")
-        )  # 1 row; docs with no features never entered the score relation
-        stats = stats.unionByName(yy_df)
+    stats = stat_parts.unionByName(ndocs_df)
     gram: dict[tuple[int, int], int] = {}
     cvec: dict[int, int] = {}
     yy = 0
@@ -995,24 +1017,30 @@ def _qt_fit(
 
     rows: list[tuple[int, int, int, int, int, int, int]] = []
     if with_metrics:
-        # threshold accuracy per step: one pass, all steps at once
-        wlong = spark.createDataFrame(
-            [(k, b, wk[b]) for k, wk in enumerate(wsteps) for b in range(_QT_B)],
-            "step long, b long, w long",
-        )
+        # threshold accuracy per step: one pass over dv, all steps at
+        # once — X·Wᵀ per Arrow batch (exact int64) instead of the
+        # former ×(K+1) broadcast-join fan-out over feat
+        W = np.array(
+            [[wk[b] for b in range(_QT_B)] for wk in wsteps], dtype=np.int64
+        )  # (K+1, B)
+
+        def _acc_batches(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X, y = _xmat(pdf)
+                S = X @ W.T  # (n, K+1)
+                ok = ((2 * S >= _QT_Y) == (y[:, None] > 0)).sum(axis=0)
+                yield pd.DataFrame({
+                    "step": np.arange(len(wsteps), dtype=np.int64),
+                    "n_correct": ok.astype(np.int64),
+                })
+
         nc = {
             r["step"]: r["n_correct"]
-            for r in feat.join(F.broadcast(wlong), "b")
-            .groupBy("step", "doc_id", "y")
-            .agg(F.sum(F.col("w") * F.col("x")).cast("long").alias("s"))
+            for r in dv.mapInPandas(_acc_batches, "step long, n_correct long")
             .groupBy("step")
-            .agg(
-                F.sum(
-                    F.when(
-                        (2 * F.col("s") >= _QT_Y) == (F.col("y") > 0), 1
-                    ).otherwise(0)
-                ).cast("long").alias("n_correct")
-            )
+            .agg(F.sum("n_correct").cast("long").alias("n_correct"))
             .collect()  # K+1 rows
         }
         for step, wk in enumerate(wsteps):
@@ -1033,14 +1061,24 @@ def _qt_fit(
                 top_b, top_w,
             ))
 
-    wdf = spark.createDataFrame(
-        [(b, wb) for b, wb in sorted(wsteps[-1].items())], "b long, w long"
-    )
-    s = (
-        feat.join(F.broadcast(wdf), "b")
-        .groupBy("doc_id", "y")
-        .agg(F.sum(F.col("w") * F.col("x")).cast("long").alias("s"))
-    )
+    # step-K score relation: one numpy pass over dv — s_d = Σ w_b·x_db
+    # exactly as the old feat ⋈ weight-table aggregate computed it
+    # (exact int64 dot; docs with no features are absent from dv, the
+    # same scoping the old join had)
+    wlast = np.array([wsteps[-1][b] for b in range(_QT_B)], dtype=np.int64)
+
+    def _score_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X, y = _xmat(pdf)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy().astype(np.int64),
+                "y": y,
+                "s": X @ wlast,
+            })
+
+    s = dv.mapInPandas(_score_batches, "doc_id long, y long, s long")
     return rows, s
 
 

@@ -346,13 +346,38 @@ def _month_periods(orders: DataFrame) -> DataFrame:
 @register("j1_period_range_join", oracle=_J1_ORACLE, bench=True,
           description="J1: date→period broadcast range join (general interval form)")
 def j1_period_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cache import persist_tracked
+
     t = load_tables(spark, sf_dir)
-    periods = _month_periods(t["orders"])
+    # r13 (guide §2.4): the period dim is itself derived from the
+    # fact's dates, so derive BOTH it and range_join's distinct-date
+    # decide relation from ONE persisted distinct-date pass — the plan
+    # had three orders scans (periods, distinct dates, fact), now two.
+    # Same months (month set over distinct days == month set over all
+    # rows), same dates, row-identical output.
+    dates = persist_tracked(
+        t["orders"].select(F.to_date(F.col("o_orderdate")).alias("__d")).distinct()
+    )
+    periods = (
+        dates.select(
+            F.to_date(F.date_trunc("month", F.col("__d"))).alias("data_inicio")
+        )
+        .distinct()
+        .withColumn("data_fim", F.last_day(F.col("data_inicio")))
+        .withColumn(
+            "codigo",
+            F.concat(
+                F.year("data_inicio").cast("string"), F.lit(".M"),
+                F.month("data_inicio").cast("string"),
+            ),
+        )
+    )
     enriched = joins.range_join(
         t["orders"],
         periods,
         F.to_date(F.col("o_orderdate")),
         attach={"codigo": "periodo_codigo", "data_inicio": "periodo_data_inicio"},
+        dates=dates,
     )
     return enriched.groupBy("periodo_codigo", "periodo_data_inicio").agg(
         F.count(F.lit(1)).alias("n_orders"),

@@ -74,33 +74,22 @@ LIMIT {_TOPK}
 @register("knn_brute_force", oracle=_KNN_ORACLE, bench=True,
           description="exact cosine top-k against a query vector (ANN baseline)")
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import _fixed_point_dot, _fixed_point_sq_norm
+    from ..operators.similarity import _const_cosine_pandas
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    qid = _seed_rows(emb, 1)[0]["vec_id"]
-    # r12: the query's squared norm is hoisted onto the 1-row broadcast
-    # side — the old cosine_similarity recomputed it per corpus row
-    # (3 interpreted HOF dots per row → 2). Same arithmetic on the same
-    # fixed-point values, bit-identical cosine.
-    q = emb.where(F.col("vec_id") == qid).select(
-        F.col("embedding").alias("qv"),
-        _fixed_point_sq_norm(F.col("embedding")).alias("__sqq"),
-    )
-    scored = (
-        emb.where(F.col("vec_id") != qid)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(
-                _fixed_point_dot(F.col("embedding"), F.col("qv")).cast("double")
-                / (
-                    F.sqrt(_fixed_point_sq_norm(F.col("embedding")).cast("double"))
-                    * F.sqrt(F.col("__sqq").cast("double"))
-                ),
-                6,
-            ).alias("cosine"),
-        )
+    # the seed row already carries the query VECTOR, so the query side
+    # is a plain literal — no broadcast join at all (r13; the r12 form
+    # cross-joined a 1-row broadcast relation to ship the same values)
+    seed = _seed_rows(emb, 1)[0]
+    qid = seed["vec_id"]
+    qvec = [float(x) for x in seed["embedding"]]
+    # r13 (guide §4.2): corpus sq norm + dot + exact-rounded cosine in
+    # ONE Arrow batch pass (was 2 interpreted HOF dots per corpus row) —
+    # byte-identity pinned against the expression path in tests.
+    scored = emb.where(F.col("vec_id") != qid).select(
+        "vec_id",
+        _const_cosine_pandas(qvec)(F.col("embedding")).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(_TOPK)
 

@@ -47,40 +47,36 @@ WINDOW_SIZE = 50
 
 # Hand-maintained: queries whose implementation changed since their
 # last driver-green row. Emptied each round once the change is green.
-# Round 12 start: the round-11 forced rows (census / ctx-ladder /
-# scene-cut) all landed hash-green in CORRECTNESS_r11, so the tuple
-# was emptied per VERDICT r11 item 1 — the generated window now
-# covers the r4/r5 backlog. Entries added below as round-12 work
-# touches implementations.
+# Round 13 start: all 17 round-12 forced rows landed hash-green in
+# CORRECTNESS_r12 (verified row-by-row), so they were removed per this
+# tuple's convention — the generated window rotates the r5 backlog.
+# Entries added below as round-13 optimization work touches
+# expression trees.
 FORCE_RECHECK: tuple[str, ...] = (
-    # fused 1-task sample pair pass + data-derived cache partitioning
-    # (VERDICT r11 item 2) — results bit-identical, plan reshaped
-    "dedup_lsh_banding_tuner",
-    "dedup_lsh_pairs_tuned",
-    # explicit whitespace class [ \t\n\x0B\f\r]+ on BOTH engines
-    # (ADVICE r11 item 2) — Spark side bit-identical (class == Java \s),
-    # oracle side now splits on \x0B too
-    "training_pack_sequences",
-    "training_context_length_ladder",
-    # r12 optimization rewrites whose EXPRESSION TREE changed (parity-
-    # verified 0-diff at both SFs in-session; listed per this tuple's
-    # convention so the driver re-greens them this round). Pure-persist
-    # additions (doremi/dsir/bm25/domain_rollup) are deliberately NOT
-    # listed — caching is transparent to results and the slots are
-    # better spent on the r4/r5 backlog rotation.
-    "text_dup_ngram_fraction",        # singleton-gram identity rewrite
-    "text_winnowing_fingerprints",    # all-array zero-exchange form
-    "text_winnowing_overlap_pairs",   # consumes the rewritten operator
-    "q2_min_cost_supplier",           # min(struct) election
-    "j1_period_range_join",           # distinct-date proxy decide
-    "pq_codebook_train",              # single-scan inline explode
-    "knn_graph_lsh",                  # norm hoist below the join
-    "knn_graph_brute",                # norm hoist (knn_join_topk)
-    "knn_brute_force",                # query-norm hoist
-    "quality_classifier_train",       # fused stats collect (_qt_fit)
-    "quality_classifier_train_auc",   # shares _qt_fit
-    "dedup_cluster_canonical",        # single-pass election + cached bands
-    "dedup_minhash_signatures",       # tokens materialized below explode
+    # VERDICT r12 "What's wrong" #2: this bitset-construction rewrite
+    # (3-way unionAll → persisted keys + inline explode, r12 commit
+    # 5fe8aa8) was misclassified as a pure persist addition and skipped
+    # the r12 recheck; its last driver-green row is round 7. Forced now
+    # so CORRECTNESS_r13 re-greens the current tree. (Audit of the
+    # other r12 persist-only classifications — doremi/dsir/bm25/
+    # domain_rollup/bm25's rrf consumer — confirmed those really are
+    # bare persist_tracked() wraps with unchanged expression trees.)
+    "join_bloom_prefilter",
+    # r13 optimization rewrites whose EXPRESSION TREE changed
+    # (parity-verified 0-diff at both SFs in-session):
+    "events_dedup_state_census",      # chain rounds → per-key sorted fold
+    "events_stream_state_census",     # fused peak-of-prefix-sum sweep
+    "events_watermark_tradeoff",      # consumes state_census's fused sweep
+    "quality_classifier_train",       # doc-vector numpy sufficient stats
+    "quality_classifier_train_auc",   # shares _qt_fit's rewritten passes
+    "q2_min_cost_supplier",           # part-filter semi-join prefilter
+    "knn_brute_force",                # Arrow const-query cosine twin
+    "knn_graph_brute",                # Arrow pair cosine twin (knn_join_topk)
+    "knn_graph_lsh",                  # Arrow bucket/norm/cosine twins
+    "pq_codebook_train",              # Arrow assign+partial-sum pass
+    "j1_period_range_join",           # period dim from the shared date pass
+    "text_winnowing_fingerprints",    # least(element_at) window minima
+    "text_winnowing_overlap_pairs",   # consumes the same operator
 )
 
 _ROUND_RE = re.compile(r"CORRECTNESS_r(\d+)\.json$")

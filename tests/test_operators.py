@@ -571,6 +571,36 @@ def test_distributed_rank_matches_global_row_number(spark):
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
 
 
+def test_distributed_rank_pins_partition_count_under_cached_plan_aqe(spark):
+    """ADVICE r12 item 2: `canChangeCachedPlanOutputPartitioning=true`
+    (session.py) lets AQE coalesce shuffles inside cached plans;
+    distributed_rank's partition-id arithmetic rests on AQE never
+    coalescing a user-specified repartitionByRange(N, ...). Pin the
+    invariant so a future Spark version or config interaction that
+    starts coalescing REPARTITION_BY_NUM shuffles fails HERE instead of
+    silently corrupting ranks: (a) the session really runs with the
+    flag; (b) a persisted range-partitioned relation still produces
+    exactly N partition ids — the base of the rank math."""
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+        )
+        == "true"
+    )
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 97) for i in range(5000)], "id long, v long"
+    )
+    part = (
+        df.repartitionByRange(16, F.col("v").asc(), F.col("id").asc())
+        .select(F.spark_partition_id().alias("pid"))
+        .persist()
+    )
+    try:
+        assert part.distinct().count() == 16
+    finally:
+        part.unpersist()
+
+
 def test_distributed_ntile_matches_global_ntile(spark):
     """distributed_ntile == ntile(n) for n that divides N, n with a
     remainder, and n > N (the q=0 edge)."""

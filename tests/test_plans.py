@@ -59,13 +59,23 @@ def test_no_python_udf_in_hot_paths(spark, sf_dir):
         "flagship_panel_enrichment",
         "dedup_minhash_signatures",
         "dedup_lsh_pairs",
-        "knn_brute_force",
         "text_token_stats",
         "events_hourly_rollup",
     ):
         plan = _plan(spark, q, sf_dir)
         assert "BatchEvalPython" not in plan, q
         assert "ArrowEvalPython" not in plan, q
+
+
+def test_knn_paths_use_arrow_not_pickled_rows(spark, sf_dir):
+    """r13 (guide §4.2 / VERDICT r12 item 5): the kNN fixed-point
+    arithmetic runs as vectorized numpy over ARROW batches — the plans
+    must show ArrowEvalPython (the byte-identity-pinned twins), and
+    never BatchEvalPython (row-pickled scalar UDFs)."""
+    for q in ("knn_brute_force", "knn_graph_lsh", "knn_graph_brute"):
+        plan = _plan(spark, q, sf_dir)
+        assert "ArrowEvalPython" in plan, q
+        assert "BatchEvalPython" not in plan, q
 
 
 def test_semi_join_used_for_panel_filter(spark, sf_dir):

@@ -1,9 +1,12 @@
-"""Round-12 optimization harness: per-query plan capture + isolated timing.
+"""Optimization-round harness: per-query plan capture + isolated timing.
 
 Usage:
   python tools/opt_profile.py explain <suffix> [names...]
       Write .explain("formatted") for each query (default: bench set)
-      to plans/r12/<name>_<suffix>.txt. Plan-only — no execution.
+      to plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<suffix>.txt (default
+      r13). NOTE: plan capture may execute builder-embedded collects
+      (seed lookups, _qt_fit statistics) at the configured SF — it is
+      not free (ADVICE r12 item 3).
   python tools/opt_profile.py time [names...]
       Isolated timing at $SPARK_GRAFT_SF_DIR (default sf0.1): warm at
       sf0.001 first (codegen JIT), then min-of-3 with the noop sink
@@ -28,7 +31,9 @@ from sm_etl_cloud_run_spark import plans  # noqa: E402
 from sm_etl_cloud_run_spark.cache import release_tracked  # noqa: E402
 from sm_etl_cloud_run_spark.session import get_spark  # noqa: E402
 
-PLANS_DIR = os.path.join(REPO, "plans", "r12")
+PLANS_DIR = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+)
 
 
 def _specs(names: list[str]):
