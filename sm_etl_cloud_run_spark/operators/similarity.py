@@ -114,7 +114,12 @@ def _bucket_sq_pandas(hyperplanes: list[list[float]]):
             "sq": sq.astype(np.int64),
         })
 
-    return f
+    # guide §4.4: the bucket join's inferred isnotnull filter is pushed
+    # below the projection and DUPLICATES the UDF (two ArrowEvalPython
+    # per side in the captured plan — every row paid the batch twice).
+    # Non-deterministic blocks the reorder; the value is in fact a pure
+    # function of the row, so results are unchanged.
+    return f.asNondeterministic()
 
 
 def _sq_norm_pandas():
